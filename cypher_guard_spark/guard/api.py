@@ -115,12 +115,21 @@ def get_cypher_validation_errors(query: str, schema) -> List[str]:
 
 def get_cypher_validation_error_objects(query: str, schema):
     """Structured variant for the Spark UDF: (parse_error | None, [ValidationError])."""
+    _, perr, verrors = analyze(query, schema)
+    return (perr, verrors)
+
+
+def analyze(query: str, schema):
+    """Single-parse structured analysis: (ast|None, parse_error|None, [ValidationError]).
+
+    The hot path for the vectorized UDF — parses exactly once.
+    """
     db = _coerce_schema(schema)
     ast, err = parse_query_result(query)
     if err is not None:
-        return (err, [])
+        return (None, err, [])
     elements = extract_query_elements(ast)
-    return (None, validate_query_elements(elements, db))
+    return (ast, None, validate_query_elements(elements, db))
 
 
 def validate_cypher(query: str, schema) -> List[str]:
