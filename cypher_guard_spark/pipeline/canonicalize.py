@@ -1,0 +1,238 @@
+"""Entity canonicalization: min-hash blocking + abbreviation blocking →
+connected components → representative election.
+
+All similarity machinery is JVM-side (whole-stage codegen): character
+3-gram shingles via `transform(sequence(...))`, K min-hashes via
+`array_min(transform(shingles, x -> hash(x, seed)))`, banded LSH self-join
+for candidates, exact Jaccard verification on the survivors. Python never
+touches a row here.
+
+Connected components is the standard iterative min-id propagation
+(GraphFrames-style large-star flavor): each round joins labels to edges,
+takes the min neighbor component, and localCheckpoints to cut lineage.
+Surface-variant chains in this domain have diameter ≤ 3, so convergence is
+a handful of rounds; the loop is count-guarded, not fixed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def surface_shingles(surfaces: DataFrame, col: str = "surface") -> DataFrame:
+    """+ `shingles`: distinct lowercase character 3-grams."""
+    norm = F.lower(F.col(col))
+    return surfaces.withColumn(
+        "shingles",
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(length(lower({col})) - 2, 1)),"
+            f" i -> substring(lower({col}), i, 3)))"
+        ),
+    ).withColumn("_norm", norm)
+
+
+def minhash_candidate_pairs(
+    surfaces: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """(label, a, b, sim) candidate pairs with exact-Jaccard verification.
+
+    LSH: K=num_hashes min-hashes, grouped into `bands` bands of K/bands
+    rows; pairs sharing any (band, band_hash) bucket become candidates.
+    The self-join shuffles on (label, band, band_hash) — AQE's skew-join
+    splitting covers pathological buckets.
+
+    Abbreviation-form surfaces ("J. Smith") are excluded: they carry almost
+    no lexical signal of their own ("a. smith" vs "j. smith" is Jaccard
+    0.71 — pairing them chains entire last-name families into one
+    component), and the dedicated initial+last-name resolver in
+    `abbreviation_pairs` handles them with actual evidence. The 0.6
+    threshold separates same-entity variants ("tech corp" / "tech corp
+    inc" ≈ 0.76) from same-family false friends ("nina johnson" / "paula
+    johnson" = 0.50).
+    """
+    rows_per_band = num_hashes // bands
+    surfaces = surfaces.where(~F.col("surface").rlike(r"^[A-Z]\. "))
+    sh = surface_shingles(surfaces)
+    sig_cols = [
+        F.array_min(F.expr(f"transform(shingles, x -> hash(x, {k}))")).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    sigs = sh.select("surface", "label", "shingles", *sig_cols)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "surface", "label", "shingles", F.explode(band_structs).alias("bb")
+    ).select("surface", "label", "shingles", "bb.band", "bb.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.label") == F.col("r.label"),
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.surface") < F.col("r.surface"),
+            ],
+        )
+        .select(
+            F.col("l.label").alias("label"),
+            F.col("l.surface").alias("a"),
+            F.col("r.surface").alias("b"),
+            F.col("l.shingles").alias("sa"),
+            F.col("r.shingles").alias("sb"),
+        )
+        .dropDuplicates(["label", "a", "b"])
+    )
+    sim = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    return cand.withColumn("sim", sim).where(F.col("sim") >= jaccard_threshold).select(
+        "label", "a", "b", "sim"
+    )
+
+
+def abbreviation_pairs(link_stats: DataFrame) -> DataFrame:
+    """Link 'J. Smith'-style abbreviations to their full expansion.
+
+    Block key = (label, last token, first initial). Ambiguous blocks (two
+    full names sharing an initial, e.g. John/Jane Smith) resolve to the
+    most frequent expansion — a popularity prior that is deliberately,
+    boundedly wrong for rare entities (see synth.py)."""
+    persons = link_stats.where(F.col("label") == "Person")
+    is_abbrev = F.col("surface").rlike(r"^[A-Z]\. ")
+    key_last = F.element_at(F.split(F.col("surface"), " "), -1)
+    key_init = F.substring(F.col("surface"), 1, 1)
+    abbrevs = persons.where(is_abbrev).select(
+        "label",
+        F.col("surface").alias("a"),
+        key_last.alias("k_last"),
+        key_init.alias("k_init"),
+    )
+    fulls = persons.where(~is_abbrev).select(
+        "label",
+        F.col("surface").alias("b"),
+        key_last.alias("k_last"),
+        key_init.alias("k_init"),
+        F.col("n_mentions"),
+    )
+    joined = abbrevs.join(fulls, ["label", "k_last", "k_init"])
+    # argmax by mention count, surface as deterministic tiebreak
+    best = joined.groupBy("label", "a").agg(
+        F.max_by("b", F.struct(F.col("n_mentions"), F.col("b"))).alias("b")
+    )
+    return best.select("label", "a", "b", F.lit(1.0).alias("sim"))
+
+
+def connected_components(
+    spark: SparkSession, vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """vertices(label, surface) + edges(label, a, b) → (label, surface, comp).
+
+    comp = min xxhash64 id over the component; iterative min-propagation
+    with localCheckpoint per round to keep the plan flat.
+    """
+    vid = F.xxhash64("label", "surface")
+    labels = vertices.select("label", "surface", vid.alias("id")).withColumn(
+        "comp", F.col("id")
+    )
+    eid_a = F.xxhash64("label", "a")
+    eid_b = F.xxhash64("label", "b")
+    und = edges.select(eid_a.alias("src"), eid_b.alias("dst")).unionByName(
+        edges.select(eid_b.alias("src"), eid_a.alias("dst"))
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels.select(F.col("id").alias("dst"), F.col("comp").alias("ncomp")), "dst")
+            .groupBy("src")
+            .agg(F.min("ncomp").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "label",
+                "surface",
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("new_comp"),
+                F.col("comp").alias("old_comp"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.where(F.col("new_comp") != F.col("old_comp")).count()
+        labels = updated.select("label", "surface", "id", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    return labels.select("label", "surface", "comp")
+
+
+def build_entity_map(
+    spark: SparkSession,
+    link_stats: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """(label, surface, canonical) — every observed surface mapped to its
+    component representative (most-mentioned surface, surface-desc tiebreak)."""
+    surfaces = link_stats.select("label", "surface", "n_mentions")
+    mh_pairs = minhash_candidate_pairs(
+        surfaces.select("surface", "label"), num_hashes, bands, jaccard_threshold
+    )
+    ab_pairs = abbreviation_pairs(link_stats)
+    edges = mh_pairs.unionByName(ab_pairs).select("label", "a", "b").dropDuplicates()
+    comps = connected_components(spark, surfaces.select("label", "surface"), edges)
+    with_counts = comps.join(surfaces, ["label", "surface"])
+    reps = with_counts.groupBy("label", "comp").agg(
+        F.max_by("surface", F.struct(F.col("n_mentions"), F.col("surface"))).alias("canonical")
+    )
+    return (
+        with_counts.join(reps, ["label", "comp"])
+        .select("label", "surface", "canonical")
+    )
+
+
+def canonicalize_triples(triples_raw: DataFrame, entity_map: DataFrame) -> DataFrame:
+    """triples_raw × entity_map (broadcast: the map is distinct-entity-sized,
+    orders of magnitude smaller than the triple stream) → canonical triples."""
+    subj_map = F.broadcast(
+        entity_map.select(
+            F.col("label").alias("subj_label"),
+            F.col("surface").alias("subj"),
+            F.col("canonical").alias("subj_canonical"),
+        )
+    )
+    obj_map = F.broadcast(
+        entity_map.select(
+            F.col("label").alias("obj_label"),
+            F.col("surface").alias("obj"),
+            F.col("canonical").alias("obj_canonical"),
+        )
+    )
+    return (
+        triples_raw.join(subj_map, ["subj_label", "subj"], "left")
+        .join(obj_map, ["obj_label", "obj"], "left")
+        .select(
+            "doc_id",
+            "span_idx",
+            F.coalesce("subj_canonical", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_canonical", "obj").alias("obj"),
+            "subj_label",
+            "obj_label",
+            "conf",
+        )
+    )

@@ -1,0 +1,92 @@
+"""Per-stage lineage + checkpoint/resume.
+
+Every stage writes its output table (parquet here; the writer format is
+pluggable — on a cluster with an Iceberg catalog set
+``SPARK_GRAFT_TABLE_FORMAT=iceberg``) plus a lineage record per partition:
+(stage, partition_id, rows, checksum, wall_ms). The checksum is a
+bit_xor of xxhash64 over the stage's key columns — per-partition values
+depend on partitioning, but their XOR is partition-invariant (and immune
+to ANSI overflow), which is what resume verification compares.
+
+Resume = skip any stage whose output already exists with a _SUCCESS marker
+(atomic commit), loading it instead of recomputing. Incomplete outputs
+(killed mid-write → no _SUCCESS) are recomputed.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def partition_lineage(df: DataFrame, stage: str, key_cols, wall_ms: float) -> DataFrame:
+    """One row per partition: rows + checksum."""
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.count("*").alias("rows"),
+            F.bit_xor(F.xxhash64(*key_cols)).alias("checksum"),
+        )
+        .select(
+            F.lit(stage).alias("stage"),
+            F.col("_pid").alias("partition_id"),
+            "rows",
+            "checksum",
+            F.lit(float(wall_ms)).alias("wall_ms"),
+        )
+    )
+
+
+def global_checksum(lineage_rows, stage: str | None = None) -> tuple:
+    """(rows, checksum) aggregated partition-invariantly (XOR)."""
+    rows = [r for r in lineage_rows if stage is None or r["stage"] == stage]
+    total_rows = sum(r["rows"] for r in rows)
+    csum = 0
+    for r in rows:
+        csum ^= r["checksum"] or 0
+    return total_rows, csum
+
+
+class CheckpointManager:
+    """Stage-level checkpoint/lineage/resume over a base directory."""
+
+    def __init__(self, spark: SparkSession, base_dir: str | None, resume: bool = True):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.resume = resume
+        self.fmt = os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+        self.lineage: list = []
+        self.resumed_stages: list = []
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.base_dir, stage)
+
+    def _complete(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+
+    def stage(self, name: str, compute, key_cols) -> DataFrame:
+        """Run (or resume) a stage. ``compute`` is a thunk returning the
+        stage DataFrame; key_cols feed the checksum."""
+        t0 = time.time()
+        if self.base_dir and self.resume and self._complete(name):
+            df = self.spark.read.format(self.fmt).load(self._path(name))
+            self.resumed_stages.append(name)
+        else:
+            df = compute()
+            if self.base_dir:
+                df.write.format(self.fmt).mode("overwrite").save(self._path(name))
+                df = self.spark.read.format(self.fmt).load(self._path(name))
+        wall_ms = (time.time() - t0) * 1000.0
+        rows = partition_lineage(df, name, key_cols, wall_ms).collect()
+        self.lineage.extend(rows)
+        return df
+
+    def write_lineage(self):
+        if not self.base_dir or not self.lineage:
+            return
+        ldf = self.spark.createDataFrame(self.lineage)
+        ldf.write.mode("append").parquet(os.path.join(self.base_dir, "_lineage"))

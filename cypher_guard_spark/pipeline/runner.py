@@ -1,0 +1,90 @@
+"""End-to-end pipeline orchestration with per-stage checkpoint + resume.
+
+Stage graph (north_star):
+
+  documents ─▶ triples_raw ─▶ mentions ─▶ link_stats (salted agg)
+                     │                         │
+                     │                         ▼
+                     │                    entity_map (minhash LSH + CC)
+                     ▼                         │
+                 triples  ◀── broadcast join ──┘
+                     │
+                     ▼
+              merge_batches ─▶ verdicts (vectorized cypher-guard)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..spark.validate_udf import validate_dataframe
+from .canonicalize import build_entity_map, canonicalize_triples
+from .codegen import build_merge_batches
+from .lineage import CheckpointManager
+from .mentions import extract_triples_raw, link_scores, mentions_from_triples
+from .synth import pipeline_db_schema
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    salt_buckets: int = 16,
+    statements_per_batch: int = 50,
+    db_schema=None,
+) -> dict:
+    """Returns {stage_name: DataFrame} + 'lineage' rows + 'resumed_stages'."""
+    if db_schema is None:
+        db_schema = pipeline_db_schema()
+    cm = CheckpointManager(spark, checkpoint_dir, resume=resume)
+
+    docs = cm.stage("documents", lambda: documents, ["doc_id"])
+    triples_raw = cm.stage(
+        "triples_raw",
+        lambda: extract_triples_raw(docs),
+        ["doc_id", "span_idx", "subj", "pred", "obj"],
+    )
+    mentions = cm.stage(
+        "mentions", lambda: mentions_from_triples(triples_raw), ["mention_id"]
+    )
+    link_stats = cm.stage(
+        "link_stats",
+        lambda: link_scores(mentions, salt_buckets=salt_buckets),
+        ["surface", "label"],
+    )
+    entity_map = cm.stage(
+        "entity_map",
+        lambda: build_entity_map(spark, link_stats),
+        ["label", "surface"],
+    )
+    triples = cm.stage(
+        "triples",
+        lambda: canonicalize_triples(triples_raw, entity_map),
+        ["doc_id", "subj", "pred", "obj"],
+    )
+    merge_batches = cm.stage(
+        "merge_batches",
+        lambda: build_merge_batches(entity_map, triples, statements_per_batch),
+        ["batch_id"],
+    )
+    verdicts = cm.stage(
+        "verdicts",
+        lambda: validate_dataframe(spark, merge_batches, db_schema).select(
+            "batch_id", "is_valid", "syntax_ok", "errors"
+        ),
+        ["batch_id"],
+    )
+    cm.write_lineage()
+    return {
+        "documents": docs,
+        "triples_raw": triples_raw,
+        "mentions": mentions,
+        "link_stats": link_stats,
+        "entity_map": entity_map,
+        "triples": triples,
+        "merge_batches": merge_batches,
+        "verdicts": verdicts,
+        "lineage": cm.lineage,
+        "resumed_stages": cm.resumed_stages,
+    }

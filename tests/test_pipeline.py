@@ -1,0 +1,146 @@
+"""Pipeline correctness (SURVEY.md §5.2 steps 3-4): span-sequence equality,
+triple P/R ≥ 0.95, MERGE-batch validation gate, checkpoint/resume."""
+
+import shutil
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from cypher_guard_spark.spark import build_session
+
+    spark = build_session("pipeline-tests", cores=4, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from cypher_guard_spark.pipeline import ground_truth_triples, synthesize_documents
+
+    docs = synthesize_documents(spark, N_DOCS).cache()
+    gt = ground_truth_triples(spark, N_DOCS).cache()
+    return docs, gt
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus, tmp_path_factory):
+    from cypher_guard_spark.pipeline import run_pipeline
+
+    docs, _ = corpus
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    return run_pipeline(spark, docs, checkpoint_dir=ckpt), ckpt
+
+
+def test_determinism_of_synthesis(spark, corpus):
+    from cypher_guard_spark.pipeline import synthesize_documents
+
+    docs, _ = corpus
+    docs2 = synthesize_documents(spark, N_DOCS)
+    a = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    b = {r["doc_id"]: r["spans"] for r in docs2.collect()}
+    assert a == b
+
+
+def test_span_sequence_invariant(spark, corpus, result):
+    """(kind, text, media_ref, order) preserved per row through the
+    checkpointed documents stage (input_hint per-row invariant)."""
+    from cypher_guard_spark.pipeline.evaluate import span_sequence_check
+
+    docs, _ = corpus
+    out, _ = result
+    assert span_sequence_check(docs, out["documents"]) == 0
+
+
+def test_offsets_strictly_increasing(corpus):
+    docs, _ = corpus
+    from pyspark.sql import functions as F
+
+    bad = docs.where(
+        F.exists(
+            F.expr("transform(slice(spans, 2, size(spans)), (s, i) -> s.offset <= spans[i].offset)"),
+            lambda x: x,
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_triple_precision_recall(spark, corpus, result):
+    from cypher_guard_spark.pipeline.evaluate import triple_prf
+
+    _, gt = corpus
+    out, _ = result
+    prf = triple_prf(out["triples"], gt)
+    assert prf["precision"] >= 0.95, prf
+    assert prf["recall"] >= 0.95, prf
+    # and the task is not vacuous: some canonicalization actually happened
+    variants = out["entity_map"].where("surface != canonical").count()
+    assert variants > 0
+
+
+def test_all_merge_batches_validate(result):
+    out, _ = result
+    v = out["verdicts"]
+    assert v.count() > 0
+    assert v.where("NOT is_valid").count() == 0
+
+
+def test_merge_batches_stay_in_supported_grammar(result):
+    """Every emitted batch must parse and validate in-process too (no
+    Spark round-trip masking)."""
+    from cypher_guard_spark.guard import has_valid_cypher
+    from cypher_guard_spark.pipeline import pipeline_db_schema
+
+    out, _ = result
+    schema = pipeline_db_schema()
+    for row in out["merge_batches"].limit(5).collect():
+        assert has_valid_cypher(row["cypher"], schema), row["cypher"][:200]
+
+
+def test_lineage_rows_cover_all_stages(result):
+    out, _ = result
+    stages = {r["stage"] for r in out["lineage"]}
+    assert {
+        "documents",
+        "triples_raw",
+        "mentions",
+        "link_stats",
+        "entity_map",
+        "triples",
+        "merge_batches",
+        "verdicts",
+    } <= stages
+
+
+def test_resume_skips_completed_stages_and_reproduces(spark, corpus, result):
+    """Kill-after-stage-N simulation: wipe downstream outputs, rerun, and
+    require (a) upstream stages resumed not recomputed, (b) identical
+    triples checksum (partition-invariant XOR)."""
+    from cypher_guard_spark.pipeline import run_pipeline
+    from cypher_guard_spark.pipeline.lineage import global_checksum
+
+    docs, _ = corpus
+    out, ckpt = result
+    rows_before, csum_before = global_checksum(out["lineage"], "triples")
+
+    # simulate a crash after entity_map: downstream outputs lost
+    for stage in ("triples", "merge_batches", "verdicts"):
+        shutil.rmtree(f"{ckpt}/{stage}", ignore_errors=True)
+
+    out2 = run_pipeline(spark, docs, checkpoint_dir=ckpt)
+    assert {
+        "documents",
+        "triples_raw",
+        "mentions",
+        "link_stats",
+        "entity_map",
+    } <= set(out2["resumed_stages"])
+    assert "triples" not in out2["resumed_stages"]
+    rows_after, csum_after = global_checksum(out2["lineage"], "triples")
+    assert (rows_before, csum_before) == (rows_after, csum_after)
