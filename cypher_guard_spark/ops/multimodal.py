@@ -1,0 +1,133 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are treated as `binary` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+`mapInPandas` operators. The decode kernels themselves are STUBS in this
+container (no image/audio libraries installed): `decode_image` raises
+NotImplementedError unless `fake=True`, in which case a deterministic
+hash-derived feature vector stands in. The Spark-side plumbing — schema,
+partition sizing, UDF signature, batch shape — is real and tested, so
+swapping in PIL/librosa later only replaces the kernel body.
+
+Scale note: binary payloads dominate bytes. The operators keep them out of
+shuffles entirely — every transform here is map-only; derived features are
+small and are what downstream joins/aggregations touch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to HxWxC. STUB: real decoding needs an image
+    library not present in this container."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an imaging library; pass fake=True for "
+            "the deterministic stand-in"
+        )
+    return _fake_pixels(payload)
+
+
+def _fake_pixels(payload: bytes) -> np.ndarray:
+    """Deterministic 4x4x3 'image' derived from the payload digest."""
+    digest = hashlib.sha256(payload or b"").digest()
+    arr = np.frombuffer((digest * 2)[:48], dtype=np.uint8)
+    return arr.reshape(4, 4, 3)
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list:
+    digest = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer(digest[: dim * 4], dtype=np.uint32).astype(np.float64)
+    return [float(x) for x in np.round(raw / np.float64(2**32), 6)]
+
+
+def extract_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame:
+    """media table → (media_id, kind, n_bytes, feature[dim]).
+
+    mapInPandas keeps payload bytes in Arrow batches; the feature kernel is
+    the only part to swap for a real decoder."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            if not fake:  # pragma: no cover - real decoder not available here
+                raise NotImplementedError("real decode kernels not available")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "feature": payloads.map(lambda b: _fake_feature(b, dim)),
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """(media_id, frame_ts_ms) sampling plan for video rows — pure JVM
+    sequence expansion; the actual frame grab is the stubbed decode."""
+    vids = media.where(F.col("kind") == "video").where(F.col("duration_ms") > 0)
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def synthesize_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (payload = repeated digest
+    bytes; sizes/durations derived from the id)."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 5)
+        rows.append(
+            (
+                f"m-{i:05d}",
+                kind,
+                bytearray(payload),
+                32 * (1 + i % 4) if kind == "image" else None,
+                24 * (1 + i % 4) if kind == "image" else None,
+                1000 * (1 + i % 7) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

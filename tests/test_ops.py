@@ -1,0 +1,120 @@
+"""Ops-layer tests: dedup/similarity internal consistency + multimodal
+plumbing. (Oracle agreement for every SQL-expressible op is exercised by
+scripts/check_oracles.py and the driver's CORRECTNESS gate.)"""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from cypher_guard_spark.spark import build_session
+
+    spark = build_session("ops-tests", cores=4, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_minhash_superset_of_prefix_blocked_jaccard(spark, docs):
+    """MinHash+LSH at threshold t must find every pair the (stricter,
+    prefix-blocked) exact variant finds at the same threshold — LSH with
+    32 hashes at sim≥0.3 has near-1 bucket-collision probability for the
+    corpus's near-dup range, and verification is exact."""
+    from cypher_guard_spark.ops.dedup import minhash_near_duplicates, ngram_jaccard_pairs
+
+    exact = {
+        (r["a"], r["b"]) for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    mh = {
+        (r["a"], r["b"])
+        for r in minhash_near_duplicates(docs, threshold=0.3).collect()
+    }
+    assert exact <= mh
+
+
+def test_simhash_deterministic_and_64bit(spark, docs):
+    from cypher_guard_spark.ops.dedup import simhash
+
+    a = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert a == b
+    assert all(isinstance(v, int) for v in a.values())
+
+
+def test_simhash_near_dup_symmetric_verification(spark, docs):
+    from cypher_guard_spark.ops.dedup import simhash_near_duplicates
+
+    pairs = simhash_near_duplicates(docs, max_hamming=8).collect()
+    assert all(r["hamming"] <= 8 for r in pairs)
+    assert all(r["a"] < r["b"] for r in pairs)
+
+
+def test_ann_lsh_is_subset_of_bruteforce_universe(spark):
+    """Every ANN hit must be a genuine corpus vector with the same sim the
+    brute-force path computes (recall<1 allowed, precision exact)."""
+    from cypher_guard_spark.ops.similarity import ann_lsh_topk, brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    q = emb.where(F.col("vec_id") < 3)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in brute_force_topk(emb, q, k=500).collect()
+    }
+    ann = ann_lsh_topk(emb, q, k=5).collect()
+    for r in ann:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in bf and abs(bf[key] - r["sim"]) < 1e-9
+
+
+def test_multimodal_feature_plumbing(spark):
+    from cypher_guard_spark.ops.multimodal import (
+        decode_image,
+        extract_features,
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 48).repartition(4)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 48
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["feature"])
+    # determinism across runs/partitionings
+    feats2 = {r["media_id"]: r["feature"] for r in extract_features(media.repartition(7), dim=8).collect()}
+    assert {r["media_id"]: r["feature"] for r in feats} == feats2
+    # frame sampling covers only videos, strictly within duration
+    plan = frame_sample_plan(media, every_ms=500)
+    joined = plan.join(media, "media_id")
+    assert joined.where(F.col("kind") != "video").count() == 0
+    assert joined.where(F.col("frame_ts_ms") >= F.col("duration_ms")).count() == 0
+    # real decode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+    assert decode_image(b"x", fake=True).shape == (4, 4, 3)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entry
+
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every query runs and yields a stable schema at the smallest sf
+    for name in ("q1_pricing_summary", "doc_token_stats", "guard_verdicts"):
+        out = qs[name](spark, SF_DIR)
+        assert out.columns == qs[name](spark, SF_DIR).columns
+        assert out.count() >= 0
