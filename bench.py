@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` plus the full
+KG-construction pipeline at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the ``noop`` sink (full computation,
+no driver collect, no disk write). Extra fields:
+
+- ``kg_docs`` / ``kg_docs_per_sec``: throughput of the whole pipeline
+  (synthesize -> triples -> canonicalize -> MERGE codegen -> vectorized
+  cypher-guard validation) — the headline docs/sec number from
+  BASELINE.json's north_rule.
+- ``cores``: parallelism level, so two runs at different
+  ``SPARK_GRAFT_CPUS`` give the N-vs-4N scaling-efficiency evidence
+  (see scripts/bench_scaling.py -> BENCH/BASELINE.md).
+
+``--kg-only`` skips the per-query suite (used by the scaling harness to
+time just the pipeline at two parallelism levels).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def _force(df) -> None:
+    """Execute the full plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    if name.startswith("sf"):
+        try:
+            return float(name[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def run_kg_pipeline(spark, n_docs: int) -> float:
+    """Full pipeline wall seconds over n_docs synthesized documents."""
+    from cypher_guard_spark.pipeline import run_pipeline, synthesize_documents
+
+    t0 = time.perf_counter()
+    docs = synthesize_documents(spark, n_docs)
+    out = run_pipeline(spark, docs)  # lineage collection forces every stage
+    _force(out["verdicts"])
+    _force(out["triples"])
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    kg_only = "--kg-only" in sys.argv
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    kg_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "4000"))
+
+    from pyspark.sql import functions as F
+
+    from cypher_guard_spark.spark.session import build_session
+
+    spark = build_session("bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm up the JVM + Arrow path so t[0] isn't charged for startup
+    spark.range(100_000).select(F.sum("id")).collect()
+
+    timings: dict[str, float] = {}
+    if not kg_only:
+        import __spark_entry__ as entry_mod
+
+        for name, fn in entry_mod.queries().items():
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+    kg_wall = run_kg_pipeline(spark, kg_docs)
+    timings["kg_pipeline"] = round(kg_wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+                "cores": cores,
+                "kg_docs": kg_docs,
+                "kg_docs_per_sec": round(kg_docs / kg_wall, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
