@@ -24,12 +24,18 @@ from .text import _norm, tokens
 
 def word_shingles(text_col: str, n: int = 3):
     """Array of n-word shingles of the normalized text (JVM transform).
-    NB Spark SQL `arr[i]` is 0-based; the sequence loop is 1-based, hence
-    the `i - 1 + k` index (mirrors the 1-based DuckDB oracle)."""
-    words = f"split(lower(trim({text_col})), '\\\\s+')"
-    concat = " || ' ' || ".join(f"{words}[i - 1 + {k}]" for k in range(n))
+
+    The token array is bound ONCE via the single-element-array lambda trick
+    (`transform(array(split(...)), ws -> ...)[0]`): referencing the split
+    directly would let CollapseProject inline the regex split into every
+    element access (O(tokens²) work per row, and O(tokens² × K) once K
+    minhash columns reference the shingles). NB Spark SQL `arr[i]` is
+    0-based; the sequence loop is 1-based, hence the `i - 1 + k` index
+    (mirrors the 1-based DuckDB oracle)."""
+    concat = " || ' ' || ".join(f"ws[i - 1 + {k}]" for k in range(n))
     return F.expr(
-        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 0)), i -> {concat})"
+        f"transform(array(split(lower(trim({text_col})), '\\\\s+')), ws -> "
+        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 0)), i -> {concat}))[0]"
     )
 
 
@@ -155,25 +161,23 @@ def minhash_near_duplicates(
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash over token hashes, entirely in
     SQL expressions: per bit, sign of Σ(±1 per token) via xxhash64 bit
-    tests. O(bits) column expressions, no shuffle."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    base = df.select("doc_id", toks.alias("toks"))
-    # per-token 64-bit hash once
-    hashed = base.select("doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs"))
-    bit_exprs = []
-    for i in range(bits):
-        # Σ over tokens of (bit_i ? 1 : -1) > 0 → bit set
-        s = F.expr(
-            f"aggregate(hs, 0L, (acc, h) -> acc + CASE WHEN (shiftright(h, {i}) & 1) = 1 "
-            "THEN 1 ELSE -1 END)"
-        )
-        bit_exprs.append(
-            F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        )
-    sh = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        sh = sh.bitwiseOR(e)
-    return hashed.select("doc_id", sh.alias("simhash"))
+    tests. No shuffle.
+
+    The token-hash array is bound once with the array-wrap lambda trick;
+    without it CollapseProject inlines the tokenize+hash pipeline into all
+    `bits` aggregate expressions (recomputing the regex split O(bits×tokens)
+    times per row)."""
+    bit_terms = " | ".join(
+        f"(CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + "
+        f"CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN shiftleft(1L, {i}) ELSE 0L END)"
+        for i in range(bits)
+    )
+    sh = F.expr(
+        f"transform(array(transform(array_distinct(split(lower(trim({text_col})), "
+        f"'\\\\s+')), t -> xxhash64(t))), hs -> {bit_terms})[0]"
+    )
+    return df.select("doc_id", sh.alias("simhash"))
 
 
 def simhash_near_duplicates(
