@@ -153,8 +153,12 @@ def connected_components(
     und = edges.select(eid_a.alias("src"), eid_b.alias("dst")).unionByName(
         edges.select(eid_b.alias("src"), eid_a.alias("dst"))
     )
-    und = und.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    # lazy checkpoints: each round's single convergence-count action
+    # materializes the round's checkpoint as a side effect — one Spark job
+    # per round instead of three (eager und/labels init + eager round
+    # checkpoint + count).
+    und = und.localCheckpoint(eager=False)
+    labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels.select(F.col("id").alias("dst"), F.col("comp").alias("ncomp")), "dst")
@@ -171,7 +175,7 @@ def connected_components(
                 F.col("comp").alias("old_comp"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        updated = updated.localCheckpoint(eager=False)
         changed = updated.where(F.col("new_comp") != F.col("old_comp")).count()
         labels = updated.select("label", "surface", "id", F.col("new_comp").alias("comp"))
         if changed == 0:

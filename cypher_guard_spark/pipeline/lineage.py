@@ -80,6 +80,13 @@ class CheckpointManager:
             if self.base_dir:
                 df.write.format(self.fmt).mode("overwrite").save(self._path(name))
                 df = self.spark.read.format(self.fmt).load(self._path(name))
+            else:
+                # no checkpoint store: persist so the per-stage lineage
+                # action doesn't cascade a full upstream recompute for
+                # every later stage (O(stages²) work otherwise)
+                from pyspark import StorageLevel
+
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
         wall_ms = (time.time() - t0) * 1000.0
         rows = partition_lineage(df, name, key_cols, wall_ms).collect()
         self.lineage.extend(rows)

@@ -25,15 +25,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
 )
 
-TRIPLE_STRUCT = StructType(
+TRIPLE_SCHEMA = StructType(
     [
-        StructField("pred", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
         StructField("subj", StringType()),
+        StructField("pred", StringType()),
         StructField("obj", StringType()),
         StructField("subj_label", StringType()),
         StructField("obj_label", StringType()),
@@ -48,8 +51,14 @@ _PATTERNS = (
 )
 
 
-def _extract_batch(series_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-    for texts in series_iter:
+def _extract_map(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: vectorized extraction AND the no-match filter in
+    one pass. (A pandas_udf + DataFrame-level filter on the UDF output gets
+    planned as TWO ArrowEvalPython nodes — predicate pushdown re-evaluates
+    the UDF below the filter — doubling the Python work; mapInPandas keeps
+    it to one.)"""
+    for pdf in pdf_iter:
+        texts = pdf["text"]
         n = len(texts)
         pred = pd.Series([None] * n, dtype=object)
         subj = pd.Series([None] * n, dtype=object)
@@ -67,19 +76,19 @@ def _extract_batch(series_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         conf = np.where(
             pred.notna(), 0.9 + 0.1 * np.minimum(texts.str.len().fillna(0) / 80.0, 1.0), np.nan
         )
-        yield pd.DataFrame(
+        out = pd.DataFrame(
             {
-                "pred": pred,
+                "doc_id": pdf["doc_id"],
+                "span_idx": pdf["span_idx"],
                 "subj": subj,
+                "pred": pred,
                 "obj": obj,
                 "subj_label": s_label,
                 "obj_label": o_label,
                 "conf": conf,
             }
         )
-
-
-extract_udf = F.pandas_udf(_extract_batch, TRIPLE_STRUCT)
+        yield out[pred.notna()]
 
 
 def text_spans(documents: DataFrame) -> DataFrame:
@@ -94,18 +103,7 @@ def text_spans(documents: DataFrame) -> DataFrame:
 
 def extract_triples_raw(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, span_idx, subj, pred, obj, subj_label, obj_label, conf)."""
-    spans = text_spans(documents)
-    parsed = spans.withColumn("t", extract_udf("text"))
-    return parsed.where(F.col("t.pred").isNotNull()).select(
-        "doc_id",
-        "span_idx",
-        F.col("t.subj").alias("subj"),
-        F.col("t.pred").alias("pred"),
-        F.col("t.obj").alias("obj"),
-        F.col("t.subj_label").alias("subj_label"),
-        F.col("t.obj_label").alias("obj_label"),
-        F.col("t.conf").alias("conf"),
-    )
+    return text_spans(documents).mapInPandas(_extract_map, TRIPLE_SCHEMA)
 
 
 def mentions_from_triples(triples_raw: DataFrame) -> DataFrame:

@@ -206,20 +206,38 @@ GT_SCHEMA = StructType(
 
 def synthesize_documents(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
     """Distributed deterministic generation — the range is the only driver
-    artifact; rendering happens on executors."""
+    artifact; rendering happens on executors, batched through Arrow via
+    mapInPandas (the RDD.map + createDataFrame route pays row-at-a-time
+    pickle + schema verification, ~10x slower)."""
+    import pandas as pd
+
     if partitions is None:
         partitions = max(4, min(256, n_docs // 2000 or 4))
-    rdd = spark.sparkContext.parallelize(range(n_docs), partitions).map(_render_doc)
-    return spark.createDataFrame(rdd, DOC_SCHEMA)
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            rows = [_render_doc(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {"doc_id": [r[0] for r in rows], "spans": [r[1] for r in rows]}
+            )
+
+    return spark.range(0, n_docs, 1, partitions).mapInPandas(gen, DOC_SCHEMA)
 
 
 def ground_truth_triples(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
     """(doc_id, subj, pred, obj) with canonical entity names — the oracle
     the pipeline's emitted triples are P/R-scored against."""
+    import pandas as pd
+
     if partitions is None:
         partitions = max(4, min(256, n_docs // 2000 or 4))
-    rdd = spark.sparkContext.parallelize(range(n_docs), partitions).flatMap(_gt_for_doc)
-    return spark.createDataFrame(rdd, GT_SCHEMA)
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            rows = [t for i in pdf["id"] for t in _gt_for_doc(int(i))]
+            yield pd.DataFrame(rows, columns=["doc_id", "subj", "pred", "obj"])
+
+    return spark.range(0, n_docs, 1, partitions).mapInPandas(gen, GT_SCHEMA)
 
 
 def pipeline_db_schema():
