@@ -69,7 +69,9 @@ def run_kg_pipeline(spark, n_docs: int) -> float:
         synthesize_documents(spark, n_docs).write.parquet(path)
         docs = spark.read.parquet(path)
         t0 = time.perf_counter()
-        out = run_pipeline(spark, docs)  # lineage collection forces every stage
+        # production shape: every stage checkpoints to a table (parquet
+        # stand-in for Iceberg) with per-partition lineage + resume
+        out = run_pipeline(spark, docs, checkpoint_dir=os.path.join(workdir, "ckpt"))
         _force(out["verdicts"])
         _force(out["triples"])
         return time.perf_counter() - t0

@@ -68,25 +68,26 @@ class CheckpointManager:
     def _complete(self, stage: str) -> bool:
         return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
 
-    def stage(self, name: str, compute, key_cols) -> DataFrame:
+    def stage(self, name: str, compute, key_cols, materialize: bool = True) -> DataFrame:
         """Run (or resume) a stage. ``compute`` is a thunk returning the
-        stage DataFrame; key_cols feed the checksum."""
+        stage DataFrame; key_cols feed the checksum.
+
+        ``materialize=False`` marks pass-through / single-consumer stages
+        (e.g. the raw input table, a stacked projection): they get lineage
+        but no checkpoint copy — writing them again costs more than
+        recomputing them, and caching them is even worse (the columnar
+        cache build for nested rows runs ~10x slower than the parquet
+        write+rescan it would save).
+        """
         t0 = time.time()
-        if self.base_dir and self.resume and self._complete(name):
+        if materialize and self.base_dir and self.resume and self._complete(name):
             df = self.spark.read.format(self.fmt).load(self._path(name))
             self.resumed_stages.append(name)
         else:
             df = compute()
-            if self.base_dir:
+            if materialize and self.base_dir:
                 df.write.format(self.fmt).mode("overwrite").save(self._path(name))
                 df = self.spark.read.format(self.fmt).load(self._path(name))
-            else:
-                # no checkpoint store: persist so the per-stage lineage
-                # action doesn't cascade a full upstream recompute for
-                # every later stage (O(stages²) work otherwise)
-                from pyspark import StorageLevel
-
-                df = df.persist(StorageLevel.MEMORY_AND_DISK)
         wall_ms = (time.time() - t0) * 1000.0
         rows = partition_lineage(df, name, key_cols, wall_ms).collect()
         self.lineage.extend(rows)

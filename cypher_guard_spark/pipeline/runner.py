@@ -39,14 +39,20 @@ def run_pipeline(
         db_schema = pipeline_db_schema()
     cm = CheckpointManager(spark, checkpoint_dir, resume=resume)
 
-    docs = cm.stage("documents", lambda: documents, ["doc_id"])
+    # documents is the (Iceberg/parquet) input table: lineage only, never
+    # copied. mentions is a narrow projection of triples_raw: recomputing it
+    # is cheaper than a second multi-million-row checkpoint.
+    docs = cm.stage("documents", lambda: documents, ["doc_id"], materialize=False)
     triples_raw = cm.stage(
         "triples_raw",
         lambda: extract_triples_raw(docs),
         ["doc_id", "span_idx", "subj", "pred", "obj"],
     )
     mentions = cm.stage(
-        "mentions", lambda: mentions_from_triples(triples_raw), ["mention_id"]
+        "mentions",
+        lambda: mentions_from_triples(triples_raw),
+        ["mention_id"],
+        materialize=False,
     )
     link_stats = cm.stage(
         "link_stats",

@@ -134,10 +134,11 @@ def test_resume_skips_completed_stages_and_reproduces(spark, corpus, result):
         shutil.rmtree(f"{ckpt}/{stage}", ignore_errors=True)
 
     out2 = run_pipeline(spark, docs, checkpoint_dir=ckpt)
+    # documents/mentions are materialize=False (lineage-only pass-through
+    # stages) so they recompute by design; every checkpointed upstream
+    # stage must resume from its table instead of recomputing
     assert {
-        "documents",
         "triples_raw",
-        "mentions",
         "link_stats",
         "entity_map",
     } <= set(out2["resumed_stages"])
