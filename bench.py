@@ -51,23 +51,32 @@ def _sf_of(sf_dir: str) -> float:
     return -1.0
 
 
-def run_kg_pipeline(spark, n_docs: int) -> float:
+def run_kg_pipeline(spark, n_docs: int, input_path: str | None = None) -> float:
     """Full pipeline wall seconds over n_docs documents.
 
     The input table is synthesized and written to parquet OUTSIDE the
     measured window (in production the interleaved corpus already exists as
     an Iceberg table); the measured job is scan -> extract -> link ->
-    canonicalize -> MERGE codegen -> vectorized guard validation."""
+    canonicalize -> MERGE codegen -> vectorized guard validation.
+
+    ``input_path`` (or $SPARK_GRAFT_KG_INPUT) points at a pre-generated
+    documents parquet dir, so multi-run/multi-level benches share one
+    corpus instead of re-synthesizing per run."""
     import shutil
     import tempfile
 
     from cypher_guard_spark.pipeline import run_pipeline, synthesize_documents
 
-    workdir = tempfile.mkdtemp(prefix="kgbench_")
+    # tmpfs when available: the measurement targets compute + shuffle, not
+    # this VM's disk-writeback throughput (a cluster's DFS is not one local
+    # disk, and writeback stalls from earlier runs bleed into later ones)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="kgbench_", dir=base)
     try:
-        path = os.path.join(workdir, "documents")
-        synthesize_documents(spark, n_docs).write.parquet(path)
-        docs = spark.read.parquet(path)
+        if input_path is None:
+            input_path = os.path.join(workdir, "documents")
+            synthesize_documents(spark, n_docs).write.parquet(input_path)
+        docs = spark.read.parquet(input_path)
         t0 = time.perf_counter()
         # production shape: every stage checkpoints to a table (parquet
         # stand-in for Iceberg) with per-partition lineage + resume
@@ -107,7 +116,8 @@ def main() -> None:
     # (JIT + python workers + AQE), then clear the per-run stage caches
     run_kg_pipeline(spark, 1000)
     spark.catalog.clearCache()
-    kg_wall = run_kg_pipeline(spark, kg_docs)
+    kg_input = os.environ.get("SPARK_GRAFT_KG_INPUT")
+    kg_wall = run_kg_pipeline(spark, kg_docs, input_path=kg_input)
     timings["kg_pipeline"] = round(kg_wall, 3)
 
     total = round(sum(timings.values()), 3)

@@ -137,13 +137,26 @@ def abbreviation_pairs(link_stats: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    spark: SparkSession, vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+    rows_per_partition: int = 100_000,
 ) -> DataFrame:
     """vertices(label, surface) + edges(label, a, b) → (label, surface, comp).
 
     comp = min xxhash64 id over the component; iterative min-propagation
     with localCheckpoint per round to keep the plan flat.
+
+    The loop's shuffle width is sized to the vertex count (bounded by the
+    session setting): the iteration runs over ENTITIES, which are orders of
+    magnitude fewer than documents, and running a handful of rows through
+    the session's full shuffle width just multiplies per-task overhead by
+    the round count (measurably ANTI-scales with cores).
     """
+    n_vertices = vertices.count()
+    sess_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cc_p = max(1, min(sess_p, -(-n_vertices // rows_per_partition)))
     vid = F.xxhash64("label", "surface")
     labels = vertices.select("label", "surface", vid.alias("id")).withColumn(
         "comp", F.col("id")
@@ -157,29 +170,41 @@ def connected_components(
     # materializes the round's checkpoint as a side effect — one Spark job
     # per round instead of three (eager und/labels init + eager round
     # checkpoint + count).
-    und = und.localCheckpoint(eager=False)
-    labels = labels.localCheckpoint(eager=False)
-    for _ in range(max_iter):
-        neighbor_min = (
-            und.join(labels.select(F.col("id").alias("dst"), F.col("comp").alias("ncomp")), "dst")
-            .groupBy("src")
-            .agg(F.min("ncomp").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "label",
-                "surface",
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("new_comp"),
-                F.col("comp").alias("old_comp"),
+    old_p = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(cc_p))
+    try:
+        und = und.localCheckpoint(eager=False)
+        labels = labels.localCheckpoint(eager=False)
+        for _ in range(max_iter):
+            neighbor_min = (
+                und.join(
+                    labels.select(F.col("id").alias("dst"), F.col("comp").alias("ncomp")),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("ncomp").alias("nmin"))
             )
-        )
-        updated = updated.localCheckpoint(eager=False)
-        changed = updated.where(F.col("new_comp") != F.col("old_comp")).count()
-        labels = updated.select("label", "surface", "id", F.col("new_comp").alias("comp"))
-        if changed == 0:
-            break
+            updated = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "label",
+                    "surface",
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                    ).alias("new_comp"),
+                    F.col("comp").alias("old_comp"),
+                )
+            )
+            updated = updated.localCheckpoint(eager=False)
+            changed = updated.where(F.col("new_comp") != F.col("old_comp")).count()
+            labels = updated.select(
+                "label", "surface", "id", F.col("new_comp").alias("comp")
+            )
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_p)
     return labels.select("label", "surface", "comp")
 
 
