@@ -101,6 +101,27 @@ def q_guard_error_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_guard_is_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_write parity (AST write-clause check + the reference's substring
+    DELETE/REMOVE fallback) over the parseable golden corpus."""
+    from cypher_guard_spark.spark import validate_dataframe
+
+    df = _golden_corpus_df(spark).repartition(8)
+    v = validate_dataframe(spark, df, _eval_schema())
+    return v.where(F.col("syntax_ok")).select(
+        "query_id", F.col("is_write").cast("int").alias("is_write")
+    )
+
+
+def _guard_is_write_values() -> str:
+    rows = [
+        f"({_sql_quote(e['query_id'])}, {int(e['is_write'])})"
+        for e in _golden()
+        if e["parse_ok"]
+    ]
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(query_id, is_write)"
+
+
 def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
@@ -197,6 +218,75 @@ def _kg_triples_raw_values() -> str:
 
 
 # ---------------------------------------------------------------------------
+# multimodal (deterministic fake media table; exact pure-Python oracles)
+# ---------------------------------------------------------------------------
+
+_N_MEDIA = 64
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_guard_spark.ops import multimodal
+
+    media = multimodal.synthesize_media(spark, _N_MEDIA).repartition(8)
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
+        ).alias("feature_csv"),
+    )
+
+
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_guard_spark.ops import multimodal
+
+    media = multimodal.synthesize_media(spark, _N_MEDIA)
+    return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
+def _media_rows():
+    import hashlib
+
+    rows = []
+    for i in range(_N_MEDIA):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 5)
+        duration = 1000 * (1 + i % 7) if kind != "image" else None
+        rows.append((f"m-{i:05d}", kind, payload, duration))
+    return rows
+
+
+def _media_features_values() -> str:
+    from cypher_guard_spark.ops.multimodal import _fake_feature
+
+    rows = []
+    for media_id, kind, payload, _ in _media_rows():
+        csv = ",".join(f"{x:.6f}" for x in _fake_feature(payload, 8))
+        rows.append(
+            f"({_sql_quote(media_id)}, {_sql_quote(kind)}, {len(payload)}, {_sql_quote(csv)})"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, kind, n_bytes, feature_csv)"
+    )
+
+
+def _media_frame_plan_sql() -> str:
+    vids = [
+        f"({_sql_quote(mid)}, {dur})"
+        for mid, kind, _, dur in _media_rows()
+        if kind == "video" and dur
+    ]
+    return (
+        "SELECT media_id, unnest(generate_series(0, duration_ms - 1, 1000)) AS frame_ts_ms "
+        "FROM (VALUES " + ", ".join(vids) + ") AS t(media_id, duration_ms)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # queries() / oracle_sql()
 # ---------------------------------------------------------------------------
 
@@ -244,9 +334,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), _emb(s, d).where(F.col("vec_id") < 5), k=5, bits=8
         ),
         "emb_label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
+        "emb_cosine_near_dups": lambda s, d: dedup.embedding_near_duplicates(
+            _emb(s, d), threshold=0.15
+        ),
+        # multimodal plumbing (binary payload + typed metadata; stub kernel)
+        "media_features": q_media_features,
+        "media_frame_plan": q_media_frame_plan,
         # cypher-guard (SURVEY §2 operator inventory, verdict parity)
         "guard_verdicts": q_guard_verdicts,
         "guard_error_codes": q_guard_error_codes,
+        "guard_is_write": q_guard_is_write,
         # KG pipeline extraction (exact oracle); full pipeline is bench/pytest
         "kg_triples_raw": q_kg_triples_raw,
     }
@@ -448,8 +545,23 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings)
             GROUP BY label, dim
         """,
+        "emb_cosine_near_dups": """
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     list_sum(list_transform(generate_series(1, 8),
+                        i -> CASE WHEN embedding[i] > 0 THEN 1 << (i - 1) ELSE 0 END)) AS bucket
+              FROM embeddings)
+            SELECT a, b, sim FROM (
+              SELECT l.vec_id AS a, r.vec_id AS b,
+                     round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS sim
+              FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            ) WHERE sim >= 0.15
+        """,
+        "media_features": _media_features_values(),
+        "media_frame_plan": _media_frame_plan_sql(),
         "guard_verdicts": _guard_verdicts_values(),
         "guard_error_codes": _guard_error_codes_values(),
+        "guard_is_write": _guard_is_write_values(),
         "kg_triples_raw": _kg_triples_raw_values(),
         # doc_minhash_near_dups / doc_simhash_near_dups: hash-function-
         # dependent blocking — no cross-engine oracle; driver records the

@@ -158,6 +158,37 @@ def minhash_near_duplicates(
     return cand.select("a", "b", sim.alias("sim")).where(F.col("sim") >= threshold)
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, sim) pairs with cosine(embedding) ≥ threshold, candidate-
+    blocked by the sign-LSH bucket (same 2^bits hyperoctant key as the ANN
+    path — near-identical vectors share signs, so high-threshold near-dups
+    rarely escape the block). The bucket equi-join replaces the n² cross
+    join; exact cosine verifies survivors."""
+    from .similarity import cosine, sign_lsh_bucket
+
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_lsh_bucket(vec_col, bits).alias("bucket"),
+    )
+    left, right = b.alias("l"), b.alias("r")
+    cand = left.join(
+        right,
+        on=[F.col("l.bucket") == F.col("r.bucket"), F.col("l.id") < F.col("r.id")],
+    ).select(
+        F.col("l.id").alias("a"),
+        F.col("r.id").alias("b"),
+        F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("sim"),
+    )
+    return cand.where(F.col("sim") >= threshold)
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """(doc_id, simhash) — 64-bit SimHash over token hashes, entirely in
     SQL expressions: per bit, sign of Σ(±1 per token) via xxhash64 bit

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -49,7 +49,9 @@ FEATURE_SCHEMA = StructType(
         StructField("media_id", StringType()),
         StructField("kind", StringType()),
         StructField("n_bytes", IntegerType()),
-        StructField("feature", ArrayType(FloatType())),
+        # double, not float: the fake kernel emits 6dp-rounded float64 and
+        # narrowing to float32 would break exact cross-engine comparison
+        StructField("feature", ArrayType(DoubleType())),
     ]
 )
 

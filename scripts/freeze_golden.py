@@ -107,6 +107,7 @@ def verdict(cypher: str, schema: DbSchema) -> dict:
             "parse_ok": False,
             "exception_class": perr.code,
             "error_messages": ["Invalid Cypher syntax"],
+            "is_write": None,  # reference is_write raises on parse failure
         }
     errors = api.get_cypher_validation_errors(cypher, schema)
     return {
@@ -114,6 +115,7 @@ def verdict(cypher: str, schema: DbSchema) -> dict:
         "parse_ok": True,
         "exception_class": None,
         "error_messages": sorted(errors),
+        "is_write": api.is_write(cypher),
     }
 
 

@@ -36,6 +36,8 @@ def test_golden_verdict(entry, eval_schema):
         errors = sorted(api.get_cypher_validation_errors(cypher, eval_schema))
     assert errors == entry["error_messages"]
     assert (not errors) == entry["has_valid_cypher"]
+    if perr is None:
+        assert api.is_write(cypher) == entry["is_write"]
 
 
 def test_corpus_summary():
