@@ -416,7 +416,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": """
             SELECT o_orderpriority, count(*) AS order_count
             FROM orders
-            WHERE o_orderdate >= '1994-01-01' AND o_orderdate < '1995-01-01'
+            WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
               AND EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_quantity > 45)
             GROUP BY o_orderpriority ORDER BY o_orderpriority

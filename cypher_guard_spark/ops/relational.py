@@ -103,8 +103,8 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 flavor via left-semi join (EXISTS)."""
     o = load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1994-01-01"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
     # commitdate/receiptdate are absent from this synthetic lineitem; the
     # EXISTS arm uses a quantity predicate as the stand-in.

@@ -7,26 +7,14 @@ String values are sanitized by dropping quote characters — the reference
 grammar has no escapes, a quote char terminates the literal.
 
 Statement rendering is pure `format_string` (JVM, codegen'd); batching is
-a shuffle-free mapInPandas that concatenates K statements per partition
-chunk — batch composition is partition-dependent, batch *content* (the set
-of statements) is deterministic.
+a hash-bucket groupBy (JVM): each statement lands in a deterministic
+bucket, so batch composition is reproducible at any partitioning.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
-
-BATCH_SCHEMA = StructType(
-    [
-        StructField("batch_id", StringType()),
-        StructField("cypher", StringType()),
-    ]
-)
 
 
 def _clean(col):
@@ -78,27 +66,24 @@ def build_merge_batches(
     entity_map: DataFrame, triples: DataFrame, statements_per_batch: int = 50
 ) -> DataFrame:
     """(batch_id, cypher) — multi-MERGE batches (valid clause order:
-    AfterWrite → AfterWrite in the guard's FSM). No shuffle: batching is
-    per-partition chunking inside mapInPandas."""
+    AfterWrite → AfterWrite in the guard's FSM).
+
+    Batching is pure JVM: each statement hashes to one of
+    ceil(n/statements_per_batch) buckets and a bucket becomes one batch via
+    collect_list + concat. Batch MEMBERSHIP is therefore deterministic
+    (hash of the statement text — independent of partitioning and
+    parallelism), batch sizes are ~Poisson(statements_per_batch). One
+    shuffle on the bucket key; no Python anywhere (an earlier mapInPandas
+    chunker cost one python-worker fork per task — this build never reuses
+    mapInPandas workers)."""
     stmts = node_statements(entity_map).unionByName(relationship_statements(triples))
-
-    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        buf: list = []
-        chunk_no = 0
-        for pdf in batches:
-            buf.extend(pdf["statement"].tolist())
-            while len(buf) >= statements_per_batch:
-                part, buf = buf[:statements_per_batch], buf[statements_per_batch:]
-                yield pd.DataFrame(
-                    {"batch_id": [f"b-{pid}-{chunk_no}"], "cypher": ["\n".join(part)]}
-                )
-                chunk_no += 1
-        if buf:
-            yield pd.DataFrame(
-                {"batch_id": [f"b-{pid}-{chunk_no}"], "cypher": ["\n".join(buf)]}
-            )
-
-    return stmts.mapInPandas(chunk, BATCH_SCHEMA)
+    n = stmts.count()
+    n_buckets = max(1, -(-n // statements_per_batch))
+    return (
+        stmts.withColumn(
+            "bucket", F.pmod(F.xxhash64("statement"), F.lit(n_buckets))
+        )
+        .groupBy("bucket")
+        .agg(F.concat_ws("\n", F.sort_array(F.collect_list("statement"))).alias("cypher"))
+        .select(F.format_string("b-%d", F.col("bucket")).alias("batch_id"), "cypher")
+    )

@@ -25,16 +25,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
-    IntegerType,
     StringType,
     StructField,
     StructType,
 )
 
-TRIPLE_SCHEMA = StructType(
+TRIPLE_STRUCT = StructType(
     [
-        StructField("doc_id", StringType()),
-        StructField("span_idx", IntegerType()),
         StructField("subj", StringType()),
         StructField("pred", StringType()),
         StructField("obj", StringType()),
@@ -51,14 +48,13 @@ _PATTERNS = (
 )
 
 
-def _extract_map(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: vectorized extraction AND the no-match filter in
-    one pass. (A pandas_udf + DataFrame-level filter on the UDF output gets
-    planned as TWO ArrowEvalPython nodes — predicate pushdown re-evaluates
-    the UDF below the filter — doubling the Python work; mapInPandas keeps
-    it to one.)"""
-    for pdf in pdf_iter:
-        texts = pdf["text"]
+def _extract_batch(series_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """SCALAR_ITER pandas_udf body: vectorized `Series.str.extract` per
+    Arrow batch. A scalar pandas UDF — NOT mapInPandas — because this Spark
+    build never reuses python workers for mapInPandas tasks (one fork +
+    pandas import per task ≈ 0.4 kernel-cpu-s each, measured as 2x user
+    time in sys overhead at 32 cores), while scalar-UDF workers are pooled."""
+    for texts in series_iter:
         n = len(texts)
         pred = pd.Series([None] * n, dtype=object)
         subj = pd.Series([None] * n, dtype=object)
@@ -76,10 +72,8 @@ def _extract_map(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         conf = np.where(
             pred.notna(), 0.9 + 0.1 * np.minimum(texts.str.len().fillna(0) / 80.0, 1.0), np.nan
         )
-        out = pd.DataFrame(
+        yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"],
-                "span_idx": pdf["span_idx"],
                 "subj": subj,
                 "pred": pred,
                 "obj": obj,
@@ -88,7 +82,12 @@ def _extract_map(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "conf": conf,
             }
         )
-        yield out[pred.notna()]
+
+
+# asNondeterministic: stops the optimizer from pushing the no-match filter
+# below the UDF, which would plan a SECOND ArrowEvalPython and run the
+# extraction twice per row (verified via executedPlan ArrowEvalPython count)
+extract_udf = F.pandas_udf(_extract_batch, TRIPLE_STRUCT).asNondeterministic()
 
 
 def text_spans(documents: DataFrame) -> DataFrame:
@@ -103,7 +102,17 @@ def text_spans(documents: DataFrame) -> DataFrame:
 
 def extract_triples_raw(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, span_idx, subj, pred, obj, subj_label, obj_label, conf)."""
-    return text_spans(documents).mapInPandas(_extract_map, TRIPLE_SCHEMA)
+    parsed = text_spans(documents).withColumn("t", extract_udf("text"))
+    return parsed.where(F.col("t.pred").isNotNull()).select(
+        "doc_id",
+        "span_idx",
+        F.col("t.subj").alias("subj"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"),
+        F.col("t.subj_label").alias("subj_label"),
+        F.col("t.obj_label").alias("obj_label"),
+        F.col("t.conf").alias("conf"),
+    )
 
 
 def mentions_from_triples(triples_raw: DataFrame) -> DataFrame:

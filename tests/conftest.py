@@ -11,6 +11,21 @@ from cypher_guard_spark.guard import DbSchema  # noqa: E402
 
 
 @pytest.fixture(scope="session")
+def spark():
+    """Shared local session for Spark-facing tests (modules may override)."""
+    from cypher_guard_spark.spark import build_session
+
+    s = build_session(
+        "tests",
+        cores=4,
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
 def schema():
     """Verbatim from the reference's test_validation.py:4-50 (FIXTURES.md F3)."""
     return DbSchema.from_dict(
