@@ -51,6 +51,21 @@ def _sf_of(sf_dir: str) -> float:
     return -1.0
 
 
+def _warm_python_workers(spark, cores: int, waves: int = 4) -> None:
+    """Push a wide no-op through the extraction UDF so all worker slots are
+    live and warm (imports done) before any timed stage runs."""
+    from pyspark.sql import functions as F
+
+    from cypher_guard_spark.pipeline.mentions import extract_udf
+
+    df = (
+        spark.range(0, cores * waves * 2000, 1, cores * waves)
+        .select(F.format_string("warm doc %d.", F.col("id")).alias("text"))
+        .select(extract_udf("text").alias("t"))
+    )
+    df.write.format("noop").mode("overwrite").save()
+
+
 def run_kg_pipeline(spark, n_docs: int, input_path: str | None = None) -> float:
     """Full pipeline wall seconds over n_docs documents.
 
@@ -112,9 +127,12 @@ def main() -> None:
             _force(fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
 
-    # small warm-up run so the measured number reflects steady state
-    # (JIT + python workers + AQE), then clear the per-run stage caches
+    # warm-up: (a) a small end-to-end pipeline for JIT/AQE/codegen paths,
+    # (b) a full-width python-UDF pass so EVERY worker slot has imported
+    # pandas + this package before measurement — cold workers during the
+    # first wide stage cost ~100s of serialized startup at 32 cores
     run_kg_pipeline(spark, 1000)
+    _warm_python_workers(spark, cores)
     spark.catalog.clearCache()
     kg_input = os.environ.get("SPARK_GRAFT_KG_INPUT")
     kg_wall = run_kg_pipeline(spark, kg_docs, input_path=kg_input)

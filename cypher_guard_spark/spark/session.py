@@ -9,8 +9,16 @@ the Python boundary, and a shuffle-partition count sized to the core count
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+# RawLocalFileSystem minus the permission shell-outs (see java/src/…/
+# BareLocalFileSystem.java): without libhadoop native, every local-FS file
+# create/commit fork+execs chmod — ~1600 forks per 256-file checkpoint,
+# each copying a multi-GB JVM's page tables. Only relevant for file://
+# (local mode / tests); on a cluster with HDFS/S3/Iceberg this is unused.
+_BARE_FS_JAR = str(Path(__file__).resolve().parent.parent / "jars/barelocalfs.jar")
 
 
 def build_session(
@@ -38,10 +46,29 @@ def build_session(
         # local mode runs all tasks in the driver JVM: size the heap for the
         # core count (32 concurrent tasks on 8g thrash GC and anti-scale);
         # on a cluster this maps to per-executor memory instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g" if cores >= 8 else "8g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
+    if cores >= 8:
+        # pre-fault the whole heap at startup: growing a multi-GB heap under
+        # 32 concurrent faulting threads serializes on the kernel's zone
+        # lock (measured: 480 sys-cpu-s storms, ~2x user-CPU inflation);
+        # pre-touch moves that cost to JVM start, once
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", "-XX:+AlwaysPreTouch"
+        )
+    if os.path.exists(_BARE_FS_JAR):
+        builder = (
+            builder.config("spark.jars", _BARE_FS_JAR)
+            .config("spark.driver.extraClassPath", _BARE_FS_JAR)
+            .config("spark.hadoop.fs.file.impl", "cypherguardspark.fs.BareLocalFileSystem")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -45,28 +45,23 @@ def _gen_corpus(path: str, kg_docs: int) -> None:
     subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO, check=True)
 
 
-def run_level(cores: int, kg_docs: int, input_path: str, runs: int) -> dict:
-    best = None
-    for _ in range(runs):
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cores),
-            SPARK_GRAFT_KG_DOCS=str(kg_docs),
-            SPARK_GRAFT_KG_INPUT=input_path,
-        )
-        proc = subprocess.run(
-            [sys.executable, str(REPO / "bench.py"), "--kg-only"],
-            capture_output=True,
-            text=True,
-            env=env,
-            cwd=REPO,
-            check=True,
-        )
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        res = json.loads(line)
-        if best is None or res["queries"]["kg_pipeline"] < best["queries"]["kg_pipeline"]:
-            best = res
-    return best
+def run_once(cores: int, kg_docs: int, input_path: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_KG_DOCS=str(kg_docs),
+        SPARK_GRAFT_KG_INPUT=input_path,
+    )
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--kg-only"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        check=True,
+    )
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
 
 
 def main() -> None:
@@ -77,7 +72,20 @@ def main() -> None:
     try:
         input_path = os.path.join(corpus_dir, "documents")
         _gen_corpus(input_path, kg_docs)
-        results = {c: run_level(c, kg_docs, input_path, runs) for c in CORES}
+        # interleave the levels (8,32,8,32,…) so both sample the same
+        # host-noise windows; keep the best run per level
+        results: dict = {}
+        for r in range(runs):
+            for c in CORES:
+                res = run_once(c, kg_docs, input_path)
+                wall = res["queries"]["kg_pipeline"]
+                print(
+                    f"# round {r} local[{c}]: {wall}s "
+                    f"({res['kg_docs_per_sec']} docs/s)",
+                    file=sys.stderr,
+                )
+                if c not in results or wall < results[c]["queries"]["kg_pipeline"]:
+                    results[c] = res
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
 
@@ -103,9 +111,11 @@ def main() -> None:
         "MERGE codegen -> vectorized cypher-guard validation, per-stage\n"
         "parquet checkpoints + lineage), same pre-generated input\n"
         f"({kg_docs} deterministic docs, seed 42), two parallelism levels\n"
-        "(sandbox stand-in for N vs 4N executors). Steady state: one warm-up\n"
-        f"run per JVM; best of {runs} measured runs per level (single shared\n"
-        "VM — host interference produces 2-3x run-to-run noise).\n\n"
+        "(sandbox stand-in for N vs 4N executors). Steady state: warm-up\n"
+        "pipeline + full-width python-worker warm per JVM; levels run\n"
+        f"INTERLEAVED (8,32,8,32,...), best of {runs} per level (the shared\n"
+        "host's throughput swings 2-3x over minutes — interleaving exposes\n"
+        "both levels to the same noise windows).\n\n"
         "| run | cores | input docs | wall s | docs/sec | efficiency vs 8-core |\n"
         "|---|---|---|---|---|---|\n"
         f"| t-bench-8 | local[8] | {kg_docs} | {wall[8]} | {tput[8]} | 1.00 (base) |\n"
