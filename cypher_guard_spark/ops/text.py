@@ -72,17 +72,24 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred) — argmax of per-language stopword hits; ties and
-    zero-hit docs resolve to 'und' (deterministic)."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    hits = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in LANG_STOPWORDS.items()
-    }
-    best = F.greatest(*hits.values())
-    # deterministic argmax: zero hits → 'und'; ties → alphabetically first
-    pred = F.when(best <= 0, F.lit("und"))
-    for lang in sorted(LANG_STOPWORDS):
-        pred = pred.when(hits[lang] == best, F.lit(lang))
+    zero-hit docs resolve to 'und' (deterministic).
+
+    The whole classifier is ONE bound-lambda expression: the distinct-token
+    array would otherwise be inlined by CollapseProject into every
+    per-language hit count (~2 x n_langs re-tokenizations per row)."""
+
+    def hit(lang):
+        arr = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        return f"size(array_intersect(ts, array({arr})))"
+
+    best = f"greatest({', '.join(hit(lang) for lang in LANG_STOPWORDS)})"
+    case = f"CASE WHEN {best} <= 0 THEN 'und' " + " ".join(
+        f"WHEN {hit(lang)} = {best} THEN '{lang}'" for lang in sorted(LANG_STOPWORDS)
+    ) + " END"
+    pred = F.expr(
+        f"transform(array(array_distinct(split(lower(trim({text_col})), '\\\\s+'))), "
+        f"ts -> {case})[0]"
+    )
     return df.select("doc_id", pred.alias("lang_pred"))
 
 

@@ -61,6 +61,7 @@ class CheckpointManager:
         self.fmt = os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
         self.lineage: list = []
         self.resumed_stages: list = []
+        self._pending: list = []
 
     def _path(self, stage: str) -> str:
         return os.path.join(self.base_dir, stage)
@@ -86,14 +87,36 @@ class CheckpointManager:
         else:
             df = compute()
             if materialize and self.base_dir:
+                # right-size the file count: narrow chains inherit the
+                # source's partitioning (e.g. 256 input files), and paying
+                # a commit + lineage barrier over hundreds of tiny files
+                # per stage is pure driver-serial overhead. 4 files per
+                # task slot keeps write parallelism full.
+                target = 4 * self.spark.sparkContext.defaultParallelism
+                if df.rdd.getNumPartitions() > target:
+                    df = df.coalesce(target)
                 df.write.format(self.fmt).mode("overwrite").save(self._path(name))
                 df = self.spark.read.format(self.fmt).load(self._path(name))
         wall_ms = (time.time() - t0) * 1000.0
-        rows = partition_lineage(df, name, key_cols, wall_ms).collect()
-        self.lineage.extend(rows)
+        # defer the collect: per-stage lineage actions each pay a full job
+        # barrier; finalize() unions every stage's lineage frame and runs
+        # ONE job (all materialized stages are parquet by then, so the
+        # union's branches are cheap parallel scans)
+        self._pending.append(partition_lineage(df, name, key_cols, wall_ms))
         return df
 
+    def finalize(self) -> None:
+        """Materialize all pending lineage in a single action."""
+        if not self._pending:
+            return
+        u = self._pending[0]
+        for frame in self._pending[1:]:
+            u = u.unionByName(frame)
+        self.lineage.extend(u.collect())
+        self._pending = []
+
     def write_lineage(self):
+        self.finalize()
         if not self.base_dir or not self.lineage:
             return
         ldf = self.spark.createDataFrame(self.lineage)
