@@ -63,7 +63,10 @@ def relationship_statements(triples: DataFrame) -> DataFrame:
 
 
 def build_merge_batches(
-    entity_map: DataFrame, triples: DataFrame, statements_per_batch: int = 50
+    entity_map: DataFrame,
+    triples: DataFrame,
+    statements_per_batch: int = 50,
+    n_statements_hint: int | None = None,
 ) -> DataFrame:
     """(batch_id, cypher) — multi-MERGE batches (valid clause order:
     AfterWrite → AfterWrite in the guard's FSM).
@@ -77,7 +80,11 @@ def build_merge_batches(
     chunker cost one python-worker fork per task — this build never reuses
     mapInPandas workers)."""
     stmts = node_statements(entity_map).unionByName(relationship_statements(triples))
-    n = stmts.count()
+    # bucket count from a cheap upper bound when the caller can supply one
+    # (e.g. parquet metadata counts of the checkpointed inputs): an exact
+    # stmts.count() would compute the statement pipeline TWICE. Overcounting
+    # only makes batches smaller than the target, never larger.
+    n = n_statements_hint if n_statements_hint is not None else stmts.count()
     n_buckets = max(1, -(-n // statements_per_batch))
     return (
         stmts.withColumn(

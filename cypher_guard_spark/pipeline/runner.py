@@ -69,11 +69,16 @@ def run_pipeline(
         lambda: canonicalize_triples(triples_raw, entity_map),
         ["doc_id", "subj", "pred", "obj"],
     )
-    merge_batches = cm.stage(
-        "merge_batches",
-        lambda: build_merge_batches(entity_map, triples, statements_per_batch),
-        ["batch_id"],
-    )
+    def _merge_batches():
+        # entity_map and triples are materialized by their stages, so
+        # count() here is a parquet-metadata read, not a recompute;
+        # distinct-triple count <= triple count (upper bound is fine)
+        hint = entity_map.count() + triples.count()
+        return build_merge_batches(
+            entity_map, triples, statements_per_batch, n_statements_hint=hint
+        )
+
+    merge_batches = cm.stage("merge_batches", _merge_batches, ["batch_id"])
     verdicts = cm.stage(
         "verdicts",
         lambda: validate_dataframe(spark, merge_batches, db_schema).select(
