@@ -95,8 +95,10 @@ def extract_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataF
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "feature": payloads.map(lambda b: _fake_feature(b, dim)),
+                    # vectorized over the batch; only the decode kernel
+                    # itself (the part a real decoder replaces) is per-row
+                    "n_bytes": payloads.str.len().fillna(0).astype("int32"),
+                    "feature": [_fake_feature(b, dim) for b in payloads],
                 }
             )
 

@@ -142,17 +142,25 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
     rows_per_partition: int = 100_000,
+    rounds_per_check: int = 2,
 ) -> DataFrame:
     """vertices(label, surface) + edges(label, a, b) → (label, surface, comp).
 
     comp = min xxhash64 id over the component; iterative min-propagation
-    with localCheckpoint per round to keep the plan flat.
+    with localCheckpoint per driver action to keep the plan flat.
 
-    The loop's shuffle width is sized to the vertex count (bounded by the
-    session setting): the iteration runs over ENTITIES, which are orders of
-    magnitude fewer than documents, and running a handful of rows through
-    the session's full shuffle width just multiplies per-task overhead by
-    the round count (measurably ANTI-scales with cores).
+    Driver-serial cost is bounded two ways:
+    - the loop tables are explicitly hash-partitioned to a width sized to
+      the VERTEX count (`repartition(cc_p, key)` — not a session-conf
+      mutation, which is racy under concurrent jobs and invisible to AQE):
+      the iteration runs over entities, orders of magnitude fewer than
+      documents, and pushing a handful of rows through the session's full
+      shuffle width multiplies per-task overhead by the round count;
+    - `rounds_per_check` propagation rounds are chained into ONE Spark job
+      per convergence check (min-propagation is monotone, so "no change
+      across a k-round block" is still an exact fixed-point test). Surface-
+      variant chains have diameter ≤ 3, so this halves the driver barriers
+      on the common path.
     """
     n_vertices = vertices.count()
     sess_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -166,45 +174,44 @@ def connected_components(
     und = edges.select(eid_a.alias("src"), eid_b.alias("dst")).unionByName(
         edges.select(eid_b.alias("src"), eid_a.alias("dst"))
     )
-    # lazy checkpoints: each round's single convergence-count action
-    # materializes the round's checkpoint as a side effect — one Spark job
-    # per round instead of three (eager und/labels init + eager round
-    # checkpoint + count).
-    old_p = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(cc_p))
-    try:
-        und = und.localCheckpoint(eager=False)
-        labels = labels.localCheckpoint(eager=False)
-        for _ in range(max_iter):
-            neighbor_min = (
-                und.join(
-                    labels.select(F.col("id").alias("dst"), F.col("comp").alias("ncomp")),
-                    "dst",
-                )
-                .groupBy("src")
-                .agg(F.min("ncomp").alias("nmin"))
+    # lazy checkpoints: each block's single convergence-count action
+    # materializes the block's checkpoint as a side effect — one Spark job
+    # per block instead of several (eager und/labels init + eager block
+    # checkpoint + count). Both tables are pre-partitioned on their join
+    # keys so the per-round join reuses the co-partitioning.
+    und = und.repartition(cc_p, "dst").localCheckpoint(eager=False)
+    labels = labels.repartition(cc_p, "id").localCheckpoint(eager=False)
+
+    def propagate(lbl: DataFrame) -> DataFrame:
+        neighbor_min = (
+            und.join(
+                lbl.select(F.col("id").alias("dst"), F.col("comp").alias("ncomp")),
+                "dst",
             )
-            updated = (
-                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-                .select(
-                    "label",
-                    "surface",
-                    "id",
-                    F.least(
-                        F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
-                    ).alias("new_comp"),
-                    F.col("comp").alias("old_comp"),
-                )
-            )
-            updated = updated.localCheckpoint(eager=False)
-            changed = updated.where(F.col("new_comp") != F.col("old_comp")).count()
-            labels = updated.select(
-                "label", "surface", "id", F.col("new_comp").alias("comp")
-            )
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_p)
+            .groupBy("src")
+            .agg(F.min("ncomp").alias("nmin"))
+        )
+        return lbl.join(neighbor_min, lbl.id == neighbor_min.src, "left").select(
+            "label",
+            "surface",
+            "id",
+            "old_comp",
+            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+
+    rounds = 0
+    while rounds < max_iter:
+        block = labels.withColumn("old_comp", F.col("comp"))
+        for _ in range(min(rounds_per_check, max_iter - rounds)):
+            block = propagate(block)
+            rounds += 1
+        block = block.localCheckpoint(eager=False)
+        changed = block.where(F.col("comp") != F.col("old_comp")).count()
+        labels = block.select("label", "surface", "id", "comp")
+        if changed == 0:
+            break
     return labels.select("label", "surface", "comp")
 
 

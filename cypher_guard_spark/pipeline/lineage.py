@@ -10,7 +10,10 @@ to ANSI overflow), which is what resume verification compares.
 
 Resume = skip any stage whose output already exists with a _SUCCESS marker
 (atomic commit), loading it instead of recomputing. Incomplete outputs
-(killed mid-write → no _SUCCESS) are recomputed.
+(killed mid-write → no _SUCCESS) are recomputed. The existence probe goes
+through the Hadoop FileSystem API (JVM gateway), so it works on any
+cluster filesystem (HDFS/S3A/GCS) — not just file:// paths visible to the
+driver's local OS.
 """
 
 from __future__ import annotations
@@ -18,7 +21,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -51,6 +54,16 @@ def global_checksum(lineage_rows, stage: str | None = None) -> tuple:
     return total_rows, csum
 
 
+def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — cluster-safe
+    (HDFS/S3A/…), unlike a driver-local ``os.path.exists``."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    return bool(fs.exists(jpath))
+
+
 class CheckpointManager:
     """Stage-level checkpoint/lineage/resume over a base directory."""
 
@@ -62,12 +75,28 @@ class CheckpointManager:
         self.lineage: list = []
         self.resumed_stages: list = []
         self._pending: list = []
+        self._row_counts: dict[str, int] = {}
 
     def _path(self, stage: str) -> str:
         return os.path.join(self.base_dir, stage)
 
     def _complete(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+        return hadoop_path_exists(
+            self.spark, os.path.join(self._path(stage), "_SUCCESS")
+        )
+
+    def row_count(self, stage: str) -> int | None:
+        """Exact output row count of a stage, if known without a new job.
+
+        Fresh writes observe count(*) on the write action itself (zero extra
+        jobs); resumed stages fall back to a parquet-footer count on first
+        ask (metadata-only scan)."""
+        if stage not in self._row_counts:
+            return None
+        n = self._row_counts[stage]
+        if callable(n):
+            n = self._row_counts[stage] = n()
+        return n
 
     def stage(self, name: str, compute, key_cols, materialize: bool = True) -> DataFrame:
         """Run (or resume) a stage. ``compute`` is a thunk returning the
@@ -84,19 +113,30 @@ class CheckpointManager:
         if materialize and self.base_dir and self.resume and self._complete(name):
             df = self.spark.read.format(self.fmt).load(self._path(name))
             self.resumed_stages.append(name)
+            self._row_counts[name] = df.count  # lazy: footer-only if asked
         else:
             df = compute()
             if materialize and self.base_dir:
                 # right-size the file count: narrow chains inherit the
                 # source's partitioning (e.g. 256 input files), and paying
                 # a commit + lineage barrier over hundreds of tiny files
-                # per stage is pure driver-serial overhead. 4 files per
-                # task slot keeps write parallelism full.
+                # per stage is pure driver-serial overhead. coalesce is a
+                # no-op when the plan already has <= target partitions, so
+                # it is applied unconditionally — probing getNumPartitions
+                # first would finalize the AQE plan and run every upstream
+                # shuffle's map stages a second time.
                 target = 4 * self.spark.sparkContext.defaultParallelism
-                if df.rdd.getNumPartitions() > target:
-                    df = df.coalesce(target)
+                obs = Observation(f"lineage_{name}")
+                df = df.coalesce(target).observe(obs, F.count(F.lit(1)).alias("rows"))
                 df.write.format(self.fmt).mode("overwrite").save(self._path(name))
+                self._row_counts[name] = int(obs.get["rows"])
                 df = self.spark.read.format(self.fmt).load(self._path(name))
+            elif materialize:
+                # no checkpoint dir (in-memory run): lazily localCheckpoint
+                # multi-consumer stage outputs so the first action
+                # materializes them once instead of re-running the full
+                # upstream DAG per downstream consumer.
+                df = df.localCheckpoint(eager=False)
         wall_ms = (time.time() - t0) * 1000.0
         # defer the collect: per-stage lineage actions each pay a full job
         # barrier; finalize() unions every stage's lineage frame and runs

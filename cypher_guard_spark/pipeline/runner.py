@@ -70,10 +70,16 @@ def run_pipeline(
         ["doc_id", "subj", "pred", "obj"],
     )
     def _merge_batches():
-        # entity_map and triples are materialized by their stages, so
-        # count() here is a parquet-metadata read, not a recompute;
-        # distinct-triple count <= triple count (upper bound is fine)
-        hint = entity_map.count() + triples.count()
+        # bucket-count hint from counts the CheckpointManager already knows
+        # (observed on the stage write itself — zero extra jobs). Fallback
+        # count() only on the un-checkpointed path, where the stages are
+        # lazy localCheckpoints: the first count materializes them once and
+        # every later consumer reuses the checkpoint (no DAG re-execution).
+        em_n = cm.row_count("entity_map")
+        tr_n = cm.row_count("triples")
+        hint = (em_n if em_n is not None else entity_map.count()) + (
+            tr_n if tr_n is not None else triples.count()
+        )
         return build_merge_batches(
             entity_map, triples, statements_per_batch, n_statements_hint=hint
         )

@@ -21,6 +21,25 @@ from pyspark.sql import SparkSession
 _BARE_FS_JAR = str(Path(__file__).resolve().parent.parent / "jars/barelocalfs.jar")
 
 
+def _mem_total_gb() -> int:
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) // (1024 * 1024)
+    except OSError:
+        pass
+    return 64
+
+
+def _default_driver_mem(cores: int) -> str:
+    """Heap sized to the core count but capped at ~75% of physical RAM —
+    a 48g default on a 16 GB host would just invite the OOM killer."""
+    if cores < 8:
+        return "8g"
+    return f"{max(2, min(48, (_mem_total_gb() * 3) // 4))}g"
+
+
 def build_session(
     app_name: str = "cypher-guard-spark",
     cores: int | None = None,
@@ -48,7 +67,7 @@ def build_session(
         # on a cluster this maps to per-executor memory instead.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g" if cores >= 8 else "8g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem(cores)),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -58,10 +77,13 @@ def build_session(
     if cores >= 8:
         # pre-fault the whole heap at startup: growing a multi-GB heap under
         # 32 concurrent faulting threads serializes on the kernel's zone
-        # lock (measured: 480 sys-cpu-s storms, ~2x user-CPU inflation);
-        # pre-touch moves that cost to JVM start, once
+        # lock (measured: 480 sys-cpu-s storms, ~2x user-CPU inflation).
+        # AlwaysPreTouch only touches COMMITTED pages, and Spark passes just
+        # -Xmx — so -Xms is pinned to the same size to make the whole heap
+        # pre-fault at JVM start instead of incrementally at each expansion.
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem(cores))
         builder = builder.config(
-            "spark.driver.extraJavaOptions", "-XX:+AlwaysPreTouch"
+            "spark.driver.extraJavaOptions", f"-XX:+AlwaysPreTouch -Xms{mem}"
         )
     if os.path.exists(_BARE_FS_JAR):
         builder = (

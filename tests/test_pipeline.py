@@ -145,3 +145,43 @@ def test_resume_skips_completed_stages_and_reproduces(spark, corpus, result):
     assert "triples" not in out2["resumed_stages"]
     rows_after, csum_after = global_checksum(out2["lineage"], "triples")
     assert (rows_before, csum_before) == (rows_after, csum_after)
+
+
+def test_uncheckpointed_run_extracts_each_span_once(spark, monkeypatch):
+    """Recompute-hazard regression (VERDICT r1 #3): with checkpoint_dir=None
+    the flagship `entry()` path must not re-execute the extraction DAG per
+    downstream consumer — lazy localCheckpoints + lineage-derived bucket
+    hints mean every text span passes through the UDF exactly once."""
+    from pyspark.sql import functions as F
+
+    import cypher_guard_spark.pipeline.mentions as M
+    from cypher_guard_spark.pipeline import run_pipeline, synthesize_documents
+    from cypher_guard_spark.pipeline.mentions import text_spans
+
+    acc = spark.sparkContext.accumulator(0)
+    orig = M._extract_batch
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def counting_batch(
+        series_iter: Iterator[pd.Series],
+    ) -> Iterator[pd.DataFrame]:
+        def counted(it):
+            for s in it:
+                acc.add(len(s))
+                yield s
+
+        yield from orig(counted(series_iter))
+
+    monkeypatch.setattr(
+        M, "extract_udf", F.pandas_udf(counting_batch, M.TRIPLE_STRUCT).asNondeterministic()
+    )
+    docs = synthesize_documents(spark, 60)
+    n_spans = text_spans(docs).count()
+    out = run_pipeline(spark, docs, checkpoint_dir=None)
+    # consume the two terminal outputs like entry()/bench do
+    out["verdicts"].write.format("noop").mode("overwrite").save()
+    out["triples"].write.format("noop").mode("overwrite").save()
+    assert acc.value == n_spans
