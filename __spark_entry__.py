@@ -218,6 +218,125 @@ def _kg_triples_raw_values() -> str:
 
 
 # ---------------------------------------------------------------------------
+# hash-dependent dedup oracles (MinHash LSH / SimHash)
+#
+# Spark's hash()/xxhash64() are deterministic public algorithms
+# (MurmurHash3 x86_32 / xxHash64 with documented seeding), so the full
+# banded-LSH pipelines are recomputed WITHOUT Spark — pure Python over the
+# same parquet — and emitted as VALUES oracles
+# (cypher_guard_spark/oracle/sparkhash.py; bit-parity enforced by
+# tests/test_oracle_hashes.py).
+# ---------------------------------------------------------------------------
+
+# the driver compares Spark vs oracle at sf0.01; these VALUES oracles read
+# the same parquet the registered DuckDB views point at
+_ORACLE_SF_DIR_DEFAULT = "/root/testdata/sf0.01"
+
+
+def _oracle_sf_dir() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _ORACLE_SF_DIR_DEFAULT)
+
+
+def _oracle_documents() -> list[tuple[int, str]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        str(Path(_oracle_sf_dir()) / "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def _py_tokens(text: str) -> list[str]:
+    import re
+
+    return re.split(r"\s+", text.strip().lower())
+
+
+def _round6(x: float) -> float:
+    """Spark round(_, 6): HALF_UP on the double's shortest decimal repr."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _doc_minhash_values(
+    n: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.3
+) -> str:
+    """Pure-Python twin of ops.dedup.minhash_near_duplicates."""
+    from collections import defaultdict
+
+    from cypher_guard_spark.oracle import spark_hash, spark_xxhash64
+
+    rows_per_band = num_hashes // bands
+    shingle_sets: dict[int, list[str]] = {}
+    buckets: defaultdict[tuple[int, int], list[int]] = defaultdict(list)
+    for doc_id, text in _oracle_documents():
+        toks = _py_tokens(text)
+        sh = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+            )
+        )
+        if not sh:
+            continue
+        shingle_sets[doc_id] = sh
+        mh = [min(spark_hash(s, k) for s in sh) for k in range(num_hashes)]
+        for b in range(bands):
+            bh = spark_xxhash64(*mh[b * rows_per_band : (b + 1) * rows_per_band])
+            buckets[(b, bh)].append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        sa, sb = set(shingle_sets[a]), set(shingle_sets[b])
+        sim = _round6(len(sa & sb) / len(sa | sb))
+        if sim >= threshold:
+            rows.append(f"({a}, {b}, {sim!r}::DOUBLE)")
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(a, b, sim)"
+
+
+def _doc_simhash_values(bands: int = 4, max_hamming: int = 12) -> str:
+    """Pure-Python twin of ops.dedup.simhash_near_duplicates."""
+    from collections import defaultdict
+
+    from cypher_guard_spark.oracle import spark_xxhash64
+
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
+    sh: dict[int, int] = {}
+    buckets: defaultdict[tuple[int, int], list[int]] = defaultdict(list)
+    for doc_id, text in _oracle_documents():
+        toks = list(dict.fromkeys(_py_tokens(text)))
+        hashes = [spark_xxhash64(t) for t in toks]
+        v = 0
+        for i in range(64):
+            votes = sum(1 if (h >> i) & 1 else -1 for h in hashes)
+            if votes > 0:
+                v |= 1 << i
+        sh[doc_id] = v  # unsigned 64-bit pattern
+        for c in range(bands):
+            buckets[(c, (v >> (c * chunk_bits)) & mask)].append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        hamming = ((sh[a] ^ sh[b])).bit_count()
+        if hamming <= max_hamming:
+            rows.append(f"({a}, {b}, {hamming})")
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(a, b, hamming)"
+
+
+# ---------------------------------------------------------------------------
 # multimodal (deterministic fake media table; exact pure-Python oracles)
 # ---------------------------------------------------------------------------
 
@@ -563,7 +682,6 @@ def oracle_sql() -> dict[str, str]:
         "guard_error_codes": _guard_error_codes_values(),
         "guard_is_write": _guard_is_write_values(),
         "kg_triples_raw": _kg_triples_raw_values(),
-        # doc_minhash_near_dups / doc_simhash_near_dups: hash-function-
-        # dependent blocking — no cross-engine oracle; driver records the
-        # weaker rows-only check.
+        "doc_minhash_near_dups": _doc_minhash_values(),
+        "doc_simhash_near_dups": _doc_simhash_values(),
     }

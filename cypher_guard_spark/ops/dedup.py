@@ -106,9 +106,17 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """(a, b, sim) near-dup pairs via MinHash+LSH with exact verification.
 
-    The banded self-join is the only shuffle; bucket keys include the band
-    id so one hot bucket cannot serialize a stage. At 10^12 docs the band
-    join is the canonical approach (candidates ≈ O(near-dups), not O(n²)).
+    The banded self-join is the only wide shuffle; bucket keys include the
+    band id so one hot bucket cannot serialize a stage. At 10^12 docs the
+    band join is the canonical approach (candidates ≈ O(near-dups), not
+    O(n²)).
+
+    The band shuffle carries ONLY (doc_id, band, bh): shipping the full
+    shingle array through the ×`bands` explode + self-join would shuffle
+    every shingle set 2×`bands` times (the 100-TB killer). Instead the
+    deduplicated candidate id-pairs re-join the one-copy shingle table for
+    exact-Jaccard verification — two id-keyed joins whose payload moves
+    once each.
     """
     rows_per_band = num_hashes // bands
     base = df.select(
@@ -116,7 +124,6 @@ def minhash_near_duplicates(
     ).where(F.size("sh") > 0)
     sig = base.select(
         "doc_id",
-        "sh",
         *[
             F.array_min(F.expr(f"transform(sh, x -> hash(x, {k}))")).alias(f"mh{k}")
             for k in range(num_hashes)
@@ -133,8 +140,8 @@ def minhash_near_duplicates(
             for bidx in range(bands)
         ]
     )
-    banded = sig.select("doc_id", "sh", F.explode(band_arr).alias("bb")).select(
-        "doc_id", "sh", "bb.band", "bb.bh"
+    banded = sig.select("doc_id", F.explode(band_arr).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bh"
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -146,16 +153,14 @@ def minhash_near_duplicates(
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
-        .select(
-            F.col("a.doc_id").alias("a"),
-            F.col("b.doc_id").alias("b"),
-            F.col("a.sh").alias("sa"),
-            F.col("b.sh").alias("sb"),
-        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    sha = base.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa"))
+    shb = base.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb"))
+    ver = cand.join(sha, "a").join(shb, "b")
     sim = F.round(F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")), 6)
-    return cand.select("a", "b", sim.alias("sim")).where(F.col("sim") >= threshold)
+    return ver.select("a", "b", sim.alias("sim")).where(F.col("sim") >= threshold)
 
 
 def embedding_near_duplicates(

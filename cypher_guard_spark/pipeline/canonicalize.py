@@ -61,7 +61,11 @@ def minhash_candidate_pairs(
         F.array_min(F.expr(f"transform(shingles, x -> hash(x, {k}))")).alias(f"mh{k}")
         for k in range(num_hashes)
     ]
-    sigs = sh.select("surface", "label", "shingles", *sig_cols)
+    # banding path drops the shingle arrays BEFORE the explode + self-join:
+    # the band shuffle moves (label, surface, band, band_hash) only, and the
+    # deduplicated candidate pairs re-join the one-copy shingle table for
+    # exact-Jaccard verification (payload moves once per side, not ×bands).
+    sigs = sh.select("surface", "label", *sig_cols)
     band_structs = F.array(
         *[
             F.struct(
@@ -74,8 +78,8 @@ def minhash_candidate_pairs(
         ]
     )
     banded = sigs.select(
-        "surface", "label", "shingles", F.explode(band_structs).alias("bb")
-    ).select("surface", "label", "shingles", "bb.band", "bb.band_hash")
+        "surface", "label", F.explode(band_structs).alias("bb")
+    ).select("surface", "label", "bb.band", "bb.band_hash")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -93,13 +97,19 @@ def minhash_candidate_pairs(
             F.col("l.label").alias("label"),
             F.col("l.surface").alias("a"),
             F.col("r.surface").alias("b"),
-            F.col("l.shingles").alias("sa"),
-            F.col("r.shingles").alias("sb"),
         )
         .dropDuplicates(["label", "a", "b"])
     )
+    shingle_tbl = sh.select("label", "surface", "shingles")
+    sha = shingle_tbl.select(
+        "label", F.col("surface").alias("a"), F.col("shingles").alias("sa")
+    )
+    shb = shingle_tbl.select(
+        "label", F.col("surface").alias("b"), F.col("shingles").alias("sb")
+    )
+    ver = cand.join(sha, ["label", "a"]).join(shb, ["label", "b"])
     sim = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
-    return cand.withColumn("sim", sim).where(F.col("sim") >= jaccard_threshold).select(
+    return ver.withColumn("sim", sim).where(F.col("sim") >= jaccard_threshold).select(
         "label", "a", "b", "sim"
     )
 

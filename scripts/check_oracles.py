@@ -42,6 +42,11 @@ def value_hash(df: pd.DataFrame) -> str:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # VALUES oracles that recompute from the documents parquet (minhash /
+    # simhash) must read the same sf dir the Spark side is handed
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     from cypher_guard_spark.spark import build_session
 
