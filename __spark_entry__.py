@@ -113,6 +113,69 @@ def q_guard_is_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_guard_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference eval harness's accuracy metric
+    (eval/rust/src/main.rs:59-64,151-156): correct := is_valid ==
+    expected_valid, accuracy = correct/total*100 over the data/queries
+    corpus. expected_valid reproduces main.rs:213 — `path.contains("valid")`
+    — which is true for EVERY file in the corpus ("invalid" also contains
+    "valid"; only valid/ exists anyway), so correct == is_valid. Quirk/unit
+    entries of the golden corpus are excluded: the harness walks only the
+    yml files. One row per yml category + a TOTAL row (the number the
+    reference prints)."""
+    from cypher_guard_spark.spark import validate_dataframe
+
+    df = (
+        _golden_corpus_df(spark)
+        .where(~F.col("query_id").startswith("quirk"))
+        .repartition(8)
+    )
+    v = validate_dataframe(spark, df, _eval_schema())
+    per = (
+        v.select(
+            F.split("query_id", "/").getItem(0).alias("scope"),
+            F.col("is_valid").cast("int").alias("correct"),
+        )
+        .rollup("scope")
+        .agg(F.count("*").alias("n_queries"), F.sum("correct").alias("n_correct"))
+        .select(
+            F.coalesce("scope", F.lit("TOTAL")).alias("scope"),
+            "n_queries",
+            "n_correct",
+            F.round(F.col("n_correct") * 100.0 / F.col("n_queries"), 2).alias(
+                "accuracy_pct"
+            ),
+        )
+    )
+    return per
+
+
+def _guard_accuracy_values() -> str:
+    from collections import Counter
+
+    total = Counter()
+    correct = Counter()
+    for e in _golden():
+        if e["query_id"].startswith("quirk"):
+            continue
+        scope = e["query_id"].split("/")[0]
+        total[scope] += 1
+        correct[scope] += int(e["has_valid_cypher"])
+    total["TOTAL"] = sum(total.values())
+    correct["TOTAL"] = sum(v for k, v in correct.items())
+    rows = []
+    for scope in sorted(total):
+        n, c = total[scope], correct[scope]
+        rows.append(
+            f"({_sql_quote(scope)}, {n}, {c}, round({c} * 100.0 / {n}, 2))"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(scope, n_queries, n_correct, accuracy_pct)"
+    )
+
+
 def _guard_is_write_values() -> str:
     rows = [
         f"({_sql_quote(e['query_id'])}, {int(e['is_write'])})"
@@ -463,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "guard_verdicts": q_guard_verdicts,
         "guard_error_codes": q_guard_error_codes,
         "guard_is_write": q_guard_is_write,
+        "guard_accuracy": q_guard_accuracy,
         # KG pipeline extraction (exact oracle); full pipeline is bench/pytest
         "kg_triples_raw": q_kg_triples_raw,
     }
@@ -681,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
         "guard_verdicts": _guard_verdicts_values(),
         "guard_error_codes": _guard_error_codes_values(),
         "guard_is_write": _guard_is_write_values(),
+        "guard_accuracy": _guard_accuracy_values(),
         "kg_triples_raw": _kg_triples_raw_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),
