@@ -59,7 +59,11 @@ def _golden():
 
 def _golden_corpus_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
-        [(e["query_id"], e["cypher"]) for e in _golden()], ["query_id", "cypher"]
+        [
+            (e["query_id"], e["cypher"], e.get("source", "eval"), e.get("schema", "eval"))
+            for e in _golden()
+        ],
+        ["query_id", "cypher", "source", "schema"],
     )
 
 
@@ -74,13 +78,36 @@ def _eval_schema():
     return pipeline_db_schema()
 
 
-def q_guard_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized cypher-guard over the golden corpus: the Spark UDF path
-    must reproduce the frozen verdicts exactly."""
+def _unit_schema():
+    from cypher_guard_spark.guard import DbSchema
+
+    return DbSchema.from_dict(
+        json.loads((REPO / "tests/golden/unit_schema.json").read_text())
+    )
+
+
+def _validated_corpus(spark: SparkSession) -> DataFrame:
+    """The golden corpus run through the vectorized guard, each entry
+    against its own DbSchema (eval-yml/quirk entries → the reference eval
+    schema; reference-unit-test entries → test_validation.py's schema) —
+    one validate pass per schema, unioned."""
     from cypher_guard_spark.spark import validate_dataframe
 
     df = _golden_corpus_df(spark).repartition(8)
-    v = validate_dataframe(spark, df, _eval_schema())
+    parts = []
+    for kind, schema in (("eval", _eval_schema()), ("unit", _unit_schema())):
+        sub = df.where(F.col("schema") == kind)
+        parts.append(validate_dataframe(spark, sub, schema))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_guard_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized cypher-guard over the golden corpus: the Spark UDF path
+    must reproduce the frozen verdicts exactly."""
+    v = _validated_corpus(spark)
     return v.select(
         "query_id",
         F.col("is_valid").cast("int").alias("is_valid"),
@@ -90,10 +117,7 @@ def q_guard_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_guard_error_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cypher_guard_spark.spark import validate_dataframe
-
-    df = _golden_corpus_df(spark).repartition(8)
-    v = validate_dataframe(spark, df, _eval_schema())
+    v = _validated_corpus(spark)
     return (
         v.select("query_id", F.explode("errors").alias("e"))
         .groupBy(F.col("e.code").alias("code"))
@@ -104,10 +128,7 @@ def q_guard_error_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_guard_is_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """is_write parity (AST write-clause check + the reference's substring
     DELETE/REMOVE fallback) over the parseable golden corpus."""
-    from cypher_guard_spark.spark import validate_dataframe
-
-    df = _golden_corpus_df(spark).repartition(8)
-    v = validate_dataframe(spark, df, _eval_schema())
+    v = _validated_corpus(spark)
     return v.where(F.col("syntax_ok")).select(
         "query_id", F.col("is_write").cast("int").alias("is_write")
     )
@@ -123,14 +144,7 @@ def q_guard_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries of the golden corpus are excluded: the harness walks only the
     yml files. One row per yml category + a TOTAL row (the number the
     reference prints)."""
-    from cypher_guard_spark.spark import validate_dataframe
-
-    df = (
-        _golden_corpus_df(spark)
-        .where(~F.col("query_id").startswith("quirk"))
-        .repartition(8)
-    )
-    v = validate_dataframe(spark, df, _eval_schema())
+    v = _validated_corpus(spark).where(F.col("source") == "eval")
     per = (
         v.select(
             F.split("query_id", "/").getItem(0).alias("scope"),
@@ -156,7 +170,7 @@ def _guard_accuracy_values() -> str:
     total = Counter()
     correct = Counter()
     for e in _golden():
-        if e["query_id"].startswith("quirk"):
+        if e.get("source", "eval") != "eval":
             continue
         scope = e["query_id"].split("/")[0]
         total[scope] += 1

@@ -2,9 +2,15 @@
 """Freeze the golden verdict corpus → tests/golden/verdicts.json.
 
 Corpus = the reference's own eval query texts (data/queries/valid/*.yml,
-vendored as *data* per FIXTURES.md F4) + the quirk queries from SURVEY.md
-§2.6 + the reference unit-test queries, all evaluated against the eval
-schema (data/schema/eval_schema.json shape).
+vendored as *data* per FIXTURES.md F4) evaluated against the eval schema
+(data/schema/eval_schema.json) + the quirk queries from SURVEY.md §2.6
+(eval schema) + the reference unit-test queries from
+tests/golden/reference_expectations.json, evaluated against the reference
+unit-test schema (tests/golden/unit_schema.json = test_validation.py:4-50).
+Each entry records its ``source`` (eval|quirk|unittest) and ``schema``
+(eval|unit). The unittest subset is the anti-circularity anchor: its
+expected verdicts are asserted by the REFERENCE'S OWN tests and
+cross-checked by tests/test_reference_expectations.py.
 
 Verdicts are produced by our implementation; parity with the Rust code is
 anchored by the hand-traced characterization/quirk suites (the Rust
@@ -87,6 +93,7 @@ def quirk_queries():
 
 
 def corpus_entries():
+    """(query_id, cypher, source, schema_kind) tuples."""
     entries = []
     for yml in sorted((REFERENCE / "data/queries/valid").glob("*.yml")):
         data = yaml.safe_load(yml.read_text())
@@ -94,8 +101,16 @@ def corpus_entries():
             cypher = (q.get("cypher") or "").strip()
             if not cypher:
                 continue
-            entries.append((f"{yml.stem}/{q['name']}", cypher))
-    entries.extend(quirk_queries())
+            entries.append((f"{yml.stem}/{q['name']}", cypher, "eval", "eval"))
+    entries.extend((qid, c, "quirk", "eval") for qid, c in quirk_queries())
+    seen = set()
+    for e in json.loads(
+        (REPO / "tests/golden/reference_expectations.json").read_text()
+    ):
+        if e["cypher"] in seen:
+            continue
+        seen.add(e["cypher"])
+        entries.append((e["id"], e["cypher"], "unittest", "unit"))
     return entries
 
 
@@ -119,13 +134,20 @@ def verdict(cypher: str, schema: DbSchema) -> dict:
     }
 
 
+def unit_schema() -> DbSchema:
+    data = json.loads((REPO / "tests/golden/unit_schema.json").read_text())
+    return DbSchema.from_dict(data)
+
+
 def main():
-    schema = eval_schema()
+    schemas = {"eval": eval_schema(), "unit": unit_schema()}
     out = []
-    for query_id, cypher in corpus_entries():
-        v = verdict(cypher, schema)
+    for query_id, cypher, source, schema_kind in corpus_entries():
+        v = verdict(cypher, schemas[schema_kind])
         v["query_id"] = query_id
         v["cypher"] = cypher
+        v["source"] = source
+        v["schema"] = schema_kind
         out.append(v)
     dest = REPO / "tests/golden/verdicts.json"
     dest.write_text(json.dumps(out, indent=1))

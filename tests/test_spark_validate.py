@@ -31,13 +31,23 @@ def eval_schema():
     return DbSchema.from_dict(json.loads(EVAL_SCHEMA_PATH.read_text()))
 
 
-def test_udf_matches_golden_corpus(spark, eval_schema):
+@pytest.fixture(scope="module")
+def unit_schema():
+    return DbSchema.from_dict(
+        json.loads((Path(__file__).parent / "golden/unit_schema.json").read_text())
+    )
+
+
+def test_udf_matches_golden_corpus(spark, eval_schema, unit_schema):
     from cypher_guard_spark.spark import validate_dataframe
 
-    df = spark.createDataFrame(
-        [(e["query_id"], e["cypher"]) for e in GOLDEN], ["query_id", "cypher"]
-    ).repartition(4)
-    rows = validate_dataframe(spark, df, eval_schema).collect()
+    rows = []
+    for kind, schema in (("eval", eval_schema), ("unit", unit_schema)):
+        subset = [e for e in GOLDEN if e.get("schema", "eval") == kind]
+        df = spark.createDataFrame(
+            [(e["query_id"], e["cypher"]) for e in subset], ["query_id", "cypher"]
+        ).repartition(4)
+        rows.extend(validate_dataframe(spark, df, schema).collect())
     got = {r["query_id"]: r for r in rows}
     assert len(got) == len(GOLDEN)
     for e in GOLDEN:
@@ -53,13 +63,14 @@ def test_udf_matches_golden_corpus(spark, eval_schema):
 def test_partition_error_summary(spark, eval_schema):
     from cypher_guard_spark.spark import partition_error_summary, validate_dataframe
 
-    df = spark.createDataFrame([(e["cypher"],) for e in GOLDEN], ["cypher"]).repartition(4)
+    corpus = [e for e in GOLDEN if e.get("schema", "eval") == "eval"]
+    df = spark.createDataFrame([(e["cypher"],) for e in corpus], ["cypher"]).repartition(4)
     validated = validate_dataframe(spark, df, eval_schema)
     summary = partition_error_summary(validated).collect()
     total_errors = sum(r["n"] for r in summary if r["error_code"] is not None)
     expected = sum(
         len(e["error_messages"]) if e["parse_ok"] else 1
-        for e in GOLDEN
+        for e in corpus
         if not e["has_valid_cypher"]
     )
     assert total_errors == expected
