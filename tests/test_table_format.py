@@ -1,0 +1,73 @@
+"""Pluggable checkpoint-table format (north_star: Iceberg checkpoint
+tables).
+
+The CheckpointManager writes stage tables through a format switch
+(``SPARK_GRAFT_TABLE_FORMAT``, default parquet). On a cluster with an
+Iceberg catalog the switch is set to ``iceberg``; this sandbox has no
+Iceberg runtime jar, so that case is a skip-gated test. The switch
+machinery itself is exercised for real with ORC (a second builtin
+columnar format): full pipeline write + resume must work identically,
+proving the manager holds no parquet-specific assumptions.
+"""
+
+import glob
+import os
+from pathlib import Path
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+
+def _iceberg_available() -> bool:
+    import pyspark as p
+
+    return bool(
+        glob.glob(os.path.join(os.path.dirname(p.__file__), "jars", "*iceberg*"))
+    )
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from cypher_guard_spark.spark import build_session
+
+    s = build_session("format-tests", cores=2, shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_checkpoint_format_switch_orc(spark, tmp_path, monkeypatch):
+    from cypher_guard_spark.pipeline import run_pipeline, synthesize_documents
+    from cypher_guard_spark.pipeline.lineage import global_checksum
+
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "orc")
+    docs = synthesize_documents(spark, 80)
+    ckpt = str(tmp_path / "ckpt_orc")
+    out = run_pipeline(spark, docs, checkpoint_dir=ckpt)
+    rows, csum = global_checksum(out["lineage"], "triples")
+    assert rows > 0
+    # stage tables really are ORC
+    assert glob.glob(os.path.join(ckpt, "triples", "*.orc")), os.listdir(
+        os.path.join(ckpt, "triples")
+    )
+    # resume through the same format
+    out2 = run_pipeline(spark, docs, checkpoint_dir=ckpt)
+    assert {"triples_raw", "link_stats", "entity_map", "triples"} <= set(
+        out2["resumed_stages"]
+    )
+    rows2, csum2 = global_checksum(out2["lineage"], "triples")
+    assert (rows, csum) == (rows2, csum2)
+
+
+@pytest.mark.skipif(
+    not _iceberg_available(), reason="no Iceberg runtime jar in this environment"
+)
+def test_checkpoint_format_switch_iceberg(spark, tmp_path, monkeypatch):
+    """Runs only where the Iceberg Spark runtime is on the classpath —
+    the production configuration the north_star names."""
+    from cypher_guard_spark.pipeline import run_pipeline, synthesize_documents
+
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "iceberg")
+    docs = synthesize_documents(spark, 80)
+    out = run_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "ckpt_ice"))
+    assert out["verdicts"].count() > 0
