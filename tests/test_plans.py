@@ -1,0 +1,111 @@
+"""Physical-plan regression locks for the scale-critical properties.
+
+These assert the plan SHAPE the 100-TB posture depends on, so a future
+refactor cannot silently reintroduce a pathology the code was built to
+avoid: filters must reach the parquet scan, dimension joins must
+broadcast, map-only operators must stay exchange-free, and the MinHash
+band shuffle must carry ids only (never shingle payloads).
+"""
+
+import contextlib
+import io
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from cypher_guard_spark.spark import build_session
+
+    s = build_session("plan-tests", cores=2, shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_relational_filters_pushed_and_dims_broadcast(spark):
+    from cypher_guard_spark.ops import relational
+
+    plan = plan_of(relational.q3_unshipped_revenue(spark, SF_DIR))
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+    assert "BroadcastHashJoin" in plan
+    # the date filters must reach the lineitem/orders scans
+    assert plan.count("PushedFilters") >= 2
+
+
+def test_text_ops_are_map_only(spark):
+    from cypher_guard_spark.ops import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for op in (text.token_count, text.quality_scores, text.language_id,
+               text.fingerprints, text.bpe_ish_token_count):
+        plan = plan_of(op(docs))
+        assert "Exchange" not in plan, op.__name__
+
+
+def test_canonicalize_join_broadcasts_entity_map(spark):
+    from cypher_guard_spark.pipeline.canonicalize import canonicalize_triples
+    from cypher_guard_spark.pipeline.mentions import extract_triples_raw
+    from cypher_guard_spark.pipeline.synth import synthesize_documents
+
+    docs = synthesize_documents(spark, 50)
+    triples = extract_triples_raw(docs)
+    emap = spark.createDataFrame(
+        [("Person", "a b", "a b")], ["label", "surface", "canonical"]
+    )
+    plan = plan_of(canonicalize_triples(triples, emap))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_band_exchange_carries_ids_only(spark):
+    """The band self-join must never shuffle shingle arrays: every
+    exchange partitioned on (band, bh) carries only ids + band keys.
+    Broadcasting is disabled for the check so the band join takes the
+    shuffle path it would take at scale."""
+    import re
+
+    from cypher_guard_spark.ops.dedup import minhash_near_duplicates
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = plan_of(minhash_near_duplicates(docs, threshold=0.3))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # formatted mode: each "(N) Exchange" block lists its payload under
+    # "Input [n]: [...]" and its keys under "Arguments: hashpartitioning(...)"
+    blocks = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\n"
+        r"Arguments: hashpartitioning\(([^)]*)\)",
+        plan,
+    )
+    band_exchanges = [
+        payload for payload, keys in blocks if "band" in keys or "bh#" in keys
+    ]
+    assert band_exchanges, plan[:3000]
+    for payload in band_exchanges:
+        assert "sh#" not in payload, payload
+
+
+def test_validate_udf_single_arrow_stage_no_exchange(spark):
+    from cypher_guard_spark.pipeline.synth import pipeline_db_schema
+    from cypher_guard_spark.spark import validate_dataframe
+
+    df = spark.createDataFrame([("MATCH (p:Person) RETURN p.firstName",)], ["cypher"])
+    plan = plan_of(validate_dataframe(spark, df, pipeline_db_schema()), "simple")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
