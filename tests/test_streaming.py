@@ -94,3 +94,55 @@ def test_stream_error_rates_windowing(spark, eval_schema, source_dir, tmp_path):
     # every row lands exactly once per (window, code-or-OK) partitioning:
     # explode_outer emits >= 1 row per input row
     assert total >= 40
+
+
+def test_stateful_link_stats_accumulates_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-entity running counts must carry state
+    across micro-batches and match the batch-mode aggregation exactly."""
+    import pandas as pd
+
+    from cypher_guard_spark.streaming import stream_link_stats
+
+    src = tmp_path / "mentions_src"
+    src.mkdir()
+    schema = "surface string, label string, score double"
+    wave1 = [("alice smith", "Person", 0.9), ("acme corp", "Company", 0.8),
+             ("alice smith", "Person", 0.7)]
+    wave2 = [("alice smith", "Person", 0.5), ("berlin", "Location", 1.0)]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.parquet(str(src / "w1"))
+    spark.createDataFrame(wave2, schema).coalesce(1).write.parquet(str(src / "w2"))
+
+    mentions = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per wave
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_link_stats(mentions)
+        .writeStream.format("memory")
+        .queryName("link_stats_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.sql("SELECT * FROM link_stats_stream").toPandas()
+    # multiple update rows per key are expected (one per touched batch);
+    # the LAST update per key is the running total
+    final = (
+        updates.groupby(["surface", "label"]).last().reset_index()
+        .set_index(["surface", "label"])
+    )
+    batch = pd.DataFrame(wave1 + wave2, columns=["surface", "label", "score"])
+    expected = batch.groupby(["surface", "label"]).agg(
+        n_mentions=("score", "size"), avg_score=("score", "mean")
+    )
+    assert len(final) == 3
+    for key, row in expected.iterrows():
+        assert final.loc[key, "n_mentions"] == row["n_mentions"], key
+        assert abs(final.loc[key, "avg_score"] - row["avg_score"]) < 1e-9, key
+    # state really crossed batches: alice smith saw two updates
+    alice_updates = updates[(updates.surface == "alice smith")]
+    assert len(alice_updates) == 2
+    assert sorted(alice_updates.n_mentions) == [2, 3]
