@@ -113,10 +113,13 @@ def minhash_near_duplicates(
 
     The band shuffle carries ONLY (doc_id, band, bh): shipping the full
     shingle array through the ×`bands` explode + self-join would shuffle
-    every shingle set 2×`bands` times (the 100-TB killer). Instead the
-    deduplicated candidate id-pairs re-join the one-copy shingle table for
-    exact-Jaccard verification — two id-keyed joins whose payload moves
-    once each.
+    every shingle set 2×`bands` times (the 100-TB killer). For exact-
+    Jaccard verification the shingles are recomputed ONLY for candidate
+    docs — a leftsemi join on the candidate ids runs before the shingle
+    transform, so the re-shingling cost is O(candidates), not O(corpus),
+    and the payload moves at most once per pair side. The candidate-pair
+    subtree is referenced three times but contains a single shuffle
+    (dropDuplicates), which Spark's ReuseExchange materializes once.
     """
     rows_per_band = num_hashes // bands
     base = df.select(
@@ -156,9 +159,15 @@ def minhash_near_duplicates(
         .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    sha = base.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa"))
-    shb = base.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb"))
-    ver = cand.join(sha, "a").join(shb, "b")
+    def cand_shingles(side: str) -> DataFrame:
+        ids = cand.select(F.col(side).alias("doc_id"))
+        sub = df.join(ids, "doc_id", "leftsemi")
+        return sub.select(
+            F.col("doc_id").alias(side),
+            F.array_distinct(word_shingles(text_col, n)).alias(f"s{side}"),
+        )
+
+    ver = cand.join(cand_shingles("a"), "a").join(cand_shingles("b"), "b")
     sim = F.round(F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")), 6)
     return ver.select("a", "b", sim.alias("sim")).where(F.col("sim") >= threshold)
 

@@ -100,6 +100,12 @@ def minhash_candidate_pairs(
         )
         .dropDuplicates(["label", "a", "b"])
     )
+    # unlike the document-scale dedup variant (ops/dedup.py, which
+    # semi-join-filters the shingle recompute to candidate ids), the
+    # surface table here is ENTITY-sized: two direct re-joins of the
+    # one-copy shingle table are payload-safe and keep the driver-serial
+    # job count of this tiny-data stage minimal (each extra join in this
+    # subplan is another AQE round over a handful of rows).
     shingle_tbl = sh.select("label", "surface", "shingles")
     sha = shingle_tbl.select(
         "label", F.col("surface").alias("a"), F.col("shingles").alias("sa")

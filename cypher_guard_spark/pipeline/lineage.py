@@ -44,6 +44,42 @@ def partition_lineage(df: DataFrame, stage: str, key_cols, wall_ms: float) -> Da
     )
 
 
+def materialized_lineage(
+    df_read: DataFrame, stage: str, wall_ms: float, global_csum: int
+) -> DataFrame:
+    """Lineage for a freshly-written stage table WITHOUT re-hashing it.
+
+    The global checksum already rode the write action (Observation), so
+    the only remaining per-partition fact is the row count — obtained from
+    a ZERO-COLUMN scan of the written files (row-group counts, nothing
+    decoded). The checksum is carried on one synthetic partition_id=-1 row
+    (rows=0): `global_checksum`'s XOR/sum aggregation is partition-
+    invariant, so consumers see exactly the same (rows, checksum) as the
+    full per-partition hash would produce — at ~zero cost instead of a
+    second full scan of every stage table in the finalize job."""
+    counts = (
+        df_read.select(F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid")
+        .agg(F.count("*").alias("rows"))
+        .select(
+            F.lit(stage).alias("stage"),
+            F.col("_pid").alias("partition_id"),
+            "rows",
+            F.lit(None).cast("long").alias("checksum"),
+            F.lit(float(wall_ms)).alias("wall_ms"),
+        )
+    )
+    spark = df_read.sparkSession
+    grow = spark.range(1).select(
+        F.lit(stage).alias("stage"),
+        F.lit(-1).cast("int").alias("partition_id"),
+        F.lit(0).cast("long").alias("rows"),
+        F.lit(int(global_csum)).cast("long").alias("checksum"),
+        F.lit(float(wall_ms)).alias("wall_ms"),
+    )
+    return counts.unionByName(grow)
+
+
 def global_checksum(lineage_rows, stage: str | None = None) -> tuple:
     """(rows, checksum) aggregated partition-invariantly (XOR)."""
     rows = [r for r in lineage_rows if stage is None or r["stage"] == stage]
@@ -110,6 +146,7 @@ class CheckpointManager:
         write+rescan it would save).
         """
         t0 = time.time()
+        csum = None
         if materialize and self.base_dir and self.resume and self._complete(name):
             df = self.spark.read.format(self.fmt).load(self._path(name))
             self.resumed_stages.append(name)
@@ -124,12 +161,20 @@ class CheckpointManager:
                 # no-op when the plan already has <= target partitions, so
                 # it is applied unconditionally — probing getNumPartitions
                 # first would finalize the AQE plan and run every upstream
-                # shuffle's map stages a second time.
+                # shuffle's map stages a second time. Row count AND the
+                # partition-invariant XOR checksum ride the write action
+                # itself (zero extra jobs).
                 target = 4 * self.spark.sparkContext.defaultParallelism
                 obs = Observation(f"lineage_{name}")
-                df = df.coalesce(target).observe(obs, F.count(F.lit(1)).alias("rows"))
+                df = df.coalesce(target).observe(
+                    obs,
+                    F.count(F.lit(1)).alias("rows"),
+                    F.bit_xor(F.xxhash64(*key_cols)).alias("checksum"),
+                )
                 df.write.format(self.fmt).mode("overwrite").save(self._path(name))
-                self._row_counts[name] = int(obs.get["rows"])
+                got = obs.get
+                self._row_counts[name] = int(got["rows"])
+                csum = int(got["checksum"]) if got["checksum"] is not None else 0
                 df = self.spark.read.format(self.fmt).load(self._path(name))
             elif materialize:
                 # no checkpoint dir (in-memory run): lazily localCheckpoint
@@ -140,9 +185,13 @@ class CheckpointManager:
         wall_ms = (time.time() - t0) * 1000.0
         # defer the collect: per-stage lineage actions each pay a full job
         # barrier; finalize() unions every stage's lineage frame and runs
-        # ONE job (all materialized stages are parquet by then, so the
-        # union's branches are cheap parallel scans)
-        self._pending.append(partition_lineage(df, name, key_cols, wall_ms))
+        # ONE job. Freshly-written stages contribute only a zero-column
+        # row-count scan + the observed checksum (materialized_lineage);
+        # resumed and pass-through stages hash their key columns in full.
+        if csum is not None:
+            self._pending.append(materialized_lineage(df, name, wall_ms, csum))
+        else:
+            self._pending.append(partition_lineage(df, name, key_cols, wall_ms))
         return df
 
     def finalize(self) -> None:

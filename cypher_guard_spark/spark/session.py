@@ -61,6 +61,18 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # scan-split sizing for the local/bench scale: the default
+        # 128MB+4MB(open-cost) merges a whole checkpointed stage table
+        # into 2-10 splits, so every post-checkpoint stage runs the same
+        # 2-10 tasks whether the session has 2 cores or 32 — measured as
+        # flat/anti-scaling stages. 32MB/1MB keeps task counts ≥ cores at
+        # test SFs; on a real cluster (TB tables, thousands of splits at
+        # any setting) override via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local mode runs all tasks in the driver JVM: size the heap for the
         # core count (32 concurrent tasks on 8g thrash GC and anti-scale);
