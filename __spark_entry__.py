@@ -413,6 +413,82 @@ def _doc_simhash_values(bands: int = 4, max_hamming: int = 12) -> str:
     return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(a, b, hamming)"
 
 
+def _emb_ivf_values(
+    k: int = 5, n_centroids: int = 8, nprobe: int = 2, iters: int = 2
+) -> str:
+    """Pure-Python twin of ops.similarity.ivf_topk: the Lloyd loop is
+    deterministic by construction (fixed init, fixed rounds, 6dp-rounded
+    comparisons), and every array fold is sequential in BOTH engines, so
+    the doubles are bit-identical."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        str(Path(_oracle_sf_dir()) / "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    vecs = dict(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))
+
+    def dist2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    centers = {
+        cid: [_round6(x) for x in vecs[vid]]
+        for cid, vid in enumerate(sorted(vecs)[:n_centroids])
+    }
+    for _ in range(iters):
+        assign = {
+            vid: min((_round6(dist2(v, centers[c])), c) for c in centers)[1]
+            for vid, v in vecs.items()
+        }
+        new_centers = {}
+        for c in centers:
+            members = [vecs[v] for v in vecs if assign[v] == c]
+            if members:
+                dims = len(members[0])
+                new_centers[c] = [
+                    _round6(sum(m[d] for m in members) / len(members))
+                    for d in range(dims)
+                ]
+            else:
+                new_centers[c] = centers[c]
+        centers = new_centers
+    assign = {
+        vid: min((_round6(dist2(v, centers[c])), c) for c in centers)[1]
+        for vid, v in vecs.items()
+    }
+    rows = []
+    for qid in sorted(v for v in vecs if v < 5):
+        probed = {
+            c
+            for _, c in sorted(
+                (_round6(dist2(vecs[qid], centers[c])), c) for c in centers
+            )[:nprobe]
+        }
+        scored = []
+        for nid, nv in vecs.items():
+            if nid == qid or assign[nid] not in probed:
+                continue
+            dot = na = nb = 0.0
+            for x, y in zip(vecs[qid], nv):
+                dot += x * y
+                na += x * x
+                nb += y * y
+            scored.append((-_round6(dot / (math.sqrt(na) * math.sqrt(nb))), nid))
+        scored.sort()
+        for rank, (negsim, nid) in enumerate(scored[:k], 1):
+            rows.append(f"({qid}, {nid}, {rank}, {-negsim!r}::DOUBLE)")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(query_id, neighbor_id, rank, sim)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal (deterministic fake media table; exact pure-Python oracles)
 # ---------------------------------------------------------------------------
@@ -528,6 +604,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "emb_ann_lsh": lambda s, d: similarity.ann_lsh_topk(
             _emb(s, d), _emb(s, d).where(F.col("vec_id") < 5), k=5, bits=8
+        ),
+        "emb_ivf_topk": lambda s, d: similarity.ivf_topk(
+            _emb(s, d), _emb(s, d).where(F.col("vec_id") < 5),
+            k=5, n_centroids=8, nprobe=2
         ),
         "emb_label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         "emb_cosine_near_dups": lambda s, d: dedup.embedding_near_duplicates(
@@ -756,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": _media_features_values(),
         "media_frame_plan": _media_frame_plan_sql(),
+        "emb_ivf_topk": _emb_ivf_values(),
         "guard_verdicts": _guard_verdicts_values(),
         "guard_error_codes": _guard_error_codes_values(),
         "guard_is_write": _guard_is_write_values(),

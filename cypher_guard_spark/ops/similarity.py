@@ -121,6 +121,160 @@ def ann_lsh_topk(
     )
 
 
+def _to_double(vec_col):
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _dist2(a, b):
+    # sequential left fold over the array — the SAME summation order as the
+    # pure-Python oracle, so the double value is bit-identical; only the
+    # row-order-dependent centroid averages need rounding protection
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vid, v, centroid_id): nearest centroid by (rounded L2², id)."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vid",
+        "v",
+        F.struct(
+            F.round(_dist2(F.col("v"), F.col("center")), 6).alias("rdist"),
+            F.col("centroid_id").alias("cid"),
+        ).alias("key"),
+    )
+    return (
+        scored.groupBy("vid")
+        .agg(F.min("key").alias("m"), F.any_value("v").alias("v"))
+        .select("vid", "v", F.col("m.cid").alias("centroid_id"))
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, center) — DETERMINISTIC Lloyd iterations, engine-
+    portable by construction: init = the vectors of the k smallest ids;
+    exactly `iters` update rounds; assignment key = (6dp-rounded L2², id);
+    centroid coordinates re-rounded to 6dp each round so the row-order-
+    dependent FP noise of the distributed mean (the one nondeterminism in
+    the loop) cannot leak into comparisons. This trades the usual k-means++
+    quality for an exact cross-engine oracle — the IVF recall contract is
+    bucket-restricted search, not optimal clustering.
+
+    Scale note: at 10^12 rows the trainer runs on `embeddings.sample(...)`
+    (centroid quality needs only a sample); the full-corpus scans here are
+    the test-SF shape."""
+    from pyspark.sql import Window
+
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), _to_double(vec_col).alias("v")
+    )
+    w = Window.orderBy("vid")
+    centroids = (
+        vecs.orderBy("vid")
+        .limit(k)
+        .withColumn("centroid_id", F.row_number().over(w) - 1)
+        .select(
+            "centroid_id",
+            F.transform("v", lambda x: F.round(x, 6)).alias("center"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign(vecs, centroids)
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+                    lambda s: s.getField("cx"),
+                ).alias("center")
+            )
+        )
+        # empty clusters keep their previous center
+        centroids = (
+            centroids.select("centroid_id", F.col("center").alias("old_center"))
+            .join(means, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("center", "old_center").alias("center")
+            )
+        )
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim) — IVF ANN: coarse k-means
+    quantizer, base vectors indexed by nearest centroid, each query probes
+    its `nprobe` nearest cells and ranks exact cosine inside them.
+
+    The scale path next to sign-LSH: cells are explicit (partition/bucket
+    the base table by centroid_id at rest), probe cost is
+    nprobe/n_centroids of the corpus, and recall is tunable via nprobe
+    instead of fixed by the hash. Centroids are broadcast everywhere —
+    the only shuffle is the per-query top-k."""
+    from pyspark.sql import Window
+
+    centroids = kmeans_centroids(
+        embeddings, n_centroids, iters, id_col, vec_col
+    ).localCheckpoint(eager=False)
+    base = _assign(
+        embeddings.select(F.col(id_col).alias("vid"), _to_double(vec_col).alias("v")),
+        centroids,
+    ).select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("v").alias("nvec"),
+        "centroid_id",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _to_double(vec_col).alias("qvec"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.round(_dist2(F.col("qvec"), F.col("center")), 6).asc(),
+        F.col("centroid_id").asc(),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(base, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def label_centroids(
     embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

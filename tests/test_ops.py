@@ -118,3 +118,26 @@ def test_entry_contract(spark):
         out = qs[name](spark, SF_DIR)
         assert out.columns == qs[name](spark, SF_DIR).columns
         assert out.count() >= 0
+
+
+def test_ivf_topk_structure_and_recall(spark):
+    from pyspark.sql import functions as F
+
+    from cypher_guard_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    ivf = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2).toPandas()
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    assert set(ivf.query_id) == set(exact.query_id)
+    assert (ivf.groupby("query_id")["rank"].max() <= 5).all()
+    # probing 2/8 cells must still recover a meaningful share of the true
+    # top-5 (structure check, not a tuned recall claim)
+    hits = len(
+        set(zip(ivf.query_id, ivf.neighbor_id))
+        & set(zip(exact.query_id, exact.neighbor_id))
+    )
+    assert hits >= len(exact) * 0.3, hits
+    # sims for shared pairs must be identical (same cosine kernel)
+    m = ivf.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_i", "_e"))
+    assert (m.sim_i == m.sim_e).all()
