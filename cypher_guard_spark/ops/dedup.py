@@ -125,25 +125,26 @@ def minhash_near_duplicates(
     base = df.select(
         "doc_id", F.array_distinct(word_shingles(text_col, n)).alias("sh")
     ).where(F.size("sh") > 0)
-    sig = base.select(
-        "doc_id",
-        *[
-            F.array_min(F.expr(f"transform(sh, x -> hash(x, {k}))")).alias(f"mh{k}")
-            for k in range(num_hashes)
-        ],
+    # the whole banding pipeline is ONE expression with the shingle array
+    # bound once (array-wrap lambda): per-column minhashes would let
+    # CollapseProject inline the shingle computation into every one of the
+    # `num_hashes` projections (measured ~2x wall on this operator). Band b
+    # hashes its `rows_per_band` minhashes with xxhash64, matching the
+    # pure-Python oracle's fold exactly (`hash(x, k)` with k an int
+    # expression hashes k as a second argument, same as the literal form).
+    mh = lambda b, r: (  # noqa: E731
+        f"array_min(transform(sh, x -> hash(x, b * {rows_per_band} + {r})))"
     )
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(bidx).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh{bidx * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bh"),
-            )
-            for bidx in range(bands)
-        ]
+    band_struct = (
+        "named_struct('band', b, 'bh', xxhash64("
+        + ", ".join(mh("b", r) for r in range(rows_per_band))
+        + "))"
     )
-    banded = sig.select("doc_id", F.explode(band_arr).alias("bb")).select(
+    bands_expr = F.expr(
+        f"transform(array(sh), sh -> transform(sequence(0, {bands - 1}), "
+        f"b -> {band_struct}))[0]"
+    )
+    banded = base.select("doc_id", F.explode(bands_expr).alias("bb")).select(
         "doc_id", "bb.band", "bb.bh"
     )
     a, b = banded.alias("a"), banded.alias("b")

@@ -57,28 +57,28 @@ def minhash_candidate_pairs(
     rows_per_band = num_hashes // bands
     surfaces = surfaces.where(~F.col("surface").rlike(r"^[A-Z]\. "))
     sh = surface_shingles(surfaces)
-    sig_cols = [
-        F.array_min(F.expr(f"transform(shingles, x -> hash(x, {k}))")).alias(f"mh{k}")
-        for k in range(num_hashes)
-    ]
     # banding path drops the shingle arrays BEFORE the explode + self-join:
     # the band shuffle moves (label, surface, band, band_hash) only, and the
     # deduplicated candidate pairs re-join the one-copy shingle table for
     # exact-Jaccard verification (payload moves once per side, not ×bands).
-    sigs = sh.select("surface", "label", *sig_cols)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
+    # The whole banding is ONE expression binding the shingle array once —
+    # per-column minhash projections would let CollapseProject inline the
+    # shingle computation into each of the `num_hashes` columns (same
+    # pathology as ops/dedup.py, documented in docs/PERFORMANCE.md §1).
+    band_struct = (
+        "named_struct('band', b, 'band_hash', xxhash64("
+        + ", ".join(
+            f"array_min(transform(shingles, x -> hash(x, b * {rows_per_band} + {r})))"
+            for r in range(rows_per_band)
+        )
+        + "))"
     )
-    banded = sigs.select(
-        "surface", "label", F.explode(band_structs).alias("bb")
+    bands_expr = F.expr(
+        f"transform(array(shingles), shingles -> transform(sequence(0, {bands - 1}), "
+        f"b -> {band_struct}))[0]"
+    )
+    banded = sh.select(
+        "surface", "label", F.explode(bands_expr).alias("bb")
     ).select("surface", "label", "bb.band", "bb.band_hash")
 
     left = banded.alias("l")
