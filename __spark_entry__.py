@@ -518,6 +518,13 @@ def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(media, every_ms=1000)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_guard_spark.ops import multimodal
+
+    media = multimodal.synthesize_media(spark, _N_MEDIA).repartition(4)
+    return multimodal.resize_images(media, width=2, height=2)
+
+
 def _media_rows():
     import hashlib
 
@@ -543,6 +550,21 @@ def _media_features_values() -> str:
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
         + ") AS t(media_id, kind, n_bytes, feature_csv)"
+    )
+
+
+def _media_resize_values() -> str:
+    from cypher_guard_spark.ops.multimodal import _fake_resize_digest
+
+    rows = [
+        f"({_sql_quote(mid)}, 2, 2, {_sql_quote(_fake_resize_digest(payload, 2, 2))})"
+        for mid, kind, payload, _ in _media_rows()
+        if kind == "image"
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, out_w, out_h, pixel_digest)"
     )
 
 
@@ -616,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (binary payload + typed metadata; stub kernel)
         "media_features": q_media_features,
         "media_frame_plan": q_media_frame_plan,
+        "media_resize": q_media_resize,
         # cypher-guard (SURVEY §2 operator inventory, verdict parity)
         "guard_verdicts": q_guard_verdicts,
         "guard_error_codes": q_guard_error_codes,
@@ -836,6 +859,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": _media_features_values(),
         "media_frame_plan": _media_frame_plan_sql(),
+        "media_resize": _media_resize_values(),
         "emb_ivf_topk": _emb_ivf_values(),
         "guard_verdicts": _guard_verdicts_values(),
         "guard_error_codes": _guard_error_codes_values(),

@@ -105,6 +105,58 @@ def extract_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataF
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("pixel_digest", StringType()),
+    ]
+)
+
+
+def _fake_resize_digest(payload: bytes, w: int, h: int) -> str:
+    """Nearest-neighbor resample of the deterministic fake pixels, digested
+    — the stand-in for a real resize kernel (same swap point as decode)."""
+    px = _fake_pixels(payload)
+    src_h, src_w = px.shape[0], px.shape[1]
+    ys = [min(y * src_h // h, src_h - 1) for y in range(h)]
+    xs = [min(x * src_w // w, src_w - 1) for x in range(w)]
+    out = px[np.ix_(ys, xs)]
+    return hashlib.md5(out.tobytes()).hexdigest()
+
+
+def resize_images(
+    media: DataFrame, width: int = 2, height: int = 2, fake: bool = True
+) -> DataFrame:
+    """image rows → (media_id, out_w, out_h, pixel_digest).
+
+    Same shape as extract_features: payload bytes stay inside Arrow
+    batches, the transform is map-only (binary never shuffles), and only
+    the per-row kernel body is the environment-limited stub — a real
+    decoder+resampler replaces `_fake_resize_digest` without touching the
+    Spark plumbing. The digest (not the resized pixels) is the output
+    here; a production variant would emit the resized bytes as a binary
+    column with identical plumbing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:  # pragma: no cover - real kernels not available
+                raise NotImplementedError("real resize kernels not available")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": width,
+                    "out_h": height,
+                    "pixel_digest": [
+                        _fake_resize_digest(b, width, height) for b in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """(media_id, frame_ts_ms) sampling plan for video rows — pure JVM
     sequence expansion; the actual frame grab is the stubbed decode."""

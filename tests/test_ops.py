@@ -141,3 +141,21 @@ def test_ivf_topk_structure_and_recall(spark):
     # sims for shared pairs must be identical (same cosine kernel)
     m = ivf.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_i", "_e"))
     assert (m.sim_i == m.sim_e).all()
+
+
+def test_media_resize_plumbing(spark):
+    from pyspark.sql import functions as F
+
+    from cypher_guard_spark.ops import multimodal
+
+    media = multimodal.synthesize_media(spark, 24).repartition(3)
+    out = multimodal.resize_images(media, width=2, height=2).toPandas()
+    n_images = media.where(F.col("kind") == "image").count()
+    assert len(out) == n_images
+    assert (out.out_w == 2).all() and (out.out_h == 2).all()
+    # deterministic kernel: digests match a driver-side recompute
+    rows = {r["media_id"]: r["payload"] for r in media.where(F.col("kind") == "image").collect()}
+    for _, r in out.iterrows():
+        assert r["pixel_digest"] == multimodal._fake_resize_digest(
+            bytes(rows[r["media_id"]]), 2, 2
+        )
