@@ -326,9 +326,28 @@ def _oracle_documents() -> list[tuple[int, str]]:
 
 
 def _py_tokens(text: str) -> list[str]:
+    """Twin of the engine tokenizer `split(lower(trim(text)), '\\s+')`
+    (ops/dedup.py). Pinned to the SAME character classes as the Java regex:
+    Java `\\s` is ASCII-only ([ \\t\\n\\x0b\\f\\r]) and Spark `trim` strips
+    0x20 only — so the Python side uses `re.ASCII` and `.strip(' ')`, not
+    Unicode-whitespace semantics. Residual engine-vs-oracle divergence is
+    confined to locale-special lowercasings (e.g. 'İ'); the synthetic
+    corpus is ASCII, and non-ASCII corpora share every other code path."""
     import re
 
-    return re.split(r"\s+", text.strip().lower())
+    return re.split(r"\s+", text.strip(" ").lower(), flags=re.ASCII)
+
+
+def _sorted_fold_sum(values) -> float:
+    """Sequential left-fold over VALUE-SORTED doubles — the exact twin of
+    the engine's `aggregate(array_sort(collect_list(x)), 0.0, +)` trainer
+    mean (ops/similarity.py kmeans_centroids): both sides sum the same
+    multiset in the same canonical order, so the IEEE754 result is
+    bit-identical regardless of row/partition order."""
+    acc = 0.0
+    for v in sorted(values):
+        acc += v
+    return acc
 
 
 def _round6(x: float) -> float:
@@ -418,8 +437,10 @@ def _emb_ivf_values(
 ) -> str:
     """Pure-Python twin of ops.similarity.ivf_topk: the Lloyd loop is
     deterministic by construction (fixed init, fixed rounds, 6dp-rounded
-    comparisons), and every array fold is sequential in BOTH engines, so
-    the doubles are bit-identical."""
+    comparisons), every array fold is sequential in BOTH engines, and the
+    trainer mean is a VALUE-SORTED sequential fold on both sides (so the
+    sum depends on the value multiset only, never on row/partition order)
+    — the doubles are bit-identical."""
     import math
 
     import pyarrow.parquet as pq
@@ -451,7 +472,7 @@ def _emb_ivf_values(
             if members:
                 dims = len(members[0])
                 new_centers[c] = [
-                    _round6(sum(m[d] for m in members) / len(members))
+                    _round6(_sorted_fold_sum(m[d] for m in members) / len(members))
                     for d in range(dims)
                 ]
             else:
@@ -649,7 +670,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """Driver contract: no-arg call reads VALUES-oracle inputs from
+    `$SPARK_GRAFT_ORACLE_SF_DIR` (default sf0.01 — the dir the driver
+    compares at). Consumers comparing at another scale pass `sf_dir`
+    explicitly so the recomputed oracles and the Spark queries can never
+    silently read different datasets (ADVICE r2)."""
+    import os
+
+    if sf_dir is not None:
+        os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     langs_sql = {
         "de": "['der','die','das','und','ist','ein']",
         "en": "['the','a','of','and','to','in','is']",

@@ -31,7 +31,12 @@ def word_shingles(text_col: str, n: int = 3):
     element access (O(tokens²) work per row, and O(tokens² × K) once K
     minhash columns reference the shingles). NB Spark SQL `arr[i]` is
     0-based; the sequence loop is 1-based, hence the `i - 1 + k` index
-    (mirrors the 1-based DuckDB oracle)."""
+    (mirrors the 1-based DuckDB oracle).
+
+    Tokenizer parity: Java regex `\\s` is ASCII-only, as is DuckDB/RE2's —
+    and the pure-Python oracles pin `re.ASCII` to match
+    (`__spark_entry__._py_tokens`). Residual divergence is limited to
+    locale-special lowercasings outside ASCII."""
     concat = " || ' ' || ".join(f"ws[i - 1 + {k}]" for k in range(n))
     return F.expr(
         f"transform(array(split(lower(trim({text_col})), '\\\\s+')), ws -> "

@@ -163,10 +163,15 @@ def kmeans_centroids(
     """(centroid_id, center) — DETERMINISTIC Lloyd iterations, engine-
     portable by construction: init = the vectors of the k smallest ids;
     exactly `iters` update rounds; assignment key = (6dp-rounded L2², id);
-    centroid coordinates re-rounded to 6dp each round so the row-order-
-    dependent FP noise of the distributed mean (the one nondeterminism in
-    the loop) cannot leak into comparisons. This trades the usual k-means++
-    quality for an exact cross-engine oracle — the IVF recall contract is
+    each centroid coordinate is the mean of a VALUE-SORTED sequential fold
+    (`array_sort(collect_list(x))` then a left fold), so the sum is a
+    function of the value multiset only — no row-order-dependent FP noise
+    for rounding to paper over (a distributed `avg` rounded to 6dp could
+    still flip on a 0.5e-6 boundary between partitionings; the sorted fold
+    cannot). collect_list per (centroid, dim) is bounded by the trainer
+    input size — at 10^12 rows the trainer runs on a sample (see below), so
+    the list stays executor-sized. This trades the usual k-means++ quality
+    for an exact cross-engine oracle — the IVF recall contract is
     bucket-restricted search, not optimal clustering.
 
     Scale note: at 10^12 rows the trainer runs on `embeddings.sample(...)`
@@ -192,7 +197,16 @@ def kmeans_centroids(
         means = (
             assigned.select("centroid_id", F.posexplode("v").alias("dim", "x"))
             .groupBy("centroid_id", "dim")
-            .agg(F.round(F.avg("x"), 6).alias("cx"))
+            .agg(F.array_sort(F.collect_list("x")).alias("xs"))
+            .select(
+                "centroid_id",
+                "dim",
+                F.round(
+                    F.aggregate("xs", F.lit(0.0), lambda a, x: a + x)
+                    / F.size("xs"),
+                    6,
+                ).alias("cx"),
+            )
             .groupBy("centroid_id")
             .agg(
                 F.transform(

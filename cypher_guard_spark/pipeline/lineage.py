@@ -117,9 +117,24 @@ class CheckpointManager:
         return os.path.join(self.base_dir, stage)
 
     def _complete(self, stage: str) -> bool:
-        return hadoop_path_exists(
-            self.spark, os.path.join(self._path(stage), "_SUCCESS")
-        )
+        """Has this stage's output table been committed?
+
+        The probe is FORMAT-GATED: Hadoop-committer formats (parquet/ORC/
+        CSV/JSON) commit atomically via a ``_SUCCESS`` marker, but Iceberg
+        commits never write one — probing ``_SUCCESS`` under Iceberg would
+        silently disable resume and recompute+overwrite every run. For
+        path-based Iceberg (HadoopTables) the committed marker is
+        ``metadata/version-hint.text``, written only after the first
+        successful snapshot commit (an interrupted write leaves data files
+        but no version hint, so incomplete outputs still recompute).
+        Catalog-managed Iceberg tables don't go through this path-based
+        manager at all — point ``base_dir`` at a warehouse path or keep the
+        default parquet checkpoints."""
+        if self.fmt == "iceberg":
+            marker = os.path.join(self._path(stage), "metadata", "version-hint.text")
+        else:
+            marker = os.path.join(self._path(stage), "_SUCCESS")
+        return hadoop_path_exists(self.spark, marker)
 
     def row_count(self, stage: str) -> int | None:
         """Exact output row count of a stage, if known without a new job.

@@ -148,8 +148,13 @@ def main() -> None:
     out_dir.mkdir(exist_ok=True)
     result = {
         "metric": "kg_scaling_efficiency",
-        "value": eff_adj,
+        # 'value' is the RAW measured ratio (same meaning every round);
+        # the floor-adjusted estimate is published under its own key so
+        # cross-round consumers can't silently mix metrics (ADVICE r2).
+        "value": eff,
         "value_raw": eff,
+        "value_floor_adjusted": eff_adj,
+        "schema_version": 2,
         "unit": "ratio",
         "kg_docs": kg_docs,
         "runs_per_level": runs,

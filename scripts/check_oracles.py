@@ -58,7 +58,7 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entry.queries()
-    oracles = entry.oracle_sql()
+    oracles = entry.oracle_sql(sf_dir)
     failures = []
     for name, fn in sorted(qs.items()):
         if only and name not in only:

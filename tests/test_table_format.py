@@ -67,7 +67,19 @@ def test_checkpoint_format_switch_iceberg(spark, tmp_path, monkeypatch):
     the production configuration the north_star names."""
     from cypher_guard_spark.pipeline import run_pipeline, synthesize_documents
 
+    from cypher_guard_spark.pipeline.lineage import global_checksum
+
     monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "iceberg")
     docs = synthesize_documents(spark, 80)
-    out = run_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "ckpt_ice"))
+    ckpt = str(tmp_path / "ckpt_ice")
+    out = run_pipeline(spark, docs, checkpoint_dir=ckpt)
     assert out["verdicts"].count() > 0
+    rows, csum = global_checksum(out["lineage"], "triples")
+    # resume: the completeness probe is Iceberg-gated (metadata/
+    # version-hint.text, not parquet's _SUCCESS) — a second run must load
+    # committed stage tables instead of recomputing, with identical lineage
+    out2 = run_pipeline(spark, docs, checkpoint_dir=ckpt)
+    assert {"triples_raw", "link_stats", "entity_map", "triples"} <= set(
+        out2["resumed_stages"]
+    )
+    assert (rows, csum) == global_checksum(out2["lineage"], "triples")
