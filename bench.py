@@ -94,10 +94,12 @@ def run_kg_pipeline(spark, n_docs: int, input_path: str | None = None) -> float:
         docs = spark.read.parquet(input_path)
         t0 = time.perf_counter()
         # production shape: every stage checkpoints to a table (parquet
-        # stand-in for Iceberg) with per-partition lineage + resume
-        out = run_pipeline(spark, docs, checkpoint_dir=os.path.join(workdir, "ckpt"))
-        _force(out["verdicts"])
-        _force(out["triples"])
+        # stand-in for Iceberg) with per-partition lineage + resume. The
+        # stage writes inside run_pipeline force every plan end-to-end
+        # (verdicts and triples are committed tables when it returns), so
+        # no extra action is needed — re-scanning the written outputs here
+        # would only re-measure the scan, not the pipeline.
+        run_pipeline(spark, docs, checkpoint_dir=os.path.join(workdir, "ckpt"))
         return time.perf_counter() - t0
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -152,6 +152,39 @@ def abbreviation_pairs(link_stats: DataFrame) -> DataFrame:
     return best.select("label", "a", "b", F.lit(1.0).alias("sim"))
 
 
+def _driver_union_find(edge_rows) -> dict:
+    """{(label, surface): comp} for every NON-singleton vertex, computed on
+    the driver. comp = min over the component of xxhash64(label, surface) —
+    bit-identical to the distributed min-propagation loop's result (the
+    pure-Python xxhash64 twin is parity-locked by tests/test_oracle_hashes)."""
+    from ..oracle import spark_xxhash64
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edge_rows:
+        a, b = (r["label"], r["a"]), (r["label"], r["b"])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    groups: dict = {}
+    for v in parent:
+        groups.setdefault(find(v), []).append(v)
+    out: dict = {}
+    for members in groups.values():
+        comp = min(spark_xxhash64(label, surface) for label, surface in members)
+        for v in members:
+            out[v] = comp
+    return out
+
+
 def connected_components(
     spark: SparkSession,
     vertices: DataFrame,
@@ -159,13 +192,28 @@ def connected_components(
     max_iter: int = 20,
     rows_per_partition: int = 100_000,
     rounds_per_check: int = 2,
+    driver_smallgraph_max_edges: int = 100_000,
 ) -> DataFrame:
     """vertices(label, surface) + edges(label, a, b) → (label, surface, comp).
 
     comp = min xxhash64 id over the component; iterative min-propagation
     with localCheckpoint per driver action to keep the plan flat.
 
-    Driver-serial cost is bounded two ways:
+    SMALL-GRAPH FAST PATH: candidate-pair edges are ENTITY-pair-sized, not
+    document-sized — often a few thousand rows even under a multi-million-
+    document corpus. When the edge list fits under
+    ``driver_smallgraph_max_edges`` (probed with ONE limit-collect job that
+    early-exits the scan), union-find runs on the driver and the component
+    map re-enters the plan as a broadcast join: the whole CC step costs one
+    job instead of a vertex count + repartitions + k-round convergence
+    checks — the dominant share of the pipeline's driver-serial
+    orchestration floor. Vertices never leave the cluster (only edge
+    endpoints are collected), and the output is bit-identical to the
+    distributed loop (same min-hash component ids; locked by a test).
+    Above the threshold — web-scale corpora with unbounded surface
+    vocabularies — the iterative loop below takes over unchanged.
+
+    Driver-serial cost of the distributed loop is bounded two ways:
     - the loop tables are explicitly hash-partitioned to a width sized to
       the VERTEX count (`repartition(cc_p, key)` — not a session-conf
       mutation, which is racy under concurrent jobs and invisible to AQE):
@@ -178,10 +226,32 @@ def connected_components(
       variant chains have diameter ≤ 3, so this halves the driver barriers
       on the common path.
     """
+    vid = F.xxhash64("label", "surface")
+    if driver_smallgraph_max_edges:
+        probe = (
+            edges.select("label", "a", "b")
+            .limit(driver_smallgraph_max_edges + 1)
+            .collect()
+        )
+        if len(probe) <= driver_smallgraph_max_edges:
+            mapping = _driver_union_find(probe)
+            if not mapping:
+                return vertices.select("label", "surface", vid.alias("comp"))
+            comp_map = spark.createDataFrame(
+                [(l, s, c) for (l, s), c in mapping.items()],
+                schema="label string, surface string, mapped_comp long",
+            )
+            return vertices.join(
+                F.broadcast(comp_map), ["label", "surface"], "left"
+            ).select(
+                "label",
+                "surface",
+                F.coalesce("mapped_comp", vid).alias("comp"),
+            )
+
     n_vertices = vertices.count()
     sess_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cc_p = max(1, min(sess_p, -(-n_vertices // rows_per_partition)))
-    vid = F.xxhash64("label", "surface")
     labels = vertices.select("label", "surface", vid.alias("id")).withColumn(
         "comp", F.col("id")
     )
@@ -231,15 +301,134 @@ def connected_components(
     return labels.select("label", "surface", "comp")
 
 
+def _driver_entity_map(
+    rows, num_hashes: int, bands: int, jaccard_threshold: float
+) -> list:
+    """Pure-Python twin of the distributed blocking + CC + reps election,
+    for entity vocabularies that fit on the driver. Bit-parity with the
+    DataFrame path comes from the parity-locked hash twins
+    (oracle.spark_hash / spark_xxhash64) and from mirroring every engine
+    semantic exactly: 1-based substring shingling with the short-string
+    floor, per-band min-hash over seeds b*rows_per_band+r, int32 minhash
+    folding into the band xxhash64, `l.surface < r.surface` pair order,
+    double Jaccard >= threshold, abbreviation argmax by (n_mentions,
+    surface), min-xxhash64 component ids, and (n_mentions, surface)
+    max-struct rep election. Locked against the distributed path by
+    tests/test_pipeline.py::test_entity_map_driver_path_matches_distributed.
+
+    ``rows`` = [(label, surface, n_mentions)]; returns
+    [(label, surface, canonical)]."""
+    import re
+
+    from ..oracle import spark_hash, spark_xxhash64
+
+    rows_per_band = num_hashes // bands
+    is_abbrev = re.compile(r"[A-Z]\. ")
+
+    # --- min-hash LSH candidate pairs (abbreviations excluded) ---
+    grams_of: dict = {}
+    for label, surface, _ in rows:
+        if is_abbrev.match(surface):
+            continue
+        low = surface.lower()
+        grams_of[(label, surface)] = list(
+            dict.fromkeys(low[i : i + 3] for i in range(max(len(low) - 2, 1)))
+        )
+    buckets: dict = {}
+    for (label, surface), grams in grams_of.items():
+        for b in range(bands):
+            mins = [
+                min(spark_hash(g, b * rows_per_band + r) for g in grams)
+                for r in range(rows_per_band)
+            ]
+            buckets.setdefault((label, b, spark_xxhash64(*mins)), []).append(surface)
+    pairs = set()
+    for (label, _, _), members in buckets.items():
+        members = sorted(set(members))
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b_ = members[i], members[j]
+                sa, sb = set(grams_of[(label, a)]), set(grams_of[(label, b_)])
+                if len(sa & sb) / len(sa | sb) >= jaccard_threshold:
+                    pairs.add((label, a, b_))
+
+    # --- abbreviation resolution (popularity prior) ---
+    fulls: dict = {}
+    for label, surface, n in rows:
+        if label == "Person" and not is_abbrev.match(surface):
+            key = (label, surface.split(" ")[-1], surface[:1])
+            fulls.setdefault(key, []).append((n, surface))
+    for label, surface, _ in rows:
+        if label == "Person" and is_abbrev.match(surface):
+            cands = fulls.get((label, surface.split(" ")[-1], surface[:1]))
+            if cands:
+                pairs.add((label, surface, max(cands)[1]))
+
+    # --- connected components + representative election ---
+    mapping = _driver_union_find(
+        [{"label": l, "a": a, "b": b} for l, a, b in pairs]
+    )
+    comp_of = {
+        (label, surface): mapping.get(
+            (label, surface), spark_xxhash64(label, surface)
+        )
+        for label, surface, _ in rows
+    }
+    best: dict = {}
+    for label, surface, n in rows:
+        key = (label, comp_of[(label, surface)])
+        if key not in best or (n, surface) > best[key]:
+            best[key] = (n, surface)
+    return [
+        (label, surface, best[(label, comp_of[(label, surface)])][1])
+        for label, surface, _ in rows
+    ]
+
+
 def build_entity_map(
     spark: SparkSession,
     link_stats: DataFrame,
     num_hashes: int = 16,
     bands: int = 8,
     jaccard_threshold: float = 0.6,
+    n_surfaces_hint: int | None = None,
+    driver_smallmap_max_surfaces: int = 50_000,
 ) -> DataFrame:
     """(label, surface, canonical) — every observed surface mapped to its
-    component representative (most-mentioned surface, surface-desc tiebreak)."""
+    component representative (most-mentioned surface, surface-desc tiebreak).
+
+    SMALL-VOCABULARY FAST PATH: the stage is ENTITY-scaled, not document-
+    scaled — a bounded domain vocabulary stays a few thousand surfaces under
+    any corpus size. When the surface table fits under
+    ``driver_smallmap_max_surfaces`` (known for free from the caller's
+    write-Observation row count when available, else probed with one
+    early-exit limit-collect), the whole blocking + CC + election runs on
+    the driver in one collect + one createDataFrame, replacing ~8 tiny
+    exchanges (explode, self-join, dedup, verify joins, CC rounds, reps
+    groupBy) whose per-stage AQE/scheduling latency dominates the
+    pipeline's orchestration floor. Output is bit-identical to the
+    distributed path (locked by a test). Web-scale vocabularies (unbounded
+    surface sets) exceed the threshold and take the distributed path
+    below."""
+    if driver_smallmap_max_surfaces and (
+        n_surfaces_hint is None or n_surfaces_hint <= driver_smallmap_max_surfaces
+    ):
+        probe = (
+            link_stats.select("label", "surface", "n_mentions")
+            .limit(driver_smallmap_max_surfaces + 1)
+            .collect()
+        )
+        if len(probe) <= driver_smallmap_max_surfaces:
+            out = _driver_entity_map(
+                [(r["label"], r["surface"], r["n_mentions"]) for r in probe],
+                num_hashes,
+                bands,
+                jaccard_threshold,
+            )
+            return spark.createDataFrame(
+                out, schema="label string, surface string, canonical string"
+            )
+
     surfaces = link_stats.select("label", "surface", "n_mentions")
     mh_pairs = minhash_candidate_pairs(
         surfaces.select("surface", "label"), num_hashes, bands, jaccard_threshold

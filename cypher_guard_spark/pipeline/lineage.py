@@ -25,59 +25,26 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
-def partition_lineage(df: DataFrame, stage: str, key_cols, wall_ms: float) -> DataFrame:
-    """One row per partition: rows + checksum."""
-    return (
-        df.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid")
-        .agg(
-            F.count("*").alias("rows"),
-            F.bit_xor(F.xxhash64(*key_cols)).alias("checksum"),
-        )
-        .select(
-            F.lit(stage).alias("stage"),
-            F.col("_pid").alias("partition_id"),
-            "rows",
-            "checksum",
-            F.lit(float(wall_ms)).alias("wall_ms"),
-        )
-    )
+def lineage_scan(df: DataFrame, stage: str, key_cols=None) -> DataFrame:
+    """(stage, partition_id, h) pre-aggregation frame for ONE stage.
 
+    All stages' frames are unioned and aggregated in a SINGLE
+    groupBy(stage, partition_id) — one shuffle, one AQE round, one job for
+    the whole pipeline's lineage, instead of one exchange per stage (the
+    per-stage groupBys dominated the orchestration floor at small inputs).
 
-def materialized_lineage(
-    df_read: DataFrame, stage: str, wall_ms: float, global_csum: int
-) -> DataFrame:
-    """Lineage for a freshly-written stage table WITHOUT re-hashing it.
-
-    The global checksum already rode the write action (Observation), so
-    the only remaining per-partition fact is the row count — obtained from
-    a ZERO-COLUMN scan of the written files (row-group counts, nothing
-    decoded). The checksum is carried on one synthetic partition_id=-1 row
-    (rows=0): `global_checksum`'s XOR/sum aggregation is partition-
-    invariant, so consumers see exactly the same (rows, checksum) as the
-    full per-partition hash would produce — at ~zero cost instead of a
-    second full scan of every stage table in the finalize job."""
-    counts = (
-        df_read.select(F.spark_partition_id().alias("_pid"))
-        .groupBy("_pid")
-        .agg(F.count("*").alias("rows"))
-        .select(
-            F.lit(stage).alias("stage"),
-            F.col("_pid").alias("partition_id"),
-            "rows",
-            F.lit(None).cast("long").alias("checksum"),
-            F.lit(float(wall_ms)).alias("wall_ms"),
-        )
-    )
-    spark = df_read.sparkSession
-    grow = spark.range(1).select(
+    ``key_cols=None`` marks a freshly-written stage whose global checksum
+    already rode the write action (Observation): its frame carries a null
+    hash term (bit_xor over all-nulls aggregates to null) and reads ZERO
+    columns — parquet/ORC answer it from row-group metadata. Stages without
+    an observed checksum (pass-through inputs, resumed tables) hash their
+    key columns in full."""
+    h = F.xxhash64(*key_cols) if key_cols else F.lit(None).cast("long")
+    return df.select(
         F.lit(stage).alias("stage"),
-        F.lit(-1).cast("int").alias("partition_id"),
-        F.lit(0).cast("long").alias("rows"),
-        F.lit(int(global_csum)).cast("long").alias("checksum"),
-        F.lit(float(wall_ms)).alias("wall_ms"),
+        F.spark_partition_id().alias("partition_id"),
+        h.alias("h"),
     )
-    return counts.unionByName(grow)
 
 
 def global_checksum(lineage_rows, stage: str | None = None) -> tuple:
@@ -111,6 +78,8 @@ class CheckpointManager:
         self.lineage: list = []
         self.resumed_stages: list = []
         self._pending: list = []
+        self._observed: dict[str, int] = {}
+        self._walls: dict[str, float] = {}
         self._row_counts: dict[str, int] = {}
 
     def _path(self, stage: str) -> str:
@@ -197,27 +166,61 @@ class CheckpointManager:
                 # materializes them once instead of re-running the full
                 # upstream DAG per downstream consumer.
                 df = df.localCheckpoint(eager=False)
-        wall_ms = (time.time() - t0) * 1000.0
+        self._walls[name] = (time.time() - t0) * 1000.0
         # defer the collect: per-stage lineage actions each pay a full job
-        # barrier; finalize() unions every stage's lineage frame and runs
-        # ONE job. Freshly-written stages contribute only a zero-column
-        # row-count scan + the observed checksum (materialized_lineage);
-        # resumed and pass-through stages hash their key columns in full.
+        # barrier; finalize() unions every stage's pre-agg frame and runs
+        # ONE job with ONE shuffle. Freshly-written stages contribute only
+        # a zero-column row-count scan (their checksum rode the write
+        # Observation); resumed and pass-through stages hash their key
+        # columns in full.
         if csum is not None:
-            self._pending.append(materialized_lineage(df, name, wall_ms, csum))
+            self._observed[name] = csum
+            self._pending.append(lineage_scan(df, name))
         else:
-            self._pending.append(partition_lineage(df, name, key_cols, wall_ms))
+            self._pending.append(lineage_scan(df, name, key_cols))
         return df
 
     def finalize(self) -> None:
-        """Materialize all pending lineage in a single action."""
+        """Materialize all pending lineage in a single action (one job,
+        one groupBy(stage, partition_id) shuffle across every stage).
+
+        Observed (write-carried) checksums join the collected rows as one
+        synthetic partition_id=-1 row each (rows=0): `global_checksum`'s
+        XOR/sum aggregation is partition-invariant, so consumers see
+        exactly the same (rows, checksum) the full per-partition hash
+        would produce — with no second scan of any stage table."""
         if not self._pending:
             return
+        from pyspark.sql import Row
+
         u = self._pending[0]
         for frame in self._pending[1:]:
             u = u.unionByName(frame)
-        self.lineage.extend(u.collect())
+        agg = u.groupBy("stage", "partition_id").agg(
+            F.count("*").alias("rows"), F.bit_xor("h").alias("checksum")
+        )
+        for r in agg.collect():
+            self.lineage.append(
+                Row(
+                    stage=r["stage"],
+                    partition_id=r["partition_id"],
+                    rows=r["rows"],
+                    checksum=r["checksum"],
+                    wall_ms=float(self._walls.get(r["stage"], 0.0)),
+                )
+            )
+        for name, csum in self._observed.items():
+            self.lineage.append(
+                Row(
+                    stage=name,
+                    partition_id=-1,
+                    rows=0,
+                    checksum=int(csum),
+                    wall_ms=float(self._walls.get(name, 0.0)),
+                )
+            )
         self._pending = []
+        self._observed = {}
 
     def write_lineage(self):
         self.finalize()

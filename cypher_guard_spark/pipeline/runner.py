@@ -61,7 +61,11 @@ def run_pipeline(
     )
     entity_map = cm.stage(
         "entity_map",
-        lambda: build_entity_map(spark, link_stats),
+        # surface count rides the link_stats write Observation (zero extra
+        # jobs) and gates the driver-side small-vocabulary fast path
+        lambda: build_entity_map(
+            spark, link_stats, n_surfaces_hint=cm.row_count("link_stats")
+        ),
         ["label", "surface"],
     )
     triples = cm.stage(

@@ -147,6 +147,75 @@ def test_resume_skips_completed_stages_and_reproduces(spark, corpus, result):
     assert (rows_before, csum_before) == (rows_after, csum_after)
 
 
+def test_cc_driver_fast_path_matches_distributed_loop(spark):
+    """The small-graph union-find fast path must be BIT-IDENTICAL to the
+    iterative min-propagation loop — same (label, surface, comp) rows,
+    including the min-xxhash64 component ids — so which path ran can never
+    leak into checkpoints, resume checksums, or downstream canonical
+    picks."""
+    from cypher_guard_spark.pipeline.canonicalize import connected_components
+
+    vertices = spark.createDataFrame(
+        [
+            ("Person", "john smith"),
+            ("Person", "j. smith"),
+            ("Person", "jane smith"),
+            ("Person", "alice doe"),
+            ("Company", "tech corp"),
+            ("Company", "tech corp inc"),
+            ("Company", "lone co"),
+        ],
+        schema="label string, surface string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("Person", "john smith", "j. smith"),
+            ("Person", "j. smith", "jane smith"),
+            ("Company", "tech corp", "tech corp inc"),
+        ],
+        schema="label string, a string, b string",
+    )
+    fast = connected_components(spark, vertices, edges)
+    slow = connected_components(
+        spark, vertices, edges, driver_smallgraph_max_edges=0
+    )
+    rows_fast = sorted(map(tuple, fast.collect()))
+    rows_slow = sorted(map(tuple, slow.collect()))
+    assert rows_fast == rows_slow
+    # the chain {john, j., jane} collapses to ONE component; singletons
+    # keep their own id
+    comps = {r[1]: r[2] for r in rows_fast}
+    assert comps["john smith"] == comps["j. smith"] == comps["jane smith"]
+    assert comps["tech corp"] == comps["tech corp inc"]
+    assert len({comps["lone co"], comps["alice doe"], comps["john smith"], comps["tech corp"]}) == 4
+
+
+def test_entity_map_driver_path_matches_distributed(spark, corpus):
+    """The small-vocabulary driver fast path (pure-Python blocking + CC +
+    election) must produce EXACTLY the distributed DataFrame path's
+    (label, surface, canonical) rows on a real corpus — including the
+    minhash/LSH candidate set (hash-twin parity), the abbreviation
+    popularity prior, and rep tiebreaks."""
+    from cypher_guard_spark.pipeline.canonicalize import build_entity_map
+    from cypher_guard_spark.pipeline.mentions import (
+        extract_triples_raw,
+        link_scores,
+        mentions_from_triples,
+    )
+
+    docs, _ = corpus
+    link_stats = link_scores(mentions_from_triples(extract_triples_raw(docs)))
+    link_stats = link_stats.localCheckpoint()
+    fast = build_entity_map(spark, link_stats)
+    slow = build_entity_map(
+        spark, link_stats, driver_smallmap_max_surfaces=0
+    )
+    rows_fast = sorted(map(tuple, fast.collect()))
+    rows_slow = sorted(map(tuple, slow.collect()))
+    assert rows_fast == rows_slow
+    assert any(s != c for _, s, c in rows_fast)  # non-vacuous: variants map
+
+
 def test_uncheckpointed_run_extracts_each_span_once(spark, monkeypatch):
     """Recompute-hazard regression (VERDICT r1 #3): with checkpoint_dir=None
     the flagship `entry()` path must not re-execute the extraction DAG per
