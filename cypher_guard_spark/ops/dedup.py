@@ -79,6 +79,15 @@ def ngram_jaccard_pairs(
     Deterministic (hash-free) blocking → exactly reproducible in ANSI SQL;
     recall is limited to pairs sharing the prefix, which is the documented
     contract of this cheap variant (MinHash+LSH is the recall-oriented one).
+
+    Skew note: on a corpus where many documents share their first
+    `block_prefix_tokens` tokens (boilerplate headers), one block key
+    dominates the self-join. AQE's skew-join split
+    (spark.sql.adaptive.skewJoin.enabled, on in our session defaults)
+    applies to this sort-merge self-join and splits the oversized block's
+    partitions; the quadratic pair count within the hot block is inherent
+    to the blocking choice — switch to minhash_near_dups when prefixes
+    concentrate.
     """
     toks = tokens(F.col(text_col))
     base = df.select(
