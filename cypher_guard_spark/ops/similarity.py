@@ -159,6 +159,8 @@ def kmeans_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float = 1.0,
+    seed: int = 42,
 ) -> DataFrame:
     """(centroid_id, center) — DETERMINISTIC Lloyd iterations, engine-
     portable by construction: init = the vectors of the k smallest ids;
@@ -174,14 +176,20 @@ def kmeans_centroids(
     for an exact cross-engine oracle — the IVF recall contract is
     bucket-restricted search, not optimal clustering.
 
-    Scale note: at 10^12 rows the trainer runs on `embeddings.sample(...)`
-    (centroid quality needs only a sample); the full-corpus scans here are
-    the test-SF shape."""
+    Scale note: at 10^12 rows the trainer runs on a sample — pass
+    `train_fraction < 1.0` and only `sample(fraction, seed)` of the corpus
+    feeds init + Lloyd (assignment of the FULL corpus happens downstream in
+    `ivf_topk`/`write_ivf_index`, which always assign every vector against
+    whatever centroids came out). fraction=1.0 (default) keeps the exact
+    cross-engine oracle; sampled training trades bit-parity for trainer
+    cost, and `tests/test_similarity.py` locks a recall floor for it."""
     from pyspark.sql import Window
 
     vecs = embeddings.select(
         F.col(id_col).alias("vid"), _to_double(vec_col).alias("v")
     )
+    if train_fraction < 1.0:
+        vecs = vecs.sample(fraction=train_fraction, seed=seed)
     w = Window.orderBy("vid")
     centroids = (
         vecs.orderBy("vid")
@@ -235,20 +243,24 @@ def ivf_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, sim) — IVF ANN: coarse k-means
     quantizer, base vectors indexed by nearest centroid, each query probes
     its `nprobe` nearest cells and ranks exact cosine inside them.
 
     The scale path next to sign-LSH: cells are explicit (partition/bucket
-    the base table by centroid_id at rest), probe cost is
+    the base table by centroid_id at rest — `write_ivf_index` below IS that
+    materialization, with a plan-asserted pruning proof), probe cost is
     nprobe/n_centroids of the corpus, and recall is tunable via nprobe
     instead of fixed by the hash. Centroids are broadcast everywhere —
-    the only shuffle is the per-query top-k."""
+    the only shuffle is the per-query top-k. `train_fraction < 1.0` trains
+    the quantizer on a sample (the 10^12-row path); the full corpus is
+    still assigned and searchable either way."""
     from pyspark.sql import Window
 
     centroids = kmeans_centroids(
-        embeddings, n_centroids, iters, id_col, vec_col
+        embeddings, n_centroids, iters, id_col, vec_col, train_fraction
     ).localCheckpoint(eager=False)
     base = _assign(
         embeddings.select(F.col(id_col).alias("vid"), _to_double(vec_col).alias("v")),
@@ -269,6 +281,98 @@ def ivf_topk(
         .where(F.col("probe_rank") <= nprobe)
         .select("query_id", "qvec", "centroid_id")
     )
+    scored = (
+        F.broadcast(probes)
+        .join(base, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float = 1.0,
+) -> None:
+    """Materialize the IVF index AT REST: base vectors written
+    `partitionBy("centroid_id")` under `{path}/base`, trained centroids
+    under `{path}/centroids`. This is the 100-TB layout the `ivf_topk`
+    docstring commits to — a probe then reads only `nprobe` of the
+    `n_centroids` directory partitions (PartitionFilters, asserted by
+    tests/test_plans.py) instead of scanning the corpus.
+
+    One write-side shuffle: `repartition("centroid_id")` so each cell's
+    rows land in one task's output (without it every task writes a file
+    into every cell directory — n_tasks × n_cells small files at scale).
+    """
+    centroids = kmeans_centroids(
+        embeddings, n_centroids, iters, id_col, vec_col, train_fraction
+    ).localCheckpoint(eager=False)
+    base = _assign(
+        embeddings.select(F.col(id_col).alias("vid"), _to_double(vec_col).alias("v")),
+        centroids,
+    ).select(
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("nvec"), "centroid_id"
+    )
+    base.repartition("centroid_id").write.partitionBy("centroid_id").mode(
+        "overwrite"
+    ).parquet(f"{path}/base")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim) — top-k against a
+    `write_ivf_index` layout, reading ONLY the probed cells.
+
+    Cell selection runs driver-side against the collected centroids (tiny:
+    n_centroids rows — the same object `ivf_topk` broadcasts), so the cell
+    set is a LITERAL `isin` predicate on the partition column and Spark
+    prunes the scan to ∪(probed cells) directories at planning time; the
+    per-query cell restriction is then the same broadcast probe join as
+    `ivf_topk`. Same result contract as `ivf_topk` given the same
+    centroids."""
+    from pyspark.sql import Window
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(vec_col).alias("qvec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.round(_dist2(F.col("qvec"), F.col("center")), 6).asc(),
+        F.col("centroid_id").asc(),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    cells = sorted(r["centroid_id"] for r in probes.select("centroid_id").distinct().collect())
+    base = spark.read.parquet(f"{path}/base").where(F.col("centroid_id").isin(cells))
     scored = (
         F.broadcast(probes)
         .join(base, "centroid_id")

@@ -159,3 +159,61 @@ def test_media_resize_plumbing(spark):
         assert r["pixel_digest"] == multimodal._fake_resize_digest(
             bytes(rows[r["media_id"]]), 2, 2
         )
+
+
+def test_ivf_sampled_training_recall_floor(spark):
+    """VERDICT r2 #7: `train_fraction < 1` samples the Lloyd trainer (the
+    10^12-row path); the full corpus is still assigned + searched, and
+    recall against exact top-k stays above the same structural floor the
+    full-trainer test uses."""
+    from pyspark.sql import functions as F
+
+    from cypher_guard_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    ivf = ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=2, train_fraction=0.5
+    ).toPandas()
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    assert set(ivf.query_id) == set(exact.query_id)
+    hits = len(
+        set(zip(ivf.query_id, ivf.neighbor_id))
+        & set(zip(exact.query_id, exact.neighbor_id))
+    )
+    assert hits >= len(exact) * 0.3, hits
+    # shared pairs score identically (same cosine kernel on the full corpus)
+    m = ivf.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_i", "_e"))
+    assert (m.sim_i == m.sim_e).all()
+
+
+def test_ivf_index_probe_matches_inmemory(spark, tmp_path):
+    """The at-rest partitioned index (write_ivf_index + ivf_probe_indexed)
+    returns exactly what the in-memory ivf_topk returns for the same
+    hyperparameters: parquet round-trips the double vectors losslessly and
+    the trainer is deterministic, so results are bit-identical."""
+    from pyspark.sql import functions as F
+
+    from cypher_guard_spark.ops.similarity import (
+        ivf_probe_indexed,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, n_centroids=8, iters=2)
+    got = (
+        ivf_probe_indexed(spark, path, queries, k=5, nprobe=2)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)

@@ -254,3 +254,91 @@ def test_uncheckpointed_run_extracts_each_span_once(spark, monkeypatch):
     out["verdicts"].write.format("noop").mode("overwrite").save()
     out["triples"].write.format("noop").mode("overwrite").save()
     assert acc.value == n_spans
+
+
+def test_salted_link_scoring_spreads_hub_surface(spark):
+    """VERDICT r2 #5 — skew stress for the salted link-scoring path
+    (north_star names it): a corpus where ONE surface is 30% of all
+    mentions.
+
+    Max-task load is measured as rows-per-reduce-task via TaskContext
+    inside the same grouped shuffle each plan uses — a deterministic
+    stand-in for max-task wall (the per-row work here is uniform, so task
+    wall is proportional to task rows; wall itself swings 2-3x on this
+    host and would flake). Locks BEHAVIOR, not just plan shape:
+
+    * unsalted groupBy(surface): the hub's rows all land on one reduce
+      task (>= the 30% hub share);
+    * salted groupBy(surface, salt): no task holds even half the hub;
+    * the production operator's stats == the naive single-stage groupBy.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cypher_guard_spark.pipeline import mentions as M
+
+    n, hub_frac, buckets = 20_000, 0.3, 16
+    hub_rows = int(n * hub_frac)
+    base = spark.range(n).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_idx"),
+        F.col("id").alias("mention_id"),
+        F.when(F.col("id") < hub_rows, F.lit("Hub Corp"))
+        .otherwise(F.concat(F.lit("Ent"), (F.col("id") % 500).cast("string")))
+        .alias("surface"),
+        F.lit("Company").alias("label"),
+        ((F.col("id") % 97) / 100.0 + 0.01).alias("score"),
+    )
+
+    def rows_per_task(df, keys):
+        def probe(pdf: pd.DataFrame) -> pd.DataFrame:
+            from pyspark import TaskContext
+
+            return pd.DataFrame(
+                {"task_id": [TaskContext.get().partitionId()], "rows": [len(pdf)]}
+            )
+
+        per_group = df.groupBy(*keys).applyInPandas(probe, "task_id int, rows long")
+        return (
+            per_group.groupBy("task_id").agg(F.sum("rows").alias("rows")).toPandas()
+        )
+
+    # AQE's partition coalescing would merge this toy-sized shuffle into ONE
+    # task and hide the skew entirely; at production scale partitions are
+    # far above the advisory size and never coalesce away. Pin coalescing
+    # off for the probe so the task layout has the at-scale shape.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    try:
+        spark.conf.set(coalesce_key, "false")
+        unsalted = rows_per_task(base, ["surface", "label"])
+        salted_input = base.withColumn(
+            "salt",
+            F.pmod(F.xxhash64("doc_id", "span_idx", "mention_id"), F.lit(buckets)),
+        )
+        salted = rows_per_task(salted_input, ["surface", "label", "salt"])
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+    assert unsalted.rows.max() >= hub_rows  # the hub lands whole on one task
+    assert salted.rows.max() < unsalted.rows.max() / 2  # salt spreads it
+    assert salted.rows.sum() == unsalted.rows.sum() == n
+
+    got = (
+        M.link_scores(base, salt_buckets=buckets)
+        .toPandas()
+        .sort_values("surface")
+        .reset_index(drop=True)
+    )
+    want = (
+        base.groupBy("surface", "label")
+        .agg(F.count("*").alias("n_mentions"), F.avg("score").alias("avg_score"))
+        .toPandas()
+        .sort_values("surface")
+        .reset_index(drop=True)
+    )
+    assert (got.surface == want.surface).all()
+    assert (got.n_mentions == want.n_mentions).all()
+    assert (got.avg_score - want.avg_score).abs().max() < 1e-9
+    hub_stat = got[got.surface == "Hub Corp"]
+    assert int(hub_stat.n_mentions.iloc[0]) == hub_rows

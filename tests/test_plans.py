@@ -109,3 +109,26 @@ def test_validate_udf_single_arrow_stage_no_exchange(spark):
     plan = plan_of(validate_dataframe(spark, df, pipeline_db_schema()), "simple")
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    """VERDICT r2 #6: the at-rest IVF layout must actually prune — probing
+    a 1-query/nprobe=2 workload against an 8-cell index has to plan a scan
+    whose PartitionFilters restrict centroid_id to the probed cells (i.e.
+    the 100-TB probe reads nprobe directories, not the corpus)."""
+    from cypher_guard_spark.ops import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") == 0)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path, n_centroids=8, iters=2)
+    plan = plan_of(similarity.ivf_probe_indexed(spark, path, queries, k=5, nprobe=2))
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines, plan
+    hit = [ln for ln in pf_lines if "centroid_id" in ln and "IN (" in ln.upper()]
+    assert hit, pf_lines
+    # 1 query x nprobe=2 -> at most 2 of the 8 cells named in the predicate
+    import re
+
+    cells = re.findall(r"\d+", hit[0].split("IN")[-1])
+    assert 1 <= len(set(cells)) <= 2, hit[0]

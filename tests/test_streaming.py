@@ -146,3 +146,83 @@ def test_stateful_link_stats_accumulates_across_microbatches(spark, tmp_path):
     alice_updates = updates[(updates.surface == "alice smith")]
     assert len(alice_updates) == 2
     assert sorted(alice_updates.n_mentions) == [2, 3]
+
+
+def _write_mentions(spark, dest, rows):
+    from cypher_guard_spark.streaming.kg_stream import MENTION_STREAM_SCHEMA
+
+    spark.createDataFrame(rows, MENTION_STREAM_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dest)
+
+
+def _mention(i, surface, label, score):
+    return (f"d{i}", 0, i, surface, label, float(score))
+
+
+def test_kg_stream_end_to_end_with_checkpoint_recovery(spark, tmp_path):
+    """VERDICT r2 #8 — the composed streaming KG slice: mention stream →
+    stateful running link stats → per-epoch validated MERGE upserts, with
+    entity state surviving a full stop/restart through the stream
+    checkpoint (exactly-once stats, no reprocessing on an idle restart)."""
+    import re
+
+    from cypher_guard_spark.streaming.kg_stream import run_kg_stream
+
+    src = tmp_path / "mentions"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    src.mkdir()
+
+    wave1 = [
+        _mention(0, "acme corp", "Company", 0.9),
+        _mention(1, "acme corp", "Company", 0.8),
+        _mention(2, "berlin", "Location", 1.0),
+        _mention(3, "alice smith", "Person", 0.7),
+    ]
+    _write_mentions(spark, str(src / "w1"), wave1)
+    run_kg_stream(spark, str(src / "*"), ckpt, out)
+    first = spark.read.parquet(out).toPandas()
+    assert first.is_valid.all() and first.syntax_ok.all()
+    assert int(first.n_statements.sum()) == 3  # 3 distinct entities
+
+    def counts_of(df):
+        got = {}
+        for cy in df.cypher:
+            for stmt in cy.split("\n"):
+                m = re.search(
+                    r"MERGE \(\w:(\w+) \{(.*?)\}\).*mentionCount = (\d+)", stmt
+                )
+                assert m, stmt
+                surface = " ".join(
+                    p for p in re.findall(r"'([^']*)'", m.group(2)) if p
+                )
+                got[(m.group(1), surface)] = int(m.group(3))
+        return got
+
+    got1 = counts_of(first)
+    assert got1[("Company", "acme corp")] == 2
+    assert got1[("Person", "alice smith")] == 1
+
+    # restart with new data: state must resume, counts continue from 2
+    wave2 = [
+        _mention(4, "acme corp", "Company", 0.6),
+        _mention(5, "acme corp", "Company", 0.5),
+        _mention(6, "paris", "Location", 0.9),
+    ]
+    _write_mentions(spark, str(src / "w2"), wave2)
+    run_kg_stream(spark, str(src / "*"), ckpt, out)
+    all_rows = spark.read.parquet(out).toPandas()
+    assert all_rows.is_valid.all()
+    new_rows = all_rows[all_rows.epoch > first.epoch.max()]
+    got2 = counts_of(new_rows)
+    # acme total = 4 ONLY if the (2, score_sum) state survived the restart
+    assert got2[("Company", "acme corp")] == 4
+    assert got2[("Location", "paris")] == 1
+    # update-mode delta: untouched entities are NOT re-emitted
+    assert ("Person", "alice smith") not in got2
+    assert ("Location", "berlin") not in got2
+
+    # idle restart: nothing new in the source -> nothing appended
+    run_kg_stream(spark, str(src / "*"), ckpt, out)
+    assert spark.read.parquet(out).count() == len(all_rows)
