@@ -121,13 +121,30 @@ def main() -> None:
     spark.range(100_000).select(F.sum("id")).collect()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     if not kg_only:
+        import statistics
+
         import __spark_entry__ as entry_mod
 
-        for name, fn in entry_mod.queries().items():
-            t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+        # interleaved best-of-N (default 5): this host swings 2-3x over
+        # minutes, so consecutive repeats of one query share its luck while
+        # interleaving spreads every query across the same weather. The
+        # headline per-query number is the MIN (least-noise estimate of the
+        # plan's cost); the median is published alongside so a reader can
+        # see the spread — a >1.2x min-vs-prior-round delta with a wide
+        # median band is host noise, a tight band is a real plan change.
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+        qs = entry_mod.queries()
+        samples: dict[str, list] = {name: [] for name in qs}
+        for _ in range(repeats):
+            for name, fn in qs.items():
+                t0 = time.perf_counter()
+                _force(fn(spark, sf_dir))
+                samples[name].append(time.perf_counter() - t0)
+        for name, ts in samples.items():
+            timings[name] = round(min(ts), 3)
+            medians[name] = round(statistics.median(ts), 3)
 
     # warm-up: (a) a small end-to-end pipeline for JIT/AQE/codegen paths,
     # (b) a full-width python-UDF pass so EVERY worker slot has imported
@@ -148,6 +165,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "bench_repeats": int(
+                    os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")
+                ),
                 "sf": _sf_of(sf_dir),
                 "cores": cores,
                 "kg_docs": kg_docs,
