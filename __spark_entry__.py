@@ -357,10 +357,12 @@ def _round6(x: float) -> float:
     return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 
-def _doc_minhash_values(
+def _py_minhash_pairs(
     n: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.3
-) -> str:
-    """Pure-Python twin of ops.dedup.minhash_near_duplicates."""
+) -> list[tuple[int, int, float]]:
+    """Pure-Python twin of ops.dedup.minhash_near_duplicates: sorted
+    (a, b, sim) with sim rounded and thresholded. Shared by the pair-level
+    oracle and the clustering oracle so both verify the same pair set."""
     from collections import defaultdict
 
     from cypher_guard_spark.oracle import spark_hash, spark_xxhash64
@@ -388,13 +390,112 @@ def _doc_minhash_values(
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 pairs.add((ids[i], ids[j]))
-    rows = []
+    out = []
     for a, b in sorted(pairs):
         sa, sb = set(shingle_sets[a]), set(shingle_sets[b])
         sim = _round6(len(sa & sb) / len(sa | sb))
         if sim >= threshold:
-            rows.append(f"({a}, {b}, {sim!r}::DOUBLE)")
+            out.append((a, b, sim))
+    return out
+
+
+def _doc_minhash_values(
+    n: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.3
+) -> str:
+    rows = [
+        f"({a}, {b}, {sim!r}::DOUBLE)"
+        for a, b, sim in _py_minhash_pairs(n, num_hashes, bands, threshold)
+    ]
     return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(a, b, sim)"
+
+
+def _doc_neardup_clusters_values(threshold: float = 0.3) -> str:
+    """Pure-Python twin of ops.dedup.neardup_clusters: union-find over the
+    minhash pair graph, cluster_id = min doc_id per component, singletons
+    are their own cluster."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _sim in _py_minhash_pairs(threshold=threshold):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_members: dict[int, list[int]] = {}
+    for v in parent:
+        comp_members.setdefault(find(v), []).append(v)
+    cluster_of: dict[int, int] = {}
+    for members in comp_members.values():
+        cid = min(members)
+        for v in members:
+            cluster_of[v] = cid
+    assignment = {
+        doc_id: cluster_of.get(doc_id, doc_id)
+        for doc_id, _text in _oracle_documents()
+    }
+    from collections import Counter
+
+    sizes = Counter(assignment.values())
+    rows = [
+        f"({d}, {c}, {sizes[c]}, {1 if d == c else 0})"
+        for d, c in sorted(assignment.items())
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, cluster_id, cluster_size, is_canonical)"
+    )
+
+
+_SAMPLE_FRACTIONS = {0: 1.0, 1: 0.5, 2: 0.25, 3: 0.125}
+
+
+def _py_length_stratum(text: str, bucket_tokens: int = 16, n_buckets: int = 4) -> int:
+    return min(len(_py_tokens(text)) // bucket_tokens, n_buckets - 1)
+
+
+def _doc_stratified_sample_values() -> str:
+    """Pure-Python twin of ops.sample.stratified_sample over the token-
+    length strata: keep iff pmod(xxhash64(doc_id), 2^20) < round(f*2^20)."""
+    from cypher_guard_spark.ops.sample import SAMPLE_DENOM
+    from cypher_guard_spark.oracle import spark_xxhash64
+
+    rows = []
+    for doc_id, text in _oracle_documents():
+        stratum = _py_length_stratum(text)
+        thr = int(round(_SAMPLE_FRACTIONS[stratum] * SAMPLE_DENOM))
+        h = spark_xxhash64(doc_id, int_widths=("long",)) % SAMPLE_DENOM
+        if h < thr:
+            rows.append(f"({doc_id}, {stratum})")
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(doc_id, stratum)"
+
+
+def _doc_balanced_sample_values(k: int = 25) -> str:
+    """Pure-Python twin of ops.sample.balanced_sample: per stratum, the k
+    smallest (xxhash64(doc_id), doc_id) rows ranked 1..k."""
+    from collections import defaultdict
+
+    from cypher_guard_spark.oracle import spark_xxhash64
+
+    strata: defaultdict[int, list[tuple[int, int]]] = defaultdict(list)
+    for doc_id, text in _oracle_documents():
+        h = spark_xxhash64(doc_id, int_widths=("long",))
+        strata[_py_length_stratum(text)].append((h, doc_id))
+    rows = []
+    for stratum, entries in strata.items():
+        for rnk, (_h, doc_id) in enumerate(sorted(entries)[:k], start=1):
+            rows.append(f"({doc_id}, {stratum}, {rnk})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, stratum, rnk)"
+    )
 
 
 def _doc_simhash_values(bands: int = 4, max_hamming: int = 12) -> str:
@@ -606,7 +707,7 @@ def _media_frame_plan_sql() -> str:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from cypher_guard_spark.ops import dedup, relational, similarity, text
+    from cypher_guard_spark.ops import dedup, relational, sample, similarity, text
 
     def _docs(spark, sf_dir):
         return relational.load(spark, sf_dir, "documents")
@@ -635,12 +736,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_near_dups": lambda s, d: dedup.simhash_near_duplicates(
             _docs(s, d), max_hamming=12
         ),
+        "doc_neardup_clusters": lambda s, d: dedup.neardup_clusters(
+            s, _docs(s, d), threshold=0.3
+        ),
+        # deterministic sampling (training-data curation)
+        "doc_stratified_sample": lambda s, d: sample.stratified_sample(
+            _docs(s, d), sample.length_bucket(), _SAMPLE_FRACTIONS
+        ).select("doc_id", "stratum"),
+        "doc_balanced_sample": lambda s, d: sample.balanced_sample(
+            _docs(s, d), sample.length_bucket(), k=25
+        ).select("doc_id", "stratum", "rnk"),
         # text analysis
         "doc_token_stats": lambda s, d: text.token_count(_docs(s, d)),
         "doc_quality_scores": lambda s, d: text.quality_scores(_docs(s, d)),
         "doc_language_id": lambda s, d: text.language_id(_docs(s, d)),
         "doc_fingerprints": lambda s, d: text.fingerprints(_docs(s, d)),
         "doc_subword_counts": lambda s, d: text.bpe_ish_token_count(_docs(s, d)),
+        "doc_top_bigrams": lambda s, d: text.top_ngrams(_docs(s, d), n=2, k=20),
+        "doc_pii_counts": lambda s, d: text.pii_counts(_docs(s, d)),
         # similarity search
         "emb_knn_bruteforce": lambda s, d: similarity.brute_force_topk(
             _emb(s, d), _emb(s, d).where(F.col("vec_id") < 5), k=10
@@ -841,6 +954,36 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_subword
             FROM documents
         """,
+        "doc_top_bigrams": """
+            SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+            FROM (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(W) - 1, 0)),
+                       i -> W[i] || ' ' || W[i+1])) AS ngram
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '\\s+') AS W
+                    FROM documents))
+            GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram
+            LIMIT 20
+        """,
+        "doc_pii_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(trim(text)),
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS n_emails,
+                   len(regexp_extract_all(lower(trim(text)),
+                       'https?://[^\\s]+')) AS n_urls,
+                   len(regexp_extract_all(lower(trim(text)),
+                       '[0-9]{6,}')) AS n_long_digit_runs,
+                   CASE WHEN len(regexp_extract_all(lower(trim(text)),
+                            '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) > 0
+                          OR len(regexp_extract_all(lower(trim(text)),
+                            'https?://[^\\s]+')) > 0
+                          OR len(regexp_extract_all(lower(trim(text)),
+                            '[0-9]{6,}')) > 0
+                        THEN 1 ELSE 0 END AS has_pii
+            FROM documents
+        """,
         "emb_knn_bruteforce": """
             SELECT query_id, neighbor_id, rank, sim FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -898,4 +1041,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_triples_raw": _kg_triples_raw_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),
+        "doc_neardup_clusters": _doc_neardup_clusters_values(),
+        "doc_stratified_sample": _doc_stratified_sample_values(),
+        "doc_balanced_sample": _doc_balanced_sample_values(),
     }

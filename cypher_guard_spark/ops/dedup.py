@@ -187,6 +187,68 @@ def minhash_near_duplicates(
     return ver.select("a", "b", sim.alias("sim")).where(F.col("sim") >= threshold)
 
 
+def neardup_clusters(
+    spark,
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_canonical) — the full
+    dedup ASSIGNMENT: MinHash+LSH near-dup pairs → connected components →
+    per-cluster canonical election (min doc_id). Every doc appears exactly
+    once; singletons are their own cluster; `is_canonical=1` marks the
+    survivor set a curation pipeline keeps.
+
+    Scale posture: the CC input is the PAIR graph (O(near-dups), not
+    O(corpus)) — vertices are the distinct pair endpoints only, so the
+    component loop never touches the full corpus. Reuses the pipeline's
+    connected-components kernel (driver union-find fast path under 100k
+    edges, k-rounds-per-barrier min-propagation beyond — see
+    pipeline/canonicalize.py). Singleton docs join the assignment via a
+    broadcast-size left join at test scale; at web scale the assignment
+    table is near-dup-sized and the join shuffles on doc_id, the same key
+    the scan is typically bucketed by. The cluster_size window is one
+    shuffle on cluster_id.
+    """
+    from ..pipeline.canonicalize import connected_components
+    from pyspark.sql import Window
+
+    pairs = minhash_near_duplicates(
+        df, text_col, n=n, num_hashes=num_hashes, bands=bands, threshold=threshold
+    ).select("a", "b")
+    # CC kernel is keyed on (label, surface) string vertices; doc ids ride
+    # in base-10 so the mapping back is exact.
+    edges = pairs.select(
+        F.lit("doc").alias("label"),
+        F.col("a").cast("string").alias("a"),
+        F.col("b").cast("string").alias("b"),
+    )
+    verts = (
+        edges.select(F.col("a").alias("surface"))
+        .unionByName(edges.select(F.col("b").alias("surface")))
+        .distinct()
+        .select(F.lit("doc").alias("label"), "surface")
+    )
+    comp = connected_components(spark, verts, edges).select(
+        F.col("surface").cast("long").alias("doc_id"), "comp"
+    )
+    cluster_ids = comp.groupBy("comp").agg(F.min("doc_id").alias("cluster_id"))
+    assignment = comp.join(cluster_ids, "comp").select("doc_id", "cluster_id")
+    full = df.select("doc_id").join(assignment, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return full.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -99,3 +99,68 @@ def fingerprints(df: DataFrame, text_col: str = "text", prefix_tokens: int = 8) 
     toks = tokens(F.col(text_col))
     head = F.array_join(F.slice(toks, 1, prefix_tokens), " ")
     return df.select("doc_id", F.md5(head).alias("fingerprint"))
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
+) -> DataFrame:
+    """(ngram, n_docs, n_occurrences) — the corpus's k most frequent word
+    n-grams (boilerplate detection: headers/footers that repeat across a
+    crawl surface as high-doc-count n-grams). Ties broken by ngram text so
+    the top-k is total and engine-portable.
+
+    Scale posture: explode → partial-aggregating groupBy (map-side combine
+    collapses each task's n-grams before the single shuffle on the ngram
+    key) → global top-k via one final ordered take. The shuffle carries
+    (ngram, partial counts), never documents. Hot n-grams are exactly the
+    point (they ARE the boilerplate), and a count aggregation is
+    skew-immune: partials combine associatively, no single reduce task
+    sees raw rows.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.expr(
+        "transform(array(split(lower(trim({t})), '\\\\s+')), ws -> "
+        "transform(sequence(1, greatest(size(ws) - {m}, 0)), i -> {c}))[0]".format(
+            t=text_col,
+            m=n - 1,
+            c=" || ' ' || ".join(f"ws[i - 1 + {j}]" for j in range(n)),
+        )
+    )
+    per_doc = df.select("doc_id", F.explode(grams).alias("ngram"))
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(k)
+    )
+
+
+# Conservative, RE2-and-Java-identical patterns (no backrefs, no lookaround,
+# ASCII classes only) so the DuckDB oracle matches byte-for-byte.
+PII_PATTERNS = {
+    "n_emails": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+",
+    "n_urls": r"https?://[^\s]+",
+    "n_long_digit_runs": r"[0-9]{6,}",
+}
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_urls, n_long_digit_runs, has_pii) — per-doc
+    counts of conservative PII-shaped patterns (the redaction pre-scan of
+    a training-data pipeline: route has_pii docs to scrubbing). Map-only,
+    pure JVM regex; the patterns are restricted to the RE2 ∩ Java-regex
+    common subset so the oracle is exact."""
+    t = _norm(F.col(text_col))
+    cols = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(name)
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = df.select("doc_id", *cols)
+    flag = None
+    for name in PII_PATTERNS:
+        c = F.col(name) > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_pii", flag.cast("int"))

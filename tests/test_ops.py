@@ -217,3 +217,46 @@ def test_ivf_index_probe_matches_inmemory(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_top_ngrams_counts_and_ordering(spark):
+    """Corpus-level boilerplate detector: exact bigram doc/occurrence
+    counts with the (occurrences desc, ngram) total order."""
+    from cypher_guard_spark.ops.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = [
+        (r["ngram"], r["n_docs"], r["n_occurrences"])
+        for r in top_ngrams(df, n=2, k=10).collect()
+    ]
+    assert got == [("a b", 2, 3), ("b a", 1, 1), ("b c", 1, 1)]
+    # k truncates after the total order
+    assert [r["ngram"] for r in top_ngrams(df, n=2, k=1).collect()] == ["a b"]
+
+
+def test_pii_counts_on_crafted_rows(spark):
+    """The synthetic corpus has zero PII hits (the oracle verifies the
+    all-zero result); this locks the counting itself on crafted rows."""
+    from cypher_guard_spark.ops.text import pii_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact John.Doe@example.com or jane@test.org today"),
+            (2, "see https://example.com/page?id=2 and http://foo.bar"),
+            (3, "card 1234567890 short 12345"),
+            (4, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_urls"], r["n_long_digit_runs"], r["has_pii"])
+        for r in pii_counts(df).collect()
+    }
+    assert got == {
+        1: (2, 0, 0, 1),
+        2: (0, 2, 0, 1),
+        3: (0, 0, 1, 1),
+        4: (0, 0, 0, 0),
+    }

@@ -132,3 +132,27 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
 
     cells = re.findall(r"\d+", hit[0].split("IN")[-1])
     assert 1 <= len(set(cells)) <= 2, hit[0]
+
+
+def test_sampling_and_pii_map_only_topngrams_take_ordered(spark):
+    """stratified_sample and pii_counts must stay exchange-free (the keep
+    predicate / regex counts evaluate inside the scan's codegen stage);
+    top_ngrams must end in TakeOrderedAndProject (top-k without a global
+    sort) over at most the two aggregation exchanges the countDistinct
+    rewrite needs."""
+    from cypher_guard_spark.ops.sample import length_bucket, stratified_sample
+    from cypher_guard_spark.ops.text import pii_counts, top_ngrams
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(
+        stratified_sample(docs, length_bucket(), {0: 1.0, 1: 0.5}).select(
+            "doc_id", "stratum"
+        )
+    )
+    assert "Exchange" not in plan, plan
+    plan = plan_of(pii_counts(docs))
+    assert "Exchange" not in plan, plan
+    plan = plan_of(top_ngrams(docs, n=2, k=20), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges <= 2, plan

@@ -1,0 +1,119 @@
+"""Deterministic sampling + near-dup clustering: engine vs pure-Python
+twin (via the same VALUES oracles the driver runs in DuckDB), exactness
+of the salted two-phase top-k, and the map-only plan contract."""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+duckdb = pytest.importorskip("duckdb")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from cypher_guard_spark.spark import build_session
+
+    spark = build_session("sample-tests", cores=4, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture()
+def entry(monkeypatch):
+    """__spark_entry__ with its VALUES oracles pinned to this test's SF
+    (the oracle builders read the env var at call time)."""
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+    import __spark_entry__
+
+    return __spark_entry__
+
+
+def _oracle_rows(sql: str) -> set:
+    return set(map(tuple, duckdb.sql(sql).fetchall()))
+
+
+def test_stratified_sample_matches_twin(spark, docs, entry):
+    from cypher_guard_spark.ops.sample import length_bucket, stratified_sample
+
+    got = {
+        (r["doc_id"], r["stratum"])
+        for r in stratified_sample(
+            docs, length_bucket(), entry._SAMPLE_FRACTIONS
+        )
+        .select("doc_id", "stratum")
+        .collect()
+    }
+    want = _oracle_rows(entry._doc_stratified_sample_values())
+    assert got == want
+    assert got, "sample unexpectedly empty"
+    # rate sanity: stratum 0 is fraction 1.0 — everything survives
+    all_s0 = {
+        r["doc_id"]
+        for r in docs.select("doc_id", length_bucket().alias("s"))
+        .where(F.col("s") == 0)
+        .collect()
+    }
+    assert {d for d, s in got if s == 0} == all_s0
+
+
+def test_balanced_sample_matches_twin_and_is_salt_invariant(spark, docs, entry):
+    from cypher_guard_spark.ops.sample import balanced_sample, length_bucket
+
+    k = 25
+    got = {
+        (r["doc_id"], r["stratum"], r["rnk"])
+        for r in balanced_sample(docs, length_bucket(), k=k)
+        .select("doc_id", "stratum", "rnk")
+        .collect()
+    }
+    want = _oracle_rows(entry._doc_balanced_sample_values(k=k))
+    assert got == want
+    # exactly min(k, |stratum|) rows per stratum, ranked 1..n contiguously
+    from collections import Counter
+
+    sizes = Counter(
+        r["s"] for r in docs.select(length_bucket().alias("s")).collect()
+    )
+    per = Counter(s for _, s, _ in got)
+    for s, n in per.items():
+        assert n == min(k, sizes[s])
+        assert {r for _, s2, r in got if s2 == s} == set(range(1, n + 1))
+    # the salted two-phase draw is EXACT: n_salts must not change the result
+    unsalted = {
+        (r["doc_id"], r["stratum"], r["rnk"])
+        for r in balanced_sample(docs, length_bucket(), k=k, n_salts=1)
+        .select("doc_id", "stratum", "rnk")
+        .collect()
+    }
+    assert got == unsalted
+
+
+def test_neardup_clusters_matches_union_find_twin(spark, docs, entry):
+    from cypher_guard_spark.ops.dedup import minhash_near_duplicates, neardup_clusters
+
+    got_rows = neardup_clusters(spark, docs, threshold=0.3).collect()
+    got = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in got_rows
+    }
+    want = _oracle_rows(entry._doc_neardup_clusters_values(threshold=0.3))
+    assert got == want
+    # assignment is total and unique
+    assert len(got_rows) == docs.count()
+    assert len({r["doc_id"] for r in got_rows}) == len(got_rows)
+    # canonical docs are exactly the cluster ids, one per cluster
+    canon = {r["doc_id"] for r in got_rows if r["is_canonical"] == 1}
+    assert canon == {r["cluster_id"] for r in got_rows}
+    # every near-dup pair landed in one cluster
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in got_rows}
+    for r in minhash_near_duplicates(docs, threshold=0.3).collect():
+        assert cluster_of[r["a"]] == cluster_of[r["b"]]
