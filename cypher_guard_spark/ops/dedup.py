@@ -195,6 +195,7 @@ def neardup_clusters(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.7,
+    driver_max_pairs: int = 100_000,
 ) -> DataFrame:
     """(doc_id, cluster_id, cluster_size, is_canonical) — the full
     dedup ASSIGNMENT: MinHash+LSH near-dup pairs → connected components →
@@ -203,43 +204,83 @@ def neardup_clusters(
     survivor set a curation pipeline keeps.
 
     Scale posture: the CC input is the PAIR graph (O(near-dups), not
-    O(corpus)) — vertices are the distinct pair endpoints only, so the
-    component loop never touches the full corpus. Reuses the pipeline's
-    connected-components kernel (driver union-find fast path under 100k
-    edges, k-rounds-per-barrier min-propagation beyond — see
-    pipeline/canonicalize.py). Singleton docs join the assignment via a
-    broadcast-size left join at test scale; at web scale the assignment
-    table is near-dup-sized and the join shuffles on doc_id, the same key
-    the scan is typically bucketed by. The cluster_size window is one
-    shuffle on cluster_id.
+    O(corpus)) — the component step never touches the full corpus. The
+    pair list is probed with ONE early-exiting limit-collect; under
+    `driver_max_pairs` pairs, union-find runs on the driver and the
+    assignment re-enters the plan as a broadcast join — crucially this
+    executes the (expensive) minhash candidate subtree exactly ONCE,
+    where routing through the generic distributed CC kernel would
+    re-evaluate it for the vertex build and again per component join
+    (measured ~2x the whole operator's wall). Above the threshold the
+    pairs are lazily checkpointed (so the distributed loop's probe
+    materializes them once) and the pipeline's CC kernel takes over
+    (k-rounds-per-barrier min-propagation, pipeline/canonicalize.py);
+    both paths are equality-locked by test. Singleton docs join the
+    assignment via a broadcast (driver path) or a doc_id-keyed shuffle
+    join (distributed path — the same key the scan is typically bucketed
+    by at rest). The cluster_size window is one shuffle on cluster_id.
     """
-    from ..pipeline.canonicalize import connected_components
     from pyspark.sql import Window
 
     pairs = minhash_near_duplicates(
         df, text_col, n=n, num_hashes=num_hashes, bands=bands, threshold=threshold
     ).select("a", "b")
-    # CC kernel is keyed on (label, surface) string vertices; doc ids ride
-    # in base-10 so the mapping back is exact.
-    edges = pairs.select(
-        F.lit("doc").alias("label"),
-        F.col("a").cast("string").alias("a"),
-        F.col("b").cast("string").alias("b"),
-    )
-    verts = (
-        edges.select(F.col("a").alias("surface"))
-        .unionByName(edges.select(F.col("b").alias("surface")))
-        .distinct()
-        .select(F.lit("doc").alias("label"), "surface")
-    )
-    comp = connected_components(spark, verts, edges).select(
-        F.col("surface").cast("long").alias("doc_id"), "comp"
-    )
-    cluster_ids = comp.groupBy("comp").agg(F.min("doc_id").alias("cluster_id"))
-    assignment = comp.join(cluster_ids, "comp").select("doc_id", "cluster_id")
-    full = df.select("doc_id").join(assignment, "doc_id", "left").select(
-        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
-    )
+    assignment = None
+    probe = pairs.limit(driver_max_pairs + 1).collect()
+    if len(probe) <= driver_max_pairs:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in probe:
+            a, b = r["a"], r["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        members: dict = {}
+        for v in parent:
+            members.setdefault(find(v), []).append(v)
+        rows = [
+            (v, min(ms)) for ms in members.values() for v in ms
+        ]
+        if rows:
+            assignment = F.broadcast(
+                spark.createDataFrame(rows, "doc_id long, cluster_id long")
+            )
+    else:
+        from ..pipeline.canonicalize import connected_components
+
+        pairs = pairs.localCheckpoint(eager=False)
+        # CC kernel is keyed on (label, surface) string vertices; doc ids
+        # ride in base-10 so the mapping back is exact.
+        edges = pairs.select(
+            F.lit("doc").alias("label"),
+            F.col("a").cast("string").alias("a"),
+            F.col("b").cast("string").alias("b"),
+        )
+        verts = (
+            edges.select(F.col("a").alias("surface"))
+            .unionByName(edges.select(F.col("b").alias("surface")))
+            .distinct()
+            .select(F.lit("doc").alias("label"), "surface")
+        )
+        comp = connected_components(
+            spark, verts, edges, driver_smallgraph_max_edges=0
+        ).select(F.col("surface").cast("long").alias("doc_id"), "comp")
+        cluster_ids = comp.groupBy("comp").agg(F.min("doc_id").alias("cluster_id"))
+        assignment = comp.join(cluster_ids, "comp").select("doc_id", "cluster_id")
+    if assignment is None:
+        full = df.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    else:
+        full = df.select("doc_id").join(assignment, "doc_id", "left").select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
     w = Window.partitionBy("cluster_id")
     return full.select(
         "doc_id",

@@ -117,3 +117,20 @@ def test_neardup_clusters_matches_union_find_twin(spark, docs, entry):
     cluster_of = {r["doc_id"]: r["cluster_id"] for r in got_rows}
     for r in minhash_near_duplicates(docs, threshold=0.3).collect():
         assert cluster_of[r["a"]] == cluster_of[r["b"]]
+
+
+def test_neardup_clusters_distributed_path_matches_driver_path(spark, docs):
+    """driver_max_pairs=0 forces the distributed CC branch; it must be
+    bit-identical to the driver union-find fast path."""
+    from cypher_guard_spark.ops.dedup import neardup_clusters
+
+    fast = {
+        tuple(r) for r in neardup_clusters(spark, docs, threshold=0.3).collect()
+    }
+    dist = {
+        tuple(r)
+        for r in neardup_clusters(
+            spark, docs, threshold=0.3, driver_max_pairs=0
+        ).collect()
+    }
+    assert fast == dist
