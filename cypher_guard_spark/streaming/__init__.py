@@ -1,4 +1,12 @@
 from .validate_stream import stream_validate, stream_error_rates, run_available_now
+from .link_state import stream_link_stats
+from .dedup_stream import stream_dedup_exact, run_dedup_stream
 
-__all__ = ["stream_validate", "stream_error_rates", "run_available_now"]
-from .link_state import stream_link_stats  # noqa: F401
+__all__ = [
+    "stream_validate",
+    "stream_error_rates",
+    "run_available_now",
+    "stream_link_stats",
+    "stream_dedup_exact",
+    "run_dedup_stream",
+]

@@ -226,3 +226,50 @@ def test_kg_stream_end_to_end_with_checkpoint_recovery(spark, tmp_path):
     # idle restart: nothing new in the source -> nothing appended
     run_kg_stream(spark, str(src / "*"), ckpt, out)
     assert spark.read.parquet(out).count() == len(all_rows)
+
+
+def test_stream_dedup_exact_cross_batch_and_recovery(spark, tmp_path):
+    """Streaming exact dedup: first copy per digest passes, duplicates are
+    dropped ACROSS micro-batches and across a query restart (state rides
+    the checkpoint); a second drain admits only genuinely-new digests."""
+    from cypher_guard_spark.streaming.dedup_stream import (
+        DOC_STREAM_SCHEMA,
+        run_dedup_stream,
+    )
+
+    src, out, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def write_wave(rows, part):
+        spark.createDataFrame(
+            [
+                (i, text, t0 + dt.timedelta(seconds=30 * i))
+                for i, text in rows
+            ],
+            DOC_STREAM_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_wave([(1, "alpha doc"), (2, "beta doc"), (3, "Alpha  doc  x"),
+                (4, "  ALPHA DOC "), (5, "gamma doc")], 1)
+    q = run_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination()
+    first = {(r["doc_id"], r["digest"]) for r in spark.read.parquet(out).collect()}
+    # doc 4 normalizes to doc 1's text ("alpha doc") -> dropped; doc 3 differs
+    assert {d for d, _ in first} == {1, 2, 3, 5}
+
+    # wave 2 in a NEW query on the same checkpoint: dups vs wave-1 state
+    # must still drop, only the new digest passes
+    write_wave([(6, "beta doc"), (7, "delta doc"), (8, "ALPHA DOC")], 2)
+    q = run_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination()
+    after = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert after == {1, 2, 3, 5, 7}
+
+    # idle restart: nothing new, nothing re-emitted
+    q = run_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination()
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == after
