@@ -533,6 +533,91 @@ def _doc_simhash_values(bands: int = 4, max_hamming: int = 12) -> str:
     return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(a, b, hamming)"
 
 
+def _py_dist2(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
+
+
+def _py_lloyd_assign(vecs: dict, n_centroids: int, iters: int):
+    """Pure-Python twin of ops.similarity.kmeans_centroids + _assign:
+    fixed init (vectors of the k smallest ids, 6dp-rounded), exactly
+    `iters` update rounds, assignment key (6dp-rounded L2², centroid_id),
+    value-sorted sequential-fold trainer mean — bit-identical to the
+    engine on every double. Returns (centers, assignment) dicts."""
+    centers = {
+        cid: [_round6(x) for x in vecs[vid]]
+        for cid, vid in enumerate(sorted(vecs)[:n_centroids])
+    }
+    for _ in range(iters):
+        assign = {
+            vid: min((_round6(_py_dist2(v, centers[c])), c) for c in centers)[1]
+            for vid, v in vecs.items()
+        }
+        new_centers = {}
+        for c in centers:
+            members = [vecs[v] for v in vecs if assign[v] == c]
+            if members:
+                dims = len(members[0])
+                new_centers[c] = [
+                    _round6(_sorted_fold_sum(m[d] for m in members) / len(members))
+                    for d in range(dims)
+                ]
+            else:
+                new_centers[c] = centers[c]
+        centers = new_centers
+    assign = {
+        vid: min((_round6(_py_dist2(v, centers[c])), c) for c in centers)[1]
+        for vid, v in vecs.items()
+    }
+    return centers, assign
+
+
+def _emb_semdedup_values(
+    n_clusters: int = 8, threshold: float = 0.3, iters: int = 2
+) -> str:
+    """Pure-Python twin of ops.dedup.semantic_duplicates (SemDeDup):
+    deterministic Lloyd clustering (shared twin `_py_lloyd_assign`), then
+    within-cluster pairs with 6dp-rounded cosine ≥ threshold. The cosine
+    fold runs in array order on both engines, so the doubles are
+    bit-identical."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        str(Path(_oracle_sf_dir()) / "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    vecs = dict(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))
+    _, assign = _py_lloyd_assign(vecs, n_clusters, iters)
+    rows = []
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if assign[a] != assign[b]:
+                continue
+            dot = na = nb = 0.0
+            for x, y in zip(vecs[a], vecs[b]):
+                dot += x * y
+                na += x * x
+                nb += y * y
+            sim = _round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+            if sim >= threshold:
+                rows.append(f"({a}, {b}, {assign[a]}, {sim!r}::DOUBLE)")
+    if not rows:
+        return (
+            "SELECT * FROM (VALUES (0, 0, 0, 0.0::DOUBLE)) "
+            "AS t(a, b, centroid_id, sim) WHERE 1 = 0"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(a, b, centroid_id, sim)"
+    )
+
+
 def _emb_ivf_values(
     k: int = 5, n_centroids: int = 8, nprobe: int = 2, iters: int = 2
 ) -> str:
@@ -551,38 +636,11 @@ def _emb_ivf_values(
         columns=["vec_id", "embedding"],
     )
     vecs = dict(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))
+    centers, assign = _py_lloyd_assign(vecs, n_centroids, iters)
 
     def dist2(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += (x - y) * (x - y)
-        return acc
+        return _py_dist2(a, b)
 
-    centers = {
-        cid: [_round6(x) for x in vecs[vid]]
-        for cid, vid in enumerate(sorted(vecs)[:n_centroids])
-    }
-    for _ in range(iters):
-        assign = {
-            vid: min((_round6(dist2(v, centers[c])), c) for c in centers)[1]
-            for vid, v in vecs.items()
-        }
-        new_centers = {}
-        for c in centers:
-            members = [vecs[v] for v in vecs if assign[v] == c]
-            if members:
-                dims = len(members[0])
-                new_centers[c] = [
-                    _round6(_sorted_fold_sum(m[d] for m in members) / len(members))
-                    for d in range(dims)
-                ]
-            else:
-                new_centers[c] = centers[c]
-        centers = new_centers
-    assign = {
-        vid: min((_round6(dist2(v, centers[c])), c) for c in centers)[1]
-        for vid, v in vecs.items()
-    }
     rows = []
     for qid in sorted(v for v in vecs if v < 5):
         probed = {
@@ -707,7 +765,14 @@ def _media_frame_plan_sql() -> str:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from cypher_guard_spark.ops import dedup, relational, sample, similarity, text
+    from cypher_guard_spark.ops import (
+        decontam,
+        dedup,
+        relational,
+        sample,
+        similarity,
+        text,
+    )
 
     def _docs(spark, sf_dir):
         return relational.load(spark, sf_dir, "documents")
@@ -739,6 +804,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neardup_clusters": lambda s, d: dedup.neardup_clusters(
             s, _docs(s, d), threshold=0.3
         ),
+        "doc_decontam": lambda s, d: decontam.contamination_report(
+            _docs(s, d).where(F.col("doc_id") % 97 != 0),
+            _docs(s, d).where(F.col("doc_id") % 97 == 0),
+            n=3,
+        ),
         # deterministic sampling (training-data curation)
         "doc_stratified_sample": lambda s, d: sample.stratified_sample(
             _docs(s, d), sample.length_bucket(), _SAMPLE_FRACTIONS
@@ -754,6 +824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_subword_counts": lambda s, d: text.bpe_ish_token_count(_docs(s, d)),
         "doc_top_bigrams": lambda s, d: text.top_ngrams(_docs(s, d), n=2, k=20),
         "doc_pii_counts": lambda s, d: text.pii_counts(_docs(s, d)),
+        "doc_repetition_scores": lambda s, d: text.repetition_scores(_docs(s, d), n=2),
+        "corpus_source_mix": lambda s, d: text.source_mix(_docs(s, d)),
         # similarity search
         "emb_knn_bruteforce": lambda s, d: similarity.brute_force_topk(
             _emb(s, d), _emb(s, d).where(F.col("vec_id") < 5), k=10
@@ -768,6 +840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         "emb_cosine_near_dups": lambda s, d: dedup.embedding_near_duplicates(
             _emb(s, d), threshold=0.15
+        ),
+        "emb_semantic_dups": lambda s, d: dedup.semantic_duplicates(
+            _emb(s, d), n_clusters=8, threshold=0.3
         ),
         # multimodal plumbing (binary payload + typed metadata; stub kernel)
         "media_features": q_media_features,
@@ -984,6 +1059,54 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                         THEN 1 ELSE 0 END AS has_pii
             FROM documents
         """,
+        "doc_decontam": f"""
+            WITH bench AS (
+              SELECT DISTINCT unnest({shingles}) AS ngram
+              FROM documents WHERE doc_id % 97 = 0),
+            corpus AS (
+              SELECT doc_id, {shingles} AS sh
+              FROM documents WHERE doc_id % 97 <> 0),
+            hits AS (
+              SELECT e.doc_id, count(*) AS n_cont
+              FROM (SELECT doc_id, unnest(sh) AS ngram FROM corpus) e
+              JOIN bench USING (ngram) GROUP BY e.doc_id)
+            SELECT c.doc_id,
+                   len(c.sh) AS n_ngrams,
+                   coalesce(h.n_cont, 0) AS n_contaminated,
+                   round(coalesce(h.n_cont, 0) / greatest(len(c.sh), 1), 6) AS contamination,
+                   (coalesce(h.n_cont, 0) > 0)::int AS contaminated
+            FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        """,
+        "doc_repetition_scores": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, toks,
+                     list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                    i -> toks[i] || ' ' || toks[i + 1]) AS grams
+              FROM t),
+            best AS (
+              SELECT doc_id, max(c) AS best FROM (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+                GROUP BY doc_id, gram)
+              GROUP BY doc_id)
+            SELECT g.doc_id,
+                   len(g.toks) AS n_tokens,
+                   round(1.0 - len(list_distinct(g.toks)) / greatest(len(g.toks), 1), 6)
+                       AS dup_token_ratio,
+                   round(coalesce(b.best, 0) / greatest(len(g.grams), 1), 6)
+                       AS top_ngram_ratio
+            FROM g LEFT JOIN best b ON g.doc_id = b.doc_id
+        """,
+        "corpus_source_mix": """
+            SELECT source, lang, count(*) AS n_docs,
+                   count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+                   round(sum(length(lower(trim(text))))::DOUBLE / count(*), 6) AS avg_chars,
+                   round(1.0 - count(DISTINCT md5(lower(trim(text)))) / count(*), 6) AS dup_ratio
+            FROM documents GROUP BY source, lang
+        """,
         "emb_knn_bruteforce": """
             SELECT query_id, neighbor_id, rank, sim FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1034,6 +1157,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "media_frame_plan": _media_frame_plan_sql(),
         "media_resize": _media_resize_values(),
         "emb_ivf_topk": _emb_ivf_values(),
+        "emb_semantic_dups": _emb_semdedup_values(),
         "guard_verdicts": _guard_verdicts_values(),
         "guard_error_codes": _guard_error_codes_values(),
         "guard_is_write": _guard_is_write_values(),

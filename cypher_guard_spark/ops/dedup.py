@@ -38,9 +38,13 @@ def word_shingles(text_col: str, n: int = 3):
     (`__spark_entry__._py_tokens`). Residual divergence is limited to
     locale-special lowercasings outside ASCII."""
     concat = " || ' ' || ".join(f"ws[i - 1 + {k}]" for k in range(n))
+    # NB sub-n-token docs: sequence(1, 0) would count DOWN ([1, 0]) — the
+    # CASE guard returns an empty shingle array instead of indexing out of
+    # bounds on short rows.
     return F.expr(
         f"transform(array(split(lower(trim({text_col})), '\\\\s+')), ws -> "
-        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 0)), i -> {concat}))[0]"
+        f"CASE WHEN size(ws) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(ws) - {n - 1}), i -> {concat}) END)[0]"
     )
 
 
@@ -319,6 +323,60 @@ def embedding_near_duplicates(
         F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("sim"),
     )
     return cand.where(F.col("sim") >= threshold)
+
+
+def semantic_duplicates(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.3,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """(a, b, centroid_id, sim) — SemDeDup-style semantic near-duplicate
+    pairs: k-means-cluster the embedding space (the deterministic Lloyd
+    trainer shared with IVF), then compare pairs ONLY within a cluster and
+    keep those with cosine ≥ threshold. Complements `embedding_near_
+    duplicates` (sign-LSH blocking): learned cells adapt to the data's
+    density instead of fixed hyperplanes, which is the published SemDeDup
+    recipe for paraphrase-level dedup.
+
+    Scale posture: the cluster assignment is a broadcast of k centroid
+    rows (map-only per vector); the pairwise stage is an equi-join on
+    centroid_id, so the quadratic is bounded per cell — at corpus scale k
+    grows with N (cells of ~10^3-10^4 vectors, the SemDeDup operating
+    point) and the trainer runs on a sample (`train_fraction`), exactly as
+    the IVF docstring commits to. AQE skew-split covers an over-dense
+    cell. With the deterministic trainer (train_fraction=1.0) the whole
+    operator is engine-portable and has an exact pure-Python oracle
+    (__spark_entry__._emb_semdedup_values)."""
+    from .similarity import _assign, _to_double, cosine, kmeans_centroids
+
+    cents = kmeans_centroids(
+        embeddings,
+        k=n_clusters,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        train_fraction=train_fraction,
+    )
+    vecs = embeddings.select(F.col(id_col).alias("vid"), _to_double(vec_col).alias("v"))
+    assigned = _assign(vecs, cents)
+    left, right = assigned.alias("l"), assigned.alias("r")
+    pairs = left.join(
+        right,
+        on=[
+            F.col("l.centroid_id") == F.col("r.centroid_id"),
+            F.col("l.vid") < F.col("r.vid"),
+        ],
+    ).select(
+        F.col("l.vid").alias("a"),
+        F.col("r.vid").alias("b"),
+        F.col("l.centroid_id").alias("centroid_id"),
+        F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("sim"),
+    )
+    return pairs.where(F.col("sim") >= threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:

@@ -118,10 +118,14 @@ def top_ngrams(
     sees raw rows.
     """
     toks = tokens(F.col(text_col))
+    # CASE guard: sequence(1, 0) counts DOWN in Spark, so sub-n-token docs
+    # get an empty gram array instead of an out-of-bounds index
     grams = F.expr(
         "transform(array(split(lower(trim({t})), '\\\\s+')), ws -> "
-        "transform(sequence(1, greatest(size(ws) - {m}, 0)), i -> {c}))[0]".format(
+        "CASE WHEN size(ws) < {n} THEN array() "
+        "ELSE transform(sequence(1, size(ws) - {m}), i -> {c}) END)[0]".format(
             t=text_col,
+            n=n,
             m=n - 1,
             c=" || ' ' || ".join(f"ws[i - 1 + {j}]" for j in range(n)),
         )
@@ -135,6 +139,85 @@ def top_ngrams(
         )
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
         .limit(k)
+    )
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """(doc_id, n_tokens, dup_token_ratio, top_ngram_ratio) — Gopher-style
+    repetitiousness signals for quality filtering: the fraction of tokens
+    that are repeats of an earlier token, and the fraction of word n-grams
+    taken by the single most frequent n-gram (machine-generated and
+    boilerplate text scores high on both).
+
+    Map-only, zero shuffle: the most-frequent-n-gram count is computed
+    per-row as the longest run in the SORTED n-gram array via one
+    sequential fold — O(L log L) JVM work per doc, nothing leaves the
+    task. (The explode→groupBy alternative would shuffle every n-gram of
+    a 100-TB corpus to compute a per-doc statistic.) The token and n-gram
+    arrays are each bound once with the single-element-array lambda trick
+    so CollapseProject cannot inline the regex split into every
+    consumer."""
+    concat = " || ' ' || ".join(f"ws[i - 1 + {j}]" for j in range(n))
+    grams = (
+        f"transform(array(split(lower(trim({text_col})), '\\\\s+')), ws -> "
+        f"CASE WHEN size(ws) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(ws) - {n - 1}), i -> {concat}) END)[0]"
+    )
+    top_ratio = F.expr(
+        f"transform(array(array_sort({grams})), gs -> "
+        "round(aggregate(gs, "
+        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+        "(acc, x) -> named_struct('prev', x, "
+        "'run', IF(x <=> acc.prev, acc.run + 1, 1), "
+        "'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))), "
+        "acc -> acc.best) / greatest(size(gs), 1), 6))[0]"
+    )
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    dup_ratio = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1)), 6
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        dup_ratio.alias("dup_token_ratio"),
+        top_ratio.alias("top_ngram_ratio"),
+    )
+
+
+def source_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, lang, n_docs, n_unique, avg_chars, dup_ratio) — corpus
+    composition report by provenance cell: how much each (source, lang)
+    slice contributes and how internally duplicated it is (exact-dup rate
+    via distinct normalized-text digests). The first table a curation run
+    looks at when deciding mixture weights.
+
+    One partial-aggregating shuffle on the low-cardinality (source, lang)
+    key; the digest distinct-count is a partial agg too (Spark rewrites
+    countDistinct into a two-stage expand+agg — partials combine, no raw
+    rows cross). avg_chars divides two exactly-summed integers, so the
+    double is engine-portable without ordering caveats."""
+    norm = _norm(F.col(text_col))
+    base = df.select(
+        "source", "lang", F.length(norm).alias("nc"), F.md5(norm).alias("digest")
+    )
+    return (
+        base.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique"),
+            F.round(F.sum("nc") / F.count("*"), 6).alias("avg_chars"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_unique",
+            "avg_chars",
+            F.round(
+                F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 6
+            ).alias("dup_ratio"),
+        )
     )
 
 

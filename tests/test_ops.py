@@ -260,3 +260,109 @@ def test_pii_counts_on_crafted_rows(spark):
         3: (0, 0, 1, 1),
         4: (0, 0, 0, 0),
     }
+
+
+def test_contamination_report_crafted(spark):
+    """Benchmark-overlap decontamination: exact 3-gram collision counts,
+    set-ratio semantics, and sub-n docs surviving with zero n-grams."""
+    from cypher_guard_spark.ops.decontam import contamination_report, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox run off"),  # 2 bench 3-grams
+            (2, "completely unrelated words here today"),
+            (3, "too short"),  # < 3 tokens -> 0 n-grams
+            (4, "the quick brown fox jumps"),  # fully contained
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_ngrams"], r["n_contaminated"], r["contamination"], r["contaminated"]
+        )
+        for r in contamination_report(corpus, bench, n=3).collect()
+    }
+    assert got[1] == (6, 2, round(2 / 6, 6), 1)
+    assert got[2] == (3, 0, 0.0, 0)
+    assert got[3] == (0, 0, 0.0, 0)
+    assert got[4] == (3, 3, 1.0, 1)
+    clean = sorted(
+        r["doc_id"] for r in decontaminate(corpus, bench, n=3).collect()
+    )
+    assert clean == [2, 3]
+
+
+def test_repetition_scores_crafted(spark):
+    """Gopher-style repetitiousness: duplicate-token fraction and the
+    most-frequent-bigram share, computed per-row without any shuffle."""
+    from cypher_guard_spark.ops.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # dup 3/4; top bigram 'a a' = 3/3
+            (2, "a b c d"),          # dup 0; each bigram once = 1/3
+            (3, "spam spam ham spam spam ham"),  # dup 4/6; 'spam spam' 2/5
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_token_ratio"], r["top_ngram_ratio"])
+        for r in repetition_scores(df, n=2).collect()
+    }
+    assert got[1] == (4, 0.75, 1.0)
+    assert got[2] == (4, 0.0, round(1 / 3, 6))
+    assert got[3] == (6, round(4 / 6, 6), 0.4)
+
+
+def test_source_mix_crafted(spark):
+    """Corpus composition: per-(source, lang) counts, exact-dup rate via
+    distinct digests, exact-integer-sum average chars."""
+    from cypher_guard_spark.ops.text import source_mix
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", "en", "web"),
+            (2, "same text", "en", "web"),
+            (3, "other", "en", "web"),
+            (4, "solo", "de", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r["source"], r["lang"]): (
+            r["n_docs"], r["n_unique"], r["avg_chars"], r["dup_ratio"]
+        )
+        for r in source_mix(df).collect()
+    }
+    assert got[("web", "en")] == (3, 2, round((9 + 9 + 5) / 3, 6), round(1 / 3, 6))
+    assert got[("books", "de")] == (1, 1, 4.0, 0.0)
+
+
+def test_semantic_duplicates_subset_of_bruteforce(spark):
+    """SemDeDup pairs must be a subset of the full pairwise cosine>=t set
+    (cluster blocking can only DROP pairs, never invent or rescore), with
+    both ends assigned to the reported centroid."""
+    from cypher_guard_spark.ops.dedup import semantic_duplicates
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = semantic_duplicates(emb, n_clusters=4, threshold=0.3).collect()
+    assert pairs, "synthetic embeddings should produce some semantic pairs"
+    import math
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    for r in pairs:
+        assert r["a"] < r["b"]
+        assert r["sim"] >= 0.3
+        assert abs(r["sim"] - cos(vecs[r["a"]], vecs[r["b"]])) < 1e-5

@@ -156,3 +156,39 @@ def test_sampling_and_pii_map_only_topngrams_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
     assert n_exchanges <= 2, plan
+
+
+def test_decontam_broadcasts_benchmark_and_repetition_map_only(spark):
+    """The 100-TB postures of the new curation ops: the benchmark n-gram
+    side of decontamination must BROADCAST (the corpus side stays map-only
+    up to the single doc_id partial-agg shuffle, never a sort-merge join
+    on n-grams), repetition_scores must be exchange-free (per-row sorted
+    fold, no explode->groupBy), and source_mix must need at most the two
+    exchanges of the countDistinct rewrite."""
+    from cypher_guard_spark.ops.decontam import contamination_report
+    from cypher_guard_spark.ops.text import repetition_scores, source_mix
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    plan = plan_of(contamination_report(corpus, bench, n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(repetition_scores(docs))
+    assert "Exchange" not in plan, plan
+
+    plan = plan_of(source_mix(docs), mode="simple")
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges <= 2, plan
+
+
+def test_semantic_dedup_no_cartesian_on_corpus(spark):
+    """SemDeDup's pairwise stage must be an equi-join on centroid_id —
+    the only nested-loop joins allowed are the k-row centroid broadcasts
+    of the assignment step."""
+    from cypher_guard_spark.ops.dedup import semantic_duplicates
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(semantic_duplicates(emb, n_clusters=4, threshold=0.3))
+    assert "CartesianProduct" not in plan, plan
