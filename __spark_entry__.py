@@ -476,6 +476,21 @@ def _doc_stratified_sample_values() -> str:
     return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(doc_id, stratum)"
 
 
+def _doc_pack_shards_values(n_shards: int = 4) -> str:
+    """VALUES (doc_id, shard) for the pack_sequences oracle — shard =
+    pmod(xxhash64(doc_id), n_shards) via the pure-Python xxhash64 twin
+    (Python's % is already non-negative for positive moduli, matching
+    Spark's pmod). The packing arithmetic itself stays in SQL (window
+    prefix-sum over this mapping)."""
+    from cypher_guard_spark.oracle import spark_xxhash64
+
+    rows = [
+        f"({doc_id}, {spark_xxhash64(doc_id, int_widths=('long',)) % n_shards})"
+        for doc_id, _text in _oracle_documents()
+    ]
+    return "(VALUES " + ", ".join(rows) + ") AS s(doc_id, shard)"
+
+
 def _doc_balanced_sample_values(k: int = 25) -> str:
     """Pure-Python twin of ops.sample.balanced_sample: per stratum, the k
     smallest (xxhash64(doc_id), doc_id) rows ranked 1..k."""
@@ -809,6 +824,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d).where(F.col("doc_id") % 97 == 0),
             n=3,
         ),
+        # corpus-wide line dedup: the flat synthetic text has no newlines,
+        # so the query derives a multi-line corpus deterministically first
+        # (newline after every 8th token) — the operator itself is the
+        # general RefinedWeb boilerplate-line removal
+        "doc_line_dedup": lambda s, d: dedup.line_dedup(
+            _docs(s, d).withColumn(
+                "text",
+                F.regexp_replace(
+                    F.col("text"), r"((?:\S+\s+){7}\S+)\s+", "$1\n"
+                ),
+            ),
+            min_docs=2,
+        ),
         # deterministic sampling (training-data curation)
         "doc_stratified_sample": lambda s, d: sample.stratified_sample(
             _docs(s, d), sample.length_bucket(), _SAMPLE_FRACTIONS
@@ -816,6 +844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_balanced_sample": lambda s, d: sample.balanced_sample(
             _docs(s, d), sample.length_bucket(), k=25
         ).select("doc_id", "stratum", "rnk"),
+        "doc_pack_sequences": lambda s, d: sample.pack_sequences(
+            _docs(s, d), budget=64, n_shards=4
+        ),
         # text analysis
         "doc_token_stats": lambda s, d: text.token_count(_docs(s, d)),
         "doc_quality_scores": lambda s, d: text.quality_scores(_docs(s, d)),
@@ -844,6 +875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dups": lambda s, d: dedup.semantic_duplicates(
             _emb(s, d), n_clusters=8, threshold=0.3
         ),
+        "emb_quantized": lambda s, d: similarity.quantize_embeddings(
+            _emb(s, d)
+        ).select("vec_id", F.posexplode("qvec").alias("dim", "q")),
         # multimodal plumbing (binary payload + typed metadata; stub kernel)
         "media_features": q_media_features,
         "media_frame_plan": q_media_frame_plan,
@@ -1152,6 +1186,64 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                      round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS sim
               FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
             ) WHERE sim >= 0.15
+        """,
+        "doc_line_dedup": """
+            WITH docs2 AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\\S+\\s+){7}\\S+)\\s+',
+                                    '\\1' || chr(10), 'g') AS t
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS line,
+                     unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+              FROM docs2),
+            boiler AS (
+              SELECT trim(line) AS lk FROM lines
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                     count(*) AS n_kept
+              FROM lines WHERE trim(line) NOT IN (SELECT lk FROM boiler)
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   len(string_split(d.t, chr(10))) AS n_lines,
+                   (len(string_split(d.t, chr(10))) - coalesce(r.n_kept, 0))::BIGINT
+                     AS n_removed,
+                   coalesce(r.text_clean, '') AS text_clean
+            FROM docs2 d LEFT JOIN reb r USING (doc_id)
+        """,
+        "doc_pack_sequences": f"""
+            WITH shards AS (SELECT * FROM {_doc_pack_shards_values()}),
+            base AS (
+              SELECT d.doc_id, s.shard,
+                     len(regexp_split_to_array(lower(trim(d.text)), '\\s+'))
+                       AS n_tokens
+              FROM documents d JOIN shards s USING (doc_id)),
+            w AS (
+              SELECT doc_id, shard, n_tokens,
+                     coalesce(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS ce
+              FROM base)
+            SELECT doc_id, shard, (ce // 64)::BIGINT AS seq_id,
+                   n_tokens, (ce % 64)::BIGINT AS tok_offset
+            FROM w
+        """,
+        "emb_quantized": """
+            WITH x AS (
+              SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                     unnest(range(0, len(embedding))) AS dim
+              FROM embeddings),
+            r AS (SELECT dim, min(x) AS lo, max(x) - min(x) AS span
+                  FROM x GROUP BY dim)
+            SELECT x.vec_id, x.dim,
+                   CASE WHEN r.span = 0 THEN 0
+                        ELSE floor((x.x - r.lo) / r.span * 255.0 + 0.5)::INT - 128
+                   END AS q
+            FROM x JOIN r USING (dim)
         """,
         "media_features": _media_features_values(),
         "media_frame_plan": _media_frame_plan_sql(),

@@ -48,6 +48,71 @@ def word_shingles(text_col: str, n: int = 3):
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 2,
+    newline: str = "\n",
+) -> DataFrame:
+    """(doc_id, n_lines, n_removed, text_clean) — corpus-wide line-level
+    deduplication (the RefinedWeb/CCNet recipe): any line whose trimmed
+    form appears in >= `min_docs` DISTINCT documents is boilerplate
+    (headers, navbars, license blurbs) and is removed from every document;
+    per-document line order is preserved in the rebuilt text.
+
+    Scale posture (three exchanges, each the cheapest possible shape):
+    1. frequency: the count-distinct shuffle carries (md5(line), doc_id)
+       only — never line text — and Spark rewrites countDistinct as a
+       two-stage expand+partial agg, so duplicates collapse map-side.
+    2. filter: the boilerplate set (lines crossing `min_docs`) is tiny
+       relative to the corpus — the left_anti join broadcasts it under
+       AQE; a pathological corpus degrades to a digest-keyed shuffle join,
+       still never moving text on the build side.
+    3. rebuild: collect_list(struct(pos, line)) per doc_id — the one
+       shuffle that must carry text, proportional to the SURVIVING corpus
+       (what any re-shard of the cleaned table would cost anyway).
+    Docs whose every line is boilerplate survive with text_clean='' via
+    the final left join from the input."""
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), newline)).alias("pos", "line"),
+    ).withColumn("lk", F.md5(F.trim(F.col("line"))))
+    boilerplate = (
+        lines.groupBy("lk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("lk")
+    )
+    rebuilt = (
+        lines.join(boilerplate, "lk", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.getField("line"),
+                ),
+                newline,
+            ).alias("text_clean"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        df.select(
+            "doc_id", F.size(F.split(F.col(text_col), newline)).alias("n_lines")
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(digest, dup_count, canonical_doc_id) for exact (normalized) dup
     groups; dup_count=1 groups are unique docs. Shuffles only the digest."""

@@ -110,3 +110,48 @@ def balanced_sample(
         survivors.withColumn("rnk", F.row_number().over(w2))
         .where(F.col("rnk") <= k)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shard, seq_id, n_tokens, tok_offset) — deterministic
+    sequence packing for pretraining: documents are concatenated in
+    doc_id order within a hash-assigned shard, and each document lands in
+    training sequence `seq_id` at token offset `tok_offset`, where
+    sequences hold `budget` tokens (the standard concat-then-chunk packing
+    — a document crossing a boundary spills into the next sequence, which
+    is exactly what chunked pretraining tokenization does).
+
+    Everything is a pure function of the row keys: shard =
+    pmod(xxhash64(doc_id), n_shards) (re-runnable under task retry,
+    engine-portable via the pure-Python xxhash64 twin), seq_id/offset from
+    an exclusive prefix-sum window within the shard. One shuffle (hash
+    repartition to shards) + one per-shard ordered window — the window
+    sorts ONE SHARD per task, so n_shards is the scale dial (at 10^12
+    docs pick n_shards ~ corpus_tokens / (10^8) to keep each sort
+    executor-sized; packing quality is unaffected by the shard count).
+    """
+    nt = F.size(tokens(F.col(text_col)))
+    base = df.select(
+        F.col(key_col),
+        nt.alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        key_col,
+        "shard",
+        F.floor(cum_excl / budget).cast("long").alias("seq_id"),
+        "n_tokens",
+        F.pmod(cum_excl, F.lit(budget)).cast("long").alias("tok_offset"),
+    )

@@ -405,3 +405,63 @@ def label_centroids(
     return exploded.groupBy("label", "dim").agg(
         F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid")
     )
+
+
+def dim_ranges(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list:
+    """Per-dimension (lo, hi) over the corpus, as a dim-ordered list of
+    Rows. One posexplode + partial-agg shuffle on the (tiny) dim key; the
+    collect is d rows — driver-safe at any corpus size (d is the embedding
+    width, not the row count). min/max are exact (no FP summation), so the
+    values are engine-portable without rounding protection."""
+    vecs = embeddings.select(_to_double(vec_col).alias("v"))
+    rows = (
+        vecs.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    return sorted(rows, key=lambda r: r["dim"])
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ranges: list | None = None,
+) -> DataFrame:
+    """(vec_id, qvec array<int>) — int8 scalar quantization of the
+    embedding column (the standard 4x at-rest compression before ANN
+    serving): per dimension, x is affinely mapped from the corpus's
+    [lo, hi] onto [-128, 127] with round-half-up; constant dimensions
+    quantize to 0.
+
+    Two passes, both cheap: `dim_ranges` aggregates d rows (one shuffle
+    keyed on the dimension index), then the quantize itself is MAP-ONLY —
+    the per-dim lo/span vectors are baked into the plan as array literals
+    (they are d doubles, far below broadcast thresholds), so at 10^12 rows
+    this is a single scan with zero exchanges. floor(t + 0.5) instead of
+    round() pins the half-boundary rule to an engine-independent
+    definition (Spark HALF_UP vs DuckDB's banker-adjacent round differ on
+    exact .5 doubles); every arithmetic step is the same double-op
+    sequence in the SQL oracle, so values are bit-identical."""
+    if ranges is None:
+        ranges = dim_ranges(embeddings, id_col, vec_col)
+    lo_arr = F.array(*[F.lit(float(r["lo"])) for r in ranges])
+    span_arr = F.array(*[F.lit(float(r["hi"] - r["lo"])) for r in ranges])
+    q = F.transform(
+        _to_double(vec_col),
+        lambda x, i: F.when(F.element_at(span_arr, i + 1) == 0.0, F.lit(0))
+        .otherwise(
+            F.floor(
+                (x - F.element_at(lo_arr, i + 1))
+                / F.element_at(span_arr, i + 1)
+                * 255.0
+                + 0.5
+            ).cast("int")
+            - 128
+        )
+        .cast("int"),
+    )
+    return embeddings.select(F.col(id_col), q.alias("qvec"))

@@ -366,3 +366,87 @@ def test_semantic_duplicates_subset_of_bruteforce(spark):
         assert r["a"] < r["b"]
         assert r["sim"] >= 0.3
         assert abs(r["sim"] - cos(vecs[r["a"]], vecs[r["b"]])) < 1e-5
+
+
+def test_line_dedup_crafted(spark):
+    """Boilerplate lines (in >= min_docs distinct docs) vanish from every
+    doc, order is preserved, all-boilerplate docs survive with ''."""
+    from cypher_guard_spark.ops.dedup import line_dedup
+
+    rows = [
+        (1, "COPYRIGHT 2024\nalpha beta\nSUBSCRIBE NOW"),
+        (2, "COPYRIGHT 2024\ngamma delta\nSUBSCRIBE NOW"),
+        (3, "unique one\nunique two"),
+        (4, "COPYRIGHT 2024\nSUBSCRIBE NOW"),
+        (5, "repeated inside\nrepeated inside\nkept line"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=2).collect()}
+    assert out[1]["text_clean"] == "alpha beta"
+    assert out[2]["text_clean"] == "gamma delta"
+    # untouched doc keeps its text verbatim (order preserved)
+    assert out[3]["text_clean"] == "unique one\nunique two"
+    assert out[3]["n_removed"] == 0
+    # every line boilerplate -> empty text, still present
+    assert out[4]["text_clean"] == ""
+    assert out[4]["n_removed"] == 2
+    # intra-doc repetition alone does NOT cross the distinct-doc bar
+    assert out[5]["text_clean"] == "repeated inside\nrepeated inside\nkept line"
+    assert all(
+        r["n_lines"] == r["n_removed"] + len([l for l in r["text_clean"].split("\n") if r["text_clean"] != ""])
+        or r["text_clean"] == ""
+        for r in out.values()
+    )
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """Offsets/seq_ids follow the exclusive prefix-sum contract within
+    each shard; shard assignment is pmod(xxhash64(doc_id), n_shards)."""
+    from collections import defaultdict
+
+    from cypher_guard_spark.ops.sample import pack_sequences
+    from cypher_guard_spark.oracle import spark_xxhash64
+
+    budget, n_shards = 64, 4
+    got = sorted(
+        pack_sequences(docs, budget=budget, n_shards=n_shards).collect(),
+        key=lambda r: (r["shard"], r["doc_id"]),
+    )
+    cum = defaultdict(int)
+    for r in got:
+        assert r["shard"] == spark_xxhash64(r["doc_id"], int_widths=("long",)) % n_shards
+        ce = cum[r["shard"]]
+        assert r["seq_id"] == ce // budget
+        assert r["tok_offset"] == ce % budget
+        cum[r["shard"]] = ce + r["n_tokens"]
+
+
+def test_pack_sequences_single_exchange_plan(spark, docs):
+    """One hash repartition on the shard key and nothing else wide."""
+    from cypher_guard_spark.ops.sample import pack_sequences
+
+    plan = pack_sequences(docs, budget=64, n_shards=4)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_quantize_embeddings_roundtrip_bounds(spark):
+    """q in [-128, 127]; dequantized value within half a quantization step
+    of the input; constant dims quantize to 0."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from cypher_guard_spark.ops.similarity import dim_ranges, quantize_embeddings
+
+    ranges = dim_ranges(emb)
+    lo = [r["lo"] for r in ranges]
+    span = [r["hi"] - r["lo"] for r in ranges]
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    out = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(emb, ranges=ranges).collect()}
+    assert set(out) == set(vecs)
+    for vid, qv in out.items():
+        for i, q in enumerate(qv):
+            assert -128 <= q <= 127
+            if span[i] == 0:
+                assert q == 0
+            else:
+                step = span[i] / 255.0
+                deq = lo[i] + (q + 128) * step
+                assert abs(deq - float(vecs[vid][i])) <= step / 2 + 1e-9
