@@ -265,6 +265,146 @@ def q_kg_triples_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples_raw(docs).select("doc_id", "subj", "pred", "obj")
 
 
+def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's core output, driver-verified end-to-end: extraction →
+    mention stats → entity map → canonicalized (subj, pred, obj). The
+    entity map is FORCED through the distributed path
+    (driver_smallmap_max_surfaces=0: minhash blocking → CC kernel →
+    election), so the CORRECTNESS gate compares the real distributed
+    implementation against the independent pure-Python twin — not the
+    driver fast path against itself."""
+    from cypher_guard_spark.pipeline import synthesize_documents
+    from cypher_guard_spark.pipeline.canonicalize import (
+        build_entity_map,
+        canonicalize_triples,
+    )
+    from cypher_guard_spark.pipeline.mentions import (
+        extract_triples_raw,
+        link_scores,
+        mentions_from_triples,
+    )
+
+    docs = synthesize_documents(spark, _KG_DOCS)
+    tr = extract_triples_raw(docs)
+    em = build_entity_map(
+        spark,
+        link_scores(mentions_from_triples(tr)),
+        driver_smallmap_max_surfaces=0,
+    )
+    return canonicalize_triples(tr, em).select("doc_id", "subj", "pred", "obj")
+
+
+def q_kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(entity, label, degree, n_neighbors) over the canonical graph —
+    degree = triple endpoints, n_neighbors = distinct canonical peers."""
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    # labels ride along from the raw triple schema via a rebuild: reuse the
+    # canonical query's output shape, re-deriving labels from pred (the
+    # synthetic grammar fixes subj/obj labels per predicate)
+    lab = {
+        "WORKS_FOR": ("Person", "Company"),
+        "KNOWS": ("Person", "Person"),
+        "LOCATED_IN": ("Company", "Location"),
+    }
+    sl = F.create_map(
+        *[x for p, (s, _o) in lab.items() for x in (F.lit(p), F.lit(s))]
+    )
+    ol = F.create_map(
+        *[x for p, (_s, o) in lab.items() for x in (F.lit(p), F.lit(o))]
+    )
+    ends = canon.select(
+        F.col("subj").alias("entity"), sl[F.col("pred")].alias("label"),
+        F.col("obj").alias("nbr"),
+    ).unionByName(
+        canon.select(
+            F.col("obj").alias("entity"), ol[F.col("pred")].alias("label"),
+            F.col("subj").alias("nbr"),
+        )
+    )
+    return ends.groupBy("entity", "label").agg(
+        F.count("*").alias("degree"),
+        F.countDistinct("nbr").alias("n_neighbors"),
+    )
+
+
+def _py_kg_canonical_triples() -> list:
+    """Pure-Python twin of the whole canonicalization pipeline: the same
+    render → regex extraction as `_kg_triples_raw_values`, mention counts
+    per (label, surface), the `_driver_entity_map` twin (itself equality-
+    locked against the distributed path by tests/test_pipeline.py), and
+    the subj/obj map application. Returns
+    [(doc_id, subj, pred, obj, subj_label, obj_label)]."""
+    import re
+
+    from cypher_guard_spark.pipeline.canonicalize import _driver_entity_map
+    from cypher_guard_spark.pipeline.synth import _render_doc
+
+    pats = [
+        (re.compile(r"^(.+) works for (.+)\.$"), "WORKS_FOR", "Person", "Company"),
+        (re.compile(r"^(.+) knows (.+)\.$"), "KNOWS", "Person", "Person"),
+        (
+            re.compile(r"^(.+) is located in (.+)\.$"),
+            "LOCATED_IN",
+            "Company",
+            "Location",
+        ),
+    ]
+    triples = []
+    for i in range(_KG_DOCS):
+        doc_id, spans = _render_doc(i)
+        for span in spans:
+            if span["kind"] != "text":
+                continue
+            for pat, rel, sl, ol in pats:
+                m = pat.match(span["text"])
+                if m:
+                    triples.append((doc_id, m.group(1), rel, m.group(2), sl, ol))
+                    break
+    counts: dict = {}
+    for _d, s, _r, o, sl, ol in triples:
+        counts[(sl, s)] = counts.get((sl, s), 0) + 1
+        counts[(ol, o)] = counts.get((ol, o), 0) + 1
+    emap = {
+        (l, s): canon
+        for l, s, canon in _driver_entity_map(
+            [(l, s, n) for (l, s), n in counts.items()], 16, 8, 0.6
+        )
+    }
+    return [
+        (d, emap.get((sl, s), s), r, emap.get((ol, o), o), sl, ol)
+        for d, s, r, o, sl, ol in triples
+    ]
+
+
+def _kg_canonical_triples_values() -> str:
+    rows = [
+        f"({_sql_quote(d)}, {_sql_quote(s)}, {_sql_quote(r)}, {_sql_quote(o)})"
+        for d, s, r, o, _sl, _ol in _py_kg_canonical_triples()
+    ]
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(doc_id, subj, pred, obj)"
+
+
+def _kg_entity_degrees_values() -> str:
+    from collections import defaultdict
+
+    deg: defaultdict = defaultdict(int)
+    nbrs: defaultdict = defaultdict(set)
+    for _d, s, _r, o, sl, ol in _py_kg_canonical_triples():
+        deg[(s, sl)] += 1
+        deg[(o, ol)] += 1
+        nbrs[(s, sl)].add(o)
+        nbrs[(o, ol)].add(s)
+    rows = [
+        f"({_sql_quote(e)}, {_sql_quote(l)}, {n}, {len(nbrs[(e, l)])})"
+        for (e, l), n in deg.items()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(entity, label, degree, n_neighbors)"
+    )
+
+
 def _kg_triples_raw_values() -> str:
     """The extraction oracle, computed without Spark: render each doc with
     the same deterministic generator and apply the same template regexes."""
@@ -889,6 +1029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "guard_accuracy": q_guard_accuracy,
         # KG pipeline extraction (exact oracle); full pipeline is bench/pytest
         "kg_triples_raw": q_kg_triples_raw,
+        "kg_canonical_triples": q_kg_canonical_triples,
+        "kg_entity_degrees": q_kg_entity_degrees,
     }
 
 
@@ -1255,6 +1397,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "guard_is_write": _guard_is_write_values(),
         "guard_accuracy": _guard_accuracy_values(),
         "kg_triples_raw": _kg_triples_raw_values(),
+        "kg_canonical_triples": _kg_canonical_triples_values(),
+        "kg_entity_degrees": _kg_entity_degrees_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),
         "doc_neardup_clusters": _doc_neardup_clusters_values(),
