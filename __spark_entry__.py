@@ -327,6 +327,52 @@ def q_kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the canonical entity graph (exact deterministic mode:
+    value-sorted contribution folds + 6dp per-iteration rounding — see
+    pipeline/graph_algo.py for the at-scale `exact=False` variant)."""
+    from cypher_guard_spark.pipeline.graph_algo import pagerank
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return pagerank(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        iters=3,
+    )
+
+
+def _kg_pagerank_values(iters: int = 3, damping: float = 0.85) -> str:
+    """Pure-Python twin of pipeline.graph_algo.pagerank(exact=True) over
+    the canonical-triple edge multiset: same uniform 6dp start, same
+    base + damping*fold arithmetic with value-sorted sequential sums and
+    HALF_UP 6dp rounding per iteration — bit-identical doubles."""
+    from collections import defaultdict
+
+    edges = [
+        (s, o) for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples()
+    ]
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    outdeg: defaultdict = defaultdict(int)
+    for s, _o in edges:
+        outdeg[s] += 1
+    base = (1.0 - damping) / n
+    rank = {v: round(1.0 / n, 6) for v in verts}
+    for _ in range(iters):
+        contribs: defaultdict = defaultdict(list)
+        for s, o in edges:
+            contribs[o].append(rank[s] / outdeg[s])
+        new = {}
+        for v in verts:
+            acc = 0.0
+            for c in sorted(contribs.get(v, [])):
+                acc += c
+            new[v] = _round6(base + damping * acc)
+        rank = new
+    rows = [f"({_sql_quote(v)}, {r!r}::DOUBLE)" for v, r in rank.items()]
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(entity, rank)"
+
+
 def _py_kg_canonical_triples() -> list:
     """Pure-Python twin of the whole canonicalization pipeline: the same
     render → regex extraction as `_kg_triples_raw_values`, mention counts
@@ -1031,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_raw": q_kg_triples_raw,
         "kg_canonical_triples": q_kg_canonical_triples,
         "kg_entity_degrees": q_kg_entity_degrees,
+        "kg_pagerank": q_kg_pagerank,
     }
 
 
@@ -1399,6 +1446,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_triples_raw": _kg_triples_raw_values(),
         "kg_canonical_triples": _kg_canonical_triples_values(),
         "kg_entity_degrees": _kg_entity_degrees_values(),
+        "kg_pagerank": _kg_pagerank_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),
         "doc_neardup_clusters": _doc_neardup_clusters_values(),

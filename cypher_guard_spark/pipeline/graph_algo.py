@@ -1,0 +1,86 @@
+"""Iterative graph analytics over the canonical entity graph —
+GraphFrames-style driver-looped DataFrame joins (the same execution shape
+as the connected-components kernel in canonicalize.py).
+
+PageRank here serves two purposes: (a) the standard "which canonical
+entities matter" ranking a KG-construction pipeline reports, and (b) a
+second resident of the iterative-join family proving the pattern
+generalizes beyond CC.
+
+Determinism contract (mirrors ops.similarity.kmeans_centroids): with
+``exact=True`` each iteration's per-vertex contribution sum is a
+VALUE-SORTED sequential fold (`array_sort(collect_list(c))` then a left
+fold) rounded to 6dp — a function of the contribution multiset only, so
+the doubles are bit-identical to the pure-Python twin in any partitioning
+and any engine. The collect_list per vertex is bounded by in-degree;
+a hub vertex with 10^8 in-edges makes that list executor-hostile, so at
+scale pass ``exact=False``: plain partial-agg `sum` (map-side combine,
+no list), same algorithm, FP-order-dependent in the last ulp — which is
+why the exact mode exists for the oracle gate and the fast mode for
+production. Per-iteration lineage is truncated with a lazy
+localCheckpoint exactly like the CC kernel (driver-looped joins otherwise
+double the DAG each round).
+
+Simplified PageRank (no dangling-mass redistribution): dangling vertices
+contribute nothing — the standard Spark-example formulation; the oracle
+twin mirrors it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    exact: bool = True,
+) -> DataFrame:
+    """(entity, rank) after `iters` synchronous iterations from a uniform
+    start; rank rounded to 6dp per iteration (see module docstring)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("entity"))
+        .unionByName(e.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = verts.count()  # entity-scaled driver scalar (same class as CC's)
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = (1.0 - damping) / n
+    ranks = verts.select("entity", F.lit(round(1.0 / n, 6)).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("entity", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("entity"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+        )
+        if exact:
+            sums = contribs.groupBy("entity").agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list("c")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ).alias("s")
+            )
+        else:
+            sums = contribs.groupBy("entity").agg(F.sum("c").alias("s"))
+        ranks = (
+            verts.join(sums, "entity", "left")
+            .select(
+                "entity",
+                F.round(
+                    F.lit(base) + damping * F.coalesce("s", F.lit(0.0)), 6
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -1,0 +1,95 @@
+"""Graph materialization as BUCKETED tables: the at-rest layout for a
+property graph that gets joined repeatedly.
+
+The pipeline's hot downstream access patterns are all equi-joins on entity
+ids — neighbor expansion (triples ⋈ triples on subj/obj), property lookup
+(triples ⋈ entities), MERGE regeneration. At 10^12 triples every such join
+costs a full shuffle of the fact table UNLESS the table is written
+pre-partitioned on the join key: Spark's bucketing (`bucketBy(n, col)` +
+`sortBy`) persists the hash-partitioning and sort order in the table
+catalog, and the planner then schedules bucket-local sort-merge joins with
+ZERO Exchange and ZERO Sort on the bucketed sides — the one-time shuffle at
+write time is amortized over every later join (tests/test_graph_store.py
+locks the exchange-free plan).
+
+Bucket count is the scale dial: pick ~(table size / 128 MB) at write time
+(buckets are per-table-static, unlike AQE shuffle partitions, so size for
+the table's lifetime, not today's corpus). Both relation tables bucket on
+their join key with the SAME count so subj-subj, subj-obj and
+triples-entities joins all co-locate.
+
+Reference: the cypher-guard reference has no storage layer at all (this
+module is part of the Spark-native graph-materialization surface the
+north_star asks for, alongside the MERGE-batch codegen in codegen.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_graph_tables(
+    spark: SparkSession,
+    canonical_triples: DataFrame,
+    entity_map: DataFrame,
+    db: str = "kg",
+    location: str | None = None,
+    buckets: int = 8,
+) -> None:
+    """Materialize the canonical graph as `{db}.edges` (bucketed+sorted by
+    subj) and `{db}.nodes` (bucketed+sorted by entity). Overwrites."""
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")
+    (
+        canonical_triples.select("subj", "pred", "obj", "doc_id")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "subj")
+        .sortBy("subj")
+        .saveAsTable(f"{db}.edges")
+    )
+    nodes = (
+        entity_map.groupBy(F.col("canonical").alias("entity"), "label")
+        .agg(
+            F.count("*").alias("n_surfaces"),
+            F.sort_array(F.collect_set("surface")).alias("surfaces"),
+        )
+    )
+    (
+        nodes.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "entity")
+        .sortBy("entity")
+        .saveAsTable(f"{db}.nodes")
+    )
+
+
+def two_hop_neighbors(spark: SparkSession, db: str = "kg") -> DataFrame:
+    """(a, via, b): paths a -[..]-> via -[..]-> b over the bucketed edge
+    table. Both scan legs read the SAME bucketed table keyed on the join
+    column, so the self-join plans with no Exchange (bucket-local SMJ) —
+    at web scale this is the difference between a metadata-cheap map-side
+    join and re-shuffling the full edge set per traversal step."""
+    e1 = spark.table(f"{db}.edges").select(
+        F.col("subj").alias("a"), F.col("obj").alias("via")
+    )
+    e2 = spark.table(f"{db}.edges").select(
+        F.col("subj").alias("via"), F.col("obj").alias("b")
+    )
+    # join key = via: e2 is bucket-local (subj); e1 arrives by obj and pays
+    # the one exchange that any traversal direction-flip costs
+    return e1.join(e2, "via").select("a", "via", "b")
+
+
+def entity_neighborhood(spark: SparkSession, db: str = "kg") -> DataFrame:
+    """(subj, pred, obj, label, n_surfaces): edges enriched with the
+    subject node's properties — subj-keyed on BOTH sides, fully
+    exchange-free."""
+    edges = spark.table(f"{db}.edges")
+    nodes = spark.table(f"{db}.nodes").select(
+        F.col("entity").alias("subj"), "label", "n_surfaces"
+    )
+    return edges.join(nodes, "subj").select(
+        "subj", "pred", "obj", "label", "n_surfaces"
+    )

@@ -115,8 +115,20 @@ def run_once(level: dict, kg_docs: int, input_path: str) -> dict:
 
 
 def main() -> None:
+    global LEVELS
     kg_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "8000000"))
     runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "4"))
+    # alternate level pairs (still N vs 4N), e.g. "1:0:12g,4:0-3:16g" runs
+    # the protocol at 1-vs-4 pinned cores — the host's LINEAR region per
+    # the core ladder, isolating engine scaling from the memory-bandwidth
+    # ceiling that the 2-vs-8 point rides into (see BASELINE.md).
+    lv = os.environ.get("SPARK_GRAFT_SCALING_LEVELS")
+    if lv:
+        LEVELS = tuple(
+            {"cores": int(c), "cpus": cpus, "mem": mem}
+            for c, cpus, mem in (part.split(":") for part in lv.split(","))
+        )
+    out_name = os.environ.get("SPARK_GRAFT_SCALING_OUT", "scaling.json")
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     corpus_dir = tempfile.mkdtemp(prefix="kgscale_", dir=base)
     floor_docs = 1000
@@ -179,7 +191,11 @@ def main() -> None:
         "floor_wall_sec": {str(c): floor[c] for c in (lo, hi)},
         "floor_docs": floor_docs,
     }
-    (out_dir / "scaling.json").write_text(json.dumps(result, indent=2) + "\n")
+    (out_dir / out_name).write_text(json.dumps(result, indent=2) + "\n")
+    if out_name != "scaling.json":
+        # secondary protocol points don't clobber the headline BASELINE.md
+        print(json.dumps(result))
+        return
     (out_dir / "BASELINE.md").write_text(
         "# BENCH — scaling evidence\n\n"
         "Same KG-construction job (scan -> extract -> link -> canonicalize ->\n"
