@@ -43,7 +43,14 @@ def pagerank(
 ) -> DataFrame:
     """(entity, rank) after `iters` synchronous iterations from a uniform
     start; rank rounded to 6dp per iteration (see module docstring)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # the edge list may sit on an arbitrarily expensive upstream DAG (e.g.
+    # extraction UDF -> entity map -> canonicalize); it is referenced by
+    # outdeg + every iteration's join, so truncate lineage ONCE up front —
+    # lazy localCheckpoint: first action materializes, all later references
+    # (2 + iters) read the checkpoint instead of re-running the pipeline
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=False
+    )
     verts = (
         e.select(F.col("src").alias("entity"))
         .unionByName(e.select(F.col("dst").alias("entity")))
