@@ -427,7 +427,12 @@ def semantic_duplicates(
         train_fraction=train_fraction,
     )
     vecs = embeddings.select(F.col(id_col).alias("vid"), _to_double(vec_col).alias("v"))
-    assigned = _assign(vecs, cents)
+    # the self-join references the assignment subtree (Lloyd trainer +
+    # broadcast-assign) twice and the static plan duplicates it wholesale;
+    # a lazy localCheckpoint materializes the (vid, v, centroid_id) rows
+    # once — cheaper than re-running the trainer DAG per side, and both
+    # sides re-shuffle on centroid_id for the join anyway
+    assigned = _assign(vecs, cents).localCheckpoint(eager=False)
     left, right = assigned.alias("l"), assigned.alias("r")
     pairs = left.join(
         right,
