@@ -192,3 +192,23 @@ def test_semantic_dedup_no_cartesian_on_corpus(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     plan = plan_of(semantic_duplicates(emb, n_clusters=4, threshold=0.3))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_quantize_map_only_and_line_dedup_broadcast_filter(spark):
+    """int8 quantization with precomputed ranges must be a single map-only
+    pass (the lo/span vectors live in the plan as literals — zero
+    exchanges at any corpus size); line_dedup's boilerplate filter must
+    anti-join via broadcast, never sort-merge on the digest."""
+    from cypher_guard_spark.ops.dedup import line_dedup
+    from cypher_guard_spark.ops.similarity import dim_ranges, quantize_embeddings
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ranges = dim_ranges(emb)
+    plan = plan_of(quantize_embeddings(emb, ranges=ranges))
+    assert "Exchange" not in plan, plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "text", F.regexp_replace(F.col("text"), r"((?:\S+\s+){7}\S+)\s+", "$1\n")
+    )
+    plan = plan_of(line_dedup(docs, min_docs=2))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
