@@ -327,6 +327,75 @@ def q_kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_media_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media→entity provenance edges over the interleaved corpus (media
+    span attached to the triples of its adjacent text spans)."""
+    from cypher_guard_spark.pipeline import synthesize_documents
+    from cypher_guard_spark.pipeline.mentions import (
+        extract_triples_raw,
+        media_entity_links,
+    )
+
+    docs = synthesize_documents(spark, _KG_DOCS)
+    return media_entity_links(docs, extract_triples_raw(docs))
+
+
+def _py_kg_raw_triples_with_idx() -> list:
+    """(doc_id, span_idx, subj, pred, obj, kindless) raw-extraction twin,
+    span_idx counted over ALL spans (text + media) like posexplode."""
+    import re
+
+    from cypher_guard_spark.pipeline.synth import _render_doc
+
+    pats = [
+        (re.compile(r"^(.+) works for (.+)\.$"), "WORKS_FOR"),
+        (re.compile(r"^(.+) knows (.+)\.$"), "KNOWS"),
+        (re.compile(r"^(.+) is located in (.+)\.$"), "LOCATED_IN"),
+    ]
+    rows = []
+    for i in range(_KG_DOCS):
+        doc_id, spans = _render_doc(i)
+        for span_idx, span in enumerate(spans):
+            if span["kind"] != "text":
+                continue
+            for pat, rel in pats:
+                m = pat.match(span["text"])
+                if m:
+                    rows.append((doc_id, span_idx, m.group(1), rel, m.group(2)))
+                    break
+    return rows
+
+
+def _kg_media_links_values() -> str:
+    """Twin of media_entity_links: media spans adjacent (±1) to extracted
+    text spans, joined through the raw-extraction twin."""
+    from cypher_guard_spark.pipeline.synth import _render_doc
+
+    trip = {}
+    for doc_id, span_idx, s, r, o in _py_kg_raw_triples_with_idx():
+        trip[(doc_id, span_idx)] = (s, r, o)
+    rows = []
+    for i in range(_KG_DOCS):
+        doc_id, spans = _render_doc(i)
+        for media_idx, span in enumerate(spans):
+            if span["kind"] == "text":
+                continue
+            for adj in (media_idx - 1, media_idx + 1):
+                hit = trip.get((doc_id, adj))
+                if hit:
+                    s, r, o = hit
+                    rows.append(
+                        f"({_sql_quote(doc_id)}, {_sql_quote(span['media_ref'])}, "
+                        f"{_sql_quote(span['kind'])}, {adj}, {_sql_quote(s)}, "
+                        f"{_sql_quote(r)}, {_sql_quote(o)})"
+                    )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, media_ref, kind, span_idx, subj, pred, obj)"
+    )
+
+
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the canonical entity graph (exact deterministic mode:
     value-sorted contribution folds + 6dp per-iteration rounding — see
@@ -1078,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": q_kg_canonical_triples,
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "kg_media_links": q_kg_media_links,
     }
 
 
@@ -1447,6 +1517,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_canonical_triples": _kg_canonical_triples_values(),
         "kg_entity_degrees": _kg_entity_degrees_values(),
         "kg_pagerank": _kg_pagerank_values(),
+        "kg_media_links": _kg_media_links_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),
         "doc_neardup_clusters": _doc_neardup_clusters_values(),

@@ -162,3 +162,41 @@ def link_scores(mentions: DataFrame, salt_buckets: int = 16) -> DataFrame:
         F.sum("pn").alias("n_mentions"),
         (F.sum("ps") / F.sum("pn")).alias("avg_score"),
     )
+
+
+def media_entity_links(documents: DataFrame, triples_raw: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, kind, span_idx, subj, pred, obj) — attach each
+    media span to the triples extracted from its ADJACENT text spans
+    (span_idx ± 1): the interleaved corpus's contract is that media is
+    evidence for the facts stated around it, and these provenance edges
+    are what lets the KG cite an image/audio/video for an entity or
+    relation.
+
+    Shapes: the span explode prunes to (kind, media_ref) only; the
+    adjacency expansion is a 2-element generator (map-side); the join is
+    an equi-join on (doc_id, span_idx) — the same co-partitioning every
+    other per-span operator uses, so at scale both sides shuffle once on
+    the compound key (or not at all when triples_raw is already bucketed
+    by doc_id). Pure built-ins, no Python."""
+    spans = documents.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    )
+    media = spans.where(F.col("span.kind") != "text").select(
+        "doc_id",
+        F.col("span_idx").alias("media_idx"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+    adj = media.select(
+        "doc_id",
+        "media_idx",
+        "kind",
+        "media_ref",
+        F.explode(
+            F.array(F.col("media_idx") - 1, F.col("media_idx") + 1)
+        ).alias("span_idx"),
+    )
+    return adj.join(
+        triples_raw.select("doc_id", "span_idx", "subj", "pred", "obj"),
+        ["doc_id", "span_idx"],
+    ).select("doc_id", "media_ref", "kind", "span_idx", "subj", "pred", "obj")
