@@ -297,7 +297,9 @@ def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(entity, label, degree, n_neighbors) over the canonical graph —
     degree = triple endpoints, n_neighbors = distinct canonical peers."""
-    canon = q_kg_canonical_triples(spark, sf_dir)
+    # the subj/obj union references the canonical chain twice — truncate
+    # once (docs/PERFORMANCE.md §14)
+    canon = q_kg_canonical_triples(spark, sf_dir).localCheckpoint(eager=False)
     # labels ride along from the raw triple schema via a rebuild: reuse the
     # canonical query's output shape, re-deriving labels from pred (the
     # synthetic grammar fixes subj/obj labels per predicate)
