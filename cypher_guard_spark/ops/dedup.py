@@ -371,11 +371,14 @@ def embedding_near_duplicates(
     path — near-identical vectors share signs, so high-threshold near-dups
     rarely escape the block). The bucket equi-join replaces the n² cross
     join; exact cosine verifies survivors."""
-    from .similarity import cosine, sign_lsh_bucket
+    from .similarity import _dot, _norm2, sign_lsh_bucket
 
+    # norm precomputed per ROW (not per candidate pair) — same doubles,
+    # one fold per vector instead of two per pair in the verify stage
     b = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        _norm2(F.col(vec_col)).alias("nrm"),
         sign_lsh_bucket(vec_col, bits).alias("bucket"),
     )
     left, right = b.alias("l"), b.alias("r")
@@ -385,7 +388,10 @@ def embedding_near_duplicates(
     ).select(
         F.col("l.id").alias("a"),
         F.col("r.id").alias("b"),
-        F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("sim"),
+        F.round(
+            _dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l.nrm") * F.col("r.nrm")),
+            6,
+        ).alias("sim"),
     )
     return cand.where(F.col("sim") >= threshold)
 
@@ -416,7 +422,7 @@ def semantic_duplicates(
     cell. With the deterministic trainer (train_fraction=1.0) the whole
     operator is engine-portable and has an exact pure-Python oracle
     (__spark_entry__._emb_semdedup_values)."""
-    from .similarity import _assign, _to_double, cosine, kmeans_centroids
+    from .similarity import _assign, _dot, _norm2, _to_double, kmeans_centroids
 
     cents = kmeans_centroids(
         embeddings,
@@ -431,8 +437,15 @@ def semantic_duplicates(
     # broadcast-assign) twice and the static plan duplicates it wholesale;
     # a lazy localCheckpoint materializes the (vid, v, centroid_id) rows
     # once — cheaper than re-running the trainer DAG per side, and both
-    # sides re-shuffle on centroid_id for the join anyway
-    assigned = _assign(vecs, cents).localCheckpoint(eager=False)
+    # sides re-shuffle on centroid_id for the join anyway. The vector norm
+    # is precomputed PER ROW here (N sqrt-folds) instead of per pair inside
+    # cosine (2 folds × N²/k pairs) — same doubles, ~3x less higher-order-
+    # function work in the quadratic stage.
+    assigned = (
+        _assign(vecs, cents)
+        .withColumn("nrm", _norm2(F.col("v")))
+        .localCheckpoint(eager=False)
+    )
     left, right = assigned.alias("l"), assigned.alias("r")
     pairs = left.join(
         right,
@@ -444,7 +457,9 @@ def semantic_duplicates(
         F.col("l.vid").alias("a"),
         F.col("r.vid").alias("b"),
         F.col("l.centroid_id").alias("centroid_id"),
-        F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("sim"),
+        F.round(
+            _dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+        ).alias("sim"),
     )
     return pairs.where(F.col("sim") >= threshold)
 

@@ -223,13 +223,18 @@ def kmeans_centroids(
                 ).alias("center")
             )
         )
-        # empty clusters keep their previous center
+        # empty clusters keep their previous center. Each round's result is
+        # lazily localCheckpointed (k rows): without it every iteration's
+        # plan NESTS the previous assignment's full DAG and the trainer
+        # re-evaluates super-linearly (docs/PERFORMANCE.md §14 — measured
+        # 10.9s -> ~2s for 2 rounds over 2k vectors).
         centroids = (
             centroids.select("centroid_id", F.col("center").alias("old_center"))
             .join(means, "centroid_id", "left")
             .select(
                 "centroid_id", F.coalesce("center", "old_center").alias("center")
             )
+            .localCheckpoint(eager=False)
         )
     return centroids
 
