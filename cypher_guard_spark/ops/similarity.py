@@ -137,19 +137,37 @@ def _dist2(a, b):
 
 
 def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vid, v, centroid_id): nearest centroid by (rounded L2², id)."""
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        "vid",
-        "v",
-        F.struct(
-            F.round(_dist2(F.col("v"), F.col("center")), 6).alias("rdist"),
-            F.col("centroid_id").alias("cid"),
-        ).alias("key"),
+    """(vid, v, centroid_id): nearest centroid by (rounded L2², id).
+
+    MAP-ONLY: the k centroid vectors are collected (k rows — driver-safe at
+    any corpus size) and baked into the plan as literals; each row folds
+    over them picking the argmin, with `<` (strict) so a distance tie keeps
+    the earlier = lower centroid_id — exactly `min((round6(d²), cid))`.
+    The previous shape (crossJoin ×k then groupBy(vid)) re-shuffled the
+    FULL corpus per assignment; this one is a single scan with zero
+    exchanges, the only defensible shape at 10^12 rows."""
+    rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    keys = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _dist2(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in r["center"]]),
+                    ),
+                    6,
+                ).alias("rdist"),
+                F.lit(int(r["centroid_id"])).alias("cid"),
+            )
+            for r in rows
+        ]
     )
-    return (
-        scored.groupBy("vid")
-        .agg(F.min("key").alias("m"), F.any_value("v").alias("v"))
-        .select("vid", "v", F.col("m.cid").alias("centroid_id"))
+    # array_min on structs orders by (rdist, cid) — identical to the old
+    # min(key) over the crossJoin, incl. the lower-cid tie-break. Each
+    # distance expression appears exactly ONCE (an unrolled when-chain
+    # would duplicate the accumulator subtree per step — 2^k blowup).
+    return vecs.select(
+        "vid", "v", F.array_min(keys).getField("cid").alias("centroid_id")
     )
 
 
