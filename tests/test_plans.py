@@ -212,3 +212,23 @@ def test_quantize_map_only_and_line_dedup_broadcast_filter(spark):
     )
     plan = plan_of(line_dedup(docs, min_docs=2))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_centroid_assignment_map_only(spark):
+    """_assign bakes the k collected centroids into the plan as literals —
+    the assignment of the (arbitrarily large) corpus must plan with ZERO
+    exchanges (the old crossJoin+groupBy(vid) shape re-shuffled the full
+    corpus per assignment call)."""
+    from cypher_guard_spark.ops.similarity import (
+        _assign,
+        _to_double,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=4, iters=1)
+    vecs = emb.select(
+        F.col("vec_id").alias("vid"), _to_double("embedding").alias("v")
+    )
+    plan = plan_of(_assign(vecs, cents))
+    assert "Exchange" not in plan, plan
