@@ -273,3 +273,97 @@ def test_stream_dedup_exact_cross_batch_and_recovery(spark, tmp_path):
     q = run_dedup_stream(spark, src, out, ckpt)
     q.awaitTermination()
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == after
+
+
+# ---------------------------------------------------------------------------
+# streaming benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def doc_stream_dir(spark, tmp_path_factory):
+    from cypher_guard_spark.streaming.decontam_stream import DOC_STREAM_SCHEMA
+
+    d = tmp_path_factory.mktemp("doc_stream_src")
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    rows = [
+        (r["doc_id"], r["text"], r["source"], t0 + dt.timedelta(seconds=i * 10))
+        for i, r in enumerate(docs[:120])
+    ]
+    spark.createDataFrame(rows, DOC_STREAM_SCHEMA).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    return str(d)
+
+
+def test_stream_contamination_matches_batch(spark, doc_stream_dir, tmp_path):
+    """The stateless row-local streaming flags must agree doc-by-doc with
+    the batch broadcast-join contamination_report, and the windowed
+    per-source rates must aggregate them exactly."""
+    from cypher_guard_spark.ops.decontam import contamination_report
+    from cypher_guard_spark.streaming.decontam_stream import (
+        read_doc_stream,
+        stream_contamination_flags,
+        stream_contamination_rates,
+    )
+
+    stat = spark.read.parquet(doc_stream_dir)
+    bench = stat.where(F.col("doc_id") % 7 == 0)
+    corpus_static = stat.where(F.col("doc_id") % 7 != 0)
+
+    stream = read_doc_stream(spark, doc_stream_dir).where(F.col("doc_id") % 7 != 0)
+    flagged = stream_contamination_flags(stream, bench, n=3)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("t_decontam_flags")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_contaminated"], r["contaminated"])
+        for r in spark.sql("SELECT * FROM t_decontam_flags").collect()
+    }
+    expected = {
+        r["doc_id"]: (r["n_ngrams"], r["n_contaminated"], r["contaminated"])
+        for r in contamination_report(corpus_static, bench, n=3).collect()
+    }
+    assert got == expected
+    assert any(v[2] == 1 for v in got.values())  # the split really contaminates
+
+    rates = stream_contamination_rates(
+        stream_contamination_flags(
+            read_doc_stream(spark, doc_stream_dir).where(F.col("doc_id") % 7 != 0),
+            bench,
+            n=3,
+        ),
+        window="5 minutes",
+        watermark="10 minutes",
+    )
+    q2 = (
+        rates.writeStream.format("memory")
+        .queryName("t_decontam_rates")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    rate_rows = spark.sql("SELECT * FROM t_decontam_rates").collect()
+    # append mode only emits watermark-closed windows; re-derive the full
+    # aggregation from the flags to check the arithmetic of what DID emit
+    by_key = {}
+    for r in spark.sql("SELECT * FROM t_decontam_flags").collect():
+        # window start floored to 5 minutes
+        ts = r["event_time"]
+        start = ts.replace(minute=(ts.minute // 5) * 5, second=0, microsecond=0)
+        k = (start, r["source"])
+        n, c = by_key.get(k, (0, 0))
+        by_key[k] = (n + 1, c + r["contaminated"])
+    for r in rate_rows:
+        k = (r["window"]["start"], r["source"])
+        n, c = by_key[k]
+        assert (r["n_docs"], r["n_contaminated_docs"]) == (n, c)
+        assert abs(r["rate"] - round(c / n, 6)) < 1e-9
