@@ -265,6 +265,48 @@ def q_kg_triples_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples_raw(docs).select("doc_id", "subj", "pred", "obj")
 
 
+def q_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation RECIPE as one DataFrame program — the
+    C4/RefinedWeb-style chain the individual operators exist for:
+    language filter (en) → quality floor (≥0.8) → repetition cap
+    (dup_token_ratio ≤ 0.6) → exact-dedup survivors → benchmark
+    decontamination. Returns (doc_id, n_tokens, quality) of the clean set.
+
+    Scale shape: the three text filters are MAP-ONLY predicates evaluated
+    before anything wide, so at 100 TB they prune the corpus ahead of the
+    two shuffling steps (digest groupBy for dedup, broadcast anti-join for
+    decontamination) — filter-first is the whole point of composing the
+    recipe as one lazy plan instead of materializing between steps."""
+    from cypher_guard_spark.ops import decontam, dedup, relational, text
+
+    docs = relational.load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    lang_ok = (
+        text.language_id(corpus).where(F.col("lang_pred") == "en").select("doc_id")
+    )
+    qual = (
+        text.quality_scores(corpus)
+        .where(F.col("quality") >= 0.8)
+        .select("doc_id", "n_tokens", "quality")
+    )
+    rep_ok = (
+        text.repetition_scores(corpus, n=2)
+        .where(F.col("dup_token_ratio") <= 0.6)
+        .select("doc_id")
+    )
+    filtered = (
+        corpus.join(lang_ok, "doc_id", "leftsemi")
+        .join(qual.select("doc_id"), "doc_id", "leftsemi")
+        .join(rep_ok, "doc_id", "leftsemi")
+    )
+    survivors = dedup.dedup_exact(filtered)
+    clean = decontam.decontaminate(survivors, bench, n=3)
+    return clean.select("doc_id").join(qual, "doc_id").select(
+        "doc_id", "n_tokens", "quality"
+    )
+
+
 def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's core output, driver-verified end-to-end: extraction →
     mention stats → entity map → canonicalized (subj, pred, obj). The
@@ -1114,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_counts": lambda s, d: text.pii_counts(_docs(s, d)),
         "doc_repetition_scores": lambda s, d: text.repetition_scores(_docs(s, d), n=2),
         "corpus_source_mix": lambda s, d: text.source_mix(_docs(s, d)),
+        "corpus_curated": q_corpus_curated,
         # similarity search
         "emb_knn_bruteforce": lambda s, d: similarity.brute_force_topk(
             _emb(s, d), _emb(s, d).where(F.col("vec_id") < 5), k=10
@@ -1447,6 +1490,37 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                      round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS sim
               FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
             ) WHERE sim >= 0.15
+        """,
+        "corpus_curated": f"""
+            WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+            feat AS (
+              SELECT doc_id, text,
+                     len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+                     round(least(len(regexp_split_to_array(lower(trim(text)), '\\s+')) / 32.0, 1.0) *
+                           (1.0 - round((length(lower(trim(text))) -
+                            length(regexp_replace(lower(trim(text)), '[^\\w\\s]', '', 'g'))) /
+                            greatest(length(lower(trim(text))), 1), 6)), 6) AS quality,
+                     round(1.0 - len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) /
+                           greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6) AS dupr,
+                     {lang_case} AS lang_pred
+              FROM corpus),
+            filtered AS (
+              SELECT doc_id, text, n_tokens, quality FROM feat
+              WHERE lang_pred = 'en' AND quality >= 0.8 AND dupr <= 0.6),
+            survivors AS (
+              SELECT min(doc_id) AS doc_id FROM filtered
+              GROUP BY md5(lower(trim(text)))),
+            bench AS (
+              SELECT DISTINCT unnest({shingles}) AS g
+              FROM documents WHERE doc_id % 97 = 0),
+            dirty AS (
+              SELECT DISTINCT s.doc_id
+              FROM (SELECT f.doc_id, unnest({shingles}) AS g
+                    FROM filtered f JOIN survivors USING (doc_id)) s
+              JOIN bench USING (g))
+            SELECT f.doc_id, f.n_tokens, f.quality
+            FROM filtered f JOIN survivors USING (doc_id)
+            WHERE f.doc_id NOT IN (SELECT doc_id FROM dirty)
         """,
         "doc_line_dedup": """
             WITH docs2 AS (
