@@ -272,39 +272,40 @@ def q_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dup_token_ratio ≤ 0.6) → exact-dedup survivors → benchmark
     decontamination. Returns (doc_id, n_tokens, quality) of the clean set.
 
-    Scale shape: the three text filters are MAP-ONLY predicates evaluated
-    before anything wide, so at 100 TB they prune the corpus ahead of the
-    two shuffling steps (digest groupBy for dedup, broadcast anti-join for
-    decontamination) — filter-first is the whole point of composing the
-    recipe as one lazy plan instead of materializing between steps."""
+    Scale shape: all three text signals come from ONE projection over ONE
+    scan (text.curation_features) and the filters are map-only predicates
+    on it, so at 100 TB the corpus is read once and pruned BEFORE the two
+    shuffling steps (digest groupBy for dedup, broadcast anti-join for
+    decontamination) — filter-first on a single scan is the whole point
+    of composing the recipe as one lazy plan instead of materializing
+    between steps."""
     from cypher_guard_spark.ops import decontam, dedup, relational, text
 
     docs = relational.load(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     bench = docs.where(F.col("doc_id") % 97 == 0)
-    lang_ok = (
-        text.language_id(corpus).where(F.col("lang_pred") == "en").select("doc_id")
+    filtered = text.curation_features(corpus).where(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.8)
+        & (F.col("dup_token_ratio") <= 0.6)
     )
-    qual = (
-        text.quality_scores(corpus)
-        .where(F.col("quality") >= 0.8)
-        .select("doc_id", "n_tokens", "quality")
+    # exact dedup as a digest-partitioned window (min doc_id = row 1) —
+    # single-pass over `filtered`, where dedup_exact's keep-semijoin would
+    # re-enter the corpus scan a second time; the survivor set is then the
+    # recipe's one lazy checkpoint because decontaminate references it
+    # twice (dirty-id build + anti join). Net plan: corpus scanned ONCE,
+    # benchmark scanned once.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    survivors = (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=False)
     )
-    rep_ok = (
-        text.repetition_scores(corpus, n=2)
-        .where(F.col("dup_token_ratio") <= 0.6)
-        .select("doc_id")
-    )
-    filtered = (
-        corpus.join(lang_ok, "doc_id", "leftsemi")
-        .join(qual.select("doc_id"), "doc_id", "leftsemi")
-        .join(rep_ok, "doc_id", "leftsemi")
-    )
-    survivors = dedup.dedup_exact(filtered)
     clean = decontam.decontaminate(survivors, bench, n=3)
-    return clean.select("doc_id").join(qual, "doc_id").select(
-        "doc_id", "n_tokens", "quality"
-    )
+    return clean.select("doc_id", "n_tokens", "quality")
 
 
 def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:

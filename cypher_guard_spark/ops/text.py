@@ -247,3 +247,47 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         c = F.col(name) > 0
         flag = c if flag is None else (flag | c)
     return out.withColumn("has_pii", flag.cast("int"))
+
+
+def curation_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, quality, dup_token_ratio, lang_pred) — every
+    per-document curation signal in ONE projection over ONE scan: the
+    composed recipe (corpus_curated) filters on these columns directly,
+    so a 100-TB corpus is read once, not once per signal. Each expression
+    is the bit-identical twin of its standalone operator (quality_scores,
+    repetition_scores, language_id) — the standalone forms exist for
+    per-signal reporting; this one exists for filtering."""
+    t = _norm(F.col(text_col))
+    toks = F.split(t, r"\s+")
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    quality = F.round(
+        F.least(n_tokens / F.lit(32.0), F.lit(1.0)) * (F.lit(1.0) - punct_ratio), 6
+    )
+    dup_ratio = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1)),
+        6,
+    )
+
+    def hit(lang):
+        arr = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        return f"size(array_intersect(ts, array({arr})))"
+
+    best = f"greatest({', '.join(hit(lang) for lang in LANG_STOPWORDS)})"
+    case = f"CASE WHEN {best} <= 0 THEN 'und' " + " ".join(
+        f"WHEN {hit(lang)} = {best} THEN '{lang}'" for lang in sorted(LANG_STOPWORDS)
+    ) + " END"
+    lang_pred = F.expr(
+        f"transform(array(array_distinct(split(lower(trim({text_col})), '\\\\s+'))), "
+        f"ts -> {case})[0]"
+    )
+    return df.select(
+        "doc_id",
+        F.col(text_col),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+        dup_ratio.alias("dup_token_ratio"),
+        lang_pred.alias("lang_pred"),
+    )
