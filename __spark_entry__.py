@@ -709,6 +709,17 @@ def _doc_minhash_values(
     return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(a, b, sim)"
 
 
+def _doc_neardup_survivors_sql(threshold: float = 0.3) -> str:
+    """Survivors oracle: the clusters twin's canonical ids, joined back to
+    the documents view for the surviving rows' columns."""
+    return (
+        "SELECT d.doc_id, d.source, d.lang, d.n_chars FROM documents d "
+        "JOIN (SELECT doc_id FROM ("
+        + _doc_neardup_clusters_values(threshold)
+        + ") WHERE is_canonical = 1) k USING (doc_id)"
+    )
+
+
 def _doc_neardup_clusters_values(threshold: float = 0.3) -> str:
     """Pure-Python twin of ops.dedup.neardup_clusters: union-find over the
     minhash pair graph, cluster_id = min doc_id per component, singletons
@@ -1119,6 +1130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neardup_clusters": lambda s, d: dedup.neardup_clusters(
             s, _docs(s, d), threshold=0.3
         ),
+        "doc_neardup_survivors": lambda s, d: dedup.neardup_survivors(
+            s, _docs(s, d), threshold=0.3
+        ).select("doc_id", "source", "lang", "n_chars"),
         "doc_decontam": lambda s, d: decontam.contamination_report(
             _docs(s, d).where(F.col("doc_id") % 97 != 0),
             _docs(s, d).where(F.col("doc_id") % 97 == 0),
@@ -1598,6 +1612,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),
         "doc_neardup_clusters": _doc_neardup_clusters_values(),
+        "doc_neardup_survivors": _doc_neardup_survivors_sql(),
         "doc_stratified_sample": _doc_stratified_sample_values(),
         "doc_balanced_sample": _doc_balanced_sample_values(),
     }

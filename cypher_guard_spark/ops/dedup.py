@@ -529,3 +529,18 @@ def simhash_near_duplicates(
         .dropDuplicates(["a", "b"])
     )
     return cand.where(F.col("hamming") <= max_hamming)
+
+
+def neardup_survivors(spark, df: DataFrame, **cluster_kwargs) -> DataFrame:
+    """The corpus MINUS near-duplicates: exactly one document (the
+    min-doc_id canonical) survives per near-dup cluster, singletons
+    survive untouched. This is the operator a curation pipeline actually
+    applies after inspecting `neardup_clusters` — same plan plus one
+    leftsemi join of the corpus against the canonical id set (broadcast
+    under AQE when the survivor fraction is high, which it is by
+    definition on mostly-unique corpora: the keep-set is ~corpus-sized,
+    so at web scale this join is the one place a dedup pass must
+    re-shuffle the corpus — unavoidable for any filter by id)."""
+    clusters = neardup_clusters(spark, df, **cluster_kwargs)
+    keep = clusters.where(F.col("is_canonical") == 1).select("doc_id")
+    return df.join(keep, "doc_id", "leftsemi")
