@@ -450,3 +450,45 @@ def test_quantize_embeddings_roundtrip_bounds(spark):
                 step = span[i] / 255.0
                 deq = lo[i] + (q + 128) * step
                 assert abs(deq - float(vecs[vid][i])) <= step / 2 + 1e-9
+
+
+def test_curation_features_match_standalone_ops(spark, docs):
+    """curation_features' single-scan expressions are bit-identical twins
+    of the standalone operators (the docstring's contract)."""
+    from cypher_guard_spark.ops.text import (
+        curation_features,
+        language_id,
+        quality_scores,
+        repetition_scores,
+    )
+
+    feat = {
+        r["doc_id"]: (r["n_tokens"], r["quality"], r["dup_token_ratio"], r["lang_pred"])
+        for r in curation_features(docs).collect()
+    }
+    qual = {r["doc_id"]: (r["n_tokens"], r["quality"]) for r in quality_scores(docs).collect()}
+    rep = {r["doc_id"]: r["dup_token_ratio"] for r in repetition_scores(docs, n=2).collect()}
+    lang = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert set(feat) == set(qual)
+    for d, (nt, q, dr, lp) in feat.items():
+        assert (nt, q) == qual[d]
+        assert dr == rep[d]
+        assert lp == lang[d]
+
+
+def test_neardup_survivors_equals_canonical_filter(spark, docs):
+    from cypher_guard_spark.ops.dedup import neardup_clusters, neardup_survivors
+
+    canon = {
+        r["doc_id"]
+        for r in neardup_clusters(spark, docs, threshold=0.3)
+        .where(F.col("is_canonical") == 1)
+        .collect()
+    }
+    got = {r["doc_id"] for r in neardup_survivors(spark, docs, threshold=0.3).collect()}
+    assert got == canon
+    # exactly one survivor per cluster
+    n_clusters = (
+        neardup_clusters(spark, docs, threshold=0.3).select("cluster_id").distinct().count()
+    )
+    assert len(got) == n_clusters
