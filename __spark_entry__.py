@@ -452,6 +452,7 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
         iters=3,
+        exact=True,  # oracle gate opts in; production default is exact=False
     )
 
 

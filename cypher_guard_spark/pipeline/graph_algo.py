@@ -13,11 +13,11 @@ VALUE-SORTED sequential fold (`array_sort(collect_list(c))` then a left
 fold) rounded to 6dp — a function of the contribution multiset only, so
 the doubles are bit-identical to the pure-Python twin in any partitioning
 and any engine. The collect_list per vertex is bounded by in-degree;
-a hub vertex with 10^8 in-edges makes that list executor-hostile, so at
-scale pass ``exact=False``: plain partial-agg `sum` (map-side combine,
-no list), same algorithm, FP-order-dependent in the last ulp — which is
-why the exact mode exists for the oracle gate and the fast mode for
-production. Per-iteration lineage is truncated with a lazy
+a hub vertex with 10^8 in-edges makes that list executor-hostile, so the
+DEFAULT is ``exact=False``: plain partial-agg `sum` (map-side combine,
+no list), same algorithm, FP-order-dependent in the last ulp — the exact
+mode exists for the oracle gate (which opts in explicitly) and the fast
+mode is what production code gets without reading the docs. Per-iteration lineage is truncated with a lazy
 localCheckpoint exactly like the CC kernel (driver-looped joins otherwise
 double the DAG each round).
 
@@ -39,10 +39,15 @@ def pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
-    exact: bool = True,
+    exact: bool = False,
 ) -> DataFrame:
     """(entity, rank) after `iters` synchronous iterations from a uniform
-    start; rank rounded to 6dp per iteration (see module docstring)."""
+    start; rank rounded to 6dp per iteration (see module docstring).
+
+    Default is the SCALE-SAFE mode (``exact=False``: partial-agg sum, no
+    per-vertex collect_list) — a copy-paste user gets the plan that
+    survives a 10^8-in-degree hub; the oracle gate opts into
+    ``exact=True`` explicitly for bit-identical doubles."""
     # the edge list may sit on an arbitrarily expensive upstream DAG (e.g.
     # extraction UDF -> entity map -> canonicalize); it is referenced by
     # outdeg + every iteration's join, so truncate lineage ONCE up front —
@@ -58,36 +63,53 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = verts.count()  # entity-scaled driver scalar (same class as CC's)
+    if n == 0:
+        # empty edge set: no vertices, no ranks — guard the 1/n start
+        return spark.createDataFrame([], "entity string, rank double")
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = (1.0 - damping) / n
     ranks = verts.select("entity", F.lit(round(1.0 / n, 6)).alias("rank"))
     for _ in range(iters):
-        contribs = (
-            e.join(ranks.withColumnRenamed("entity", "src"), "src")
-            .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("entity"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
-            )
-        )
-        if exact:
-            sums = contribs.groupBy("entity").agg(
-                F.aggregate(
-                    F.array_sort(F.collect_list("c")),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ).alias("s")
-            )
-        else:
-            sums = contribs.groupBy("entity").agg(F.sum("c").alias("s"))
-        ranks = (
-            verts.join(sums, "entity", "left")
-            .select(
-                "entity",
-                F.round(
-                    F.lit(base) + damping * F.coalesce("s", F.lit(0.0)), 6
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        # lazy checkpoint per round truncates the iterative-join lineage
+        # (the plan pre-checkpoint is exposed via _pagerank_round so tests
+        # can assert the default mode's aggregate shape)
+        ranks = _pagerank_round(
+            e, verts, outdeg, ranks, base, damping, exact
+        ).localCheckpoint(eager=False)
     return ranks
+
+
+def _pagerank_round(
+    e: DataFrame,
+    verts: DataFrame,
+    outdeg: DataFrame,
+    ranks: DataFrame,
+    base: float,
+    damping: float,
+    exact: bool,
+) -> DataFrame:
+    """One synchronous PageRank update (un-checkpointed plan)."""
+    contribs = (
+        e.join(ranks.withColumnRenamed("entity", "src"), "src")
+        .join(outdeg, "src")
+        .select(
+            F.col("dst").alias("entity"),
+            (F.col("rank") / F.col("outdeg")).alias("c"),
+        )
+    )
+    if exact:
+        sums = contribs.groupBy("entity").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("c")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("s")
+        )
+    else:
+        sums = contribs.groupBy("entity").agg(F.sum("c").alias("s"))
+    return verts.join(sums, "entity", "left").select(
+        "entity",
+        F.round(F.lit(base) + damping * F.coalesce("s", F.lit(0.0)), 6).alias(
+            "rank"
+        ),
+    )

@@ -67,10 +67,13 @@ def write_graph_tables(
 
 def two_hop_neighbors(spark: SparkSession, db: str = "kg") -> DataFrame:
     """(a, via, b): paths a -[..]-> via -[..]-> b over the bucketed edge
-    table. Both scan legs read the SAME bucketed table keyed on the join
-    column, so the self-join plans with no Exchange (bucket-local SMJ) —
-    at web scale this is the difference between a metadata-cheap map-side
-    join and re-shuffling the full edge set per traversal step."""
+    table. The e2 leg joins on its bucket column (subj), so it is
+    bucket-local and needs no Exchange; the e1 leg arrives keyed by obj —
+    the direction flip any 2-hop traversal pays — and costs exactly ONE
+    exchange (asserted by test_two_hop_single_exchange). At web scale
+    that halves the shuffle of an unbucketed self-join, and a second
+    obj-bucketed copy of the edges would remove the remaining exchange at
+    the price of 2x storage."""
     e1 = spark.table(f"{db}.edges").select(
         F.col("subj").alias("a"), F.col("obj").alias("via")
     )

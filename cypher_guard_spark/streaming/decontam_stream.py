@@ -15,9 +15,14 @@ source parallelism. The windowed rate aggregation is then the stream's
 one watermark-bounded stateful operator: one state row per
 (window, source).
 
-At 100 TB-scale benchmark sets the in-plan literal/broadcast array is the
-limit (~10^6 n-grams is fine; beyond that, decontaminate in micro-batch
-foreachBatch with the batch operator's broadcast join). The benchmark set
+The in-plan benchmark array is the practical bound: every n-gram becomes
+one `F.lit` node in a single array expression, and driver-side expression
+trees / codegen stop being reasonable around ~10^4-10^5 literals — well
+before the ~10^6 a broadcast VARIABLE could hold. For any real eval suite
+beyond that, skip this path and decontaminate in micro-batch
+`foreachBatch` with the batch operator's broadcast JOIN
+(ops/decontam.contamination_report), which has no literal-tree limit and
+identical per-doc counts. The benchmark set
 is computed ONCE at stream start from the static benchmark table — the
 standard semantics: a new benchmark release is a new stream run.
 """

@@ -51,7 +51,10 @@ def test_pagerank_exact_matches_reference(spark):
     from cypher_guard_spark.pipeline.graph_algo import pagerank
 
     e = spark.createDataFrame(EDGES, ["src", "dst"])
-    got = {r["entity"]: r["rank"] for r in pagerank(spark, e, iters=3).collect()}
+    got = {
+        r["entity"]: r["rank"]
+        for r in pagerank(spark, e, iters=3, exact=True).collect()
+    }
     assert got == _reference(iters=3)
 
 
@@ -59,7 +62,10 @@ def test_pagerank_fast_mode_close_and_mass_bounded(spark):
     from cypher_guard_spark.pipeline.graph_algo import pagerank
 
     e = spark.createDataFrame(EDGES, ["src", "dst"])
-    exact = {r["entity"]: r["rank"] for r in pagerank(spark, e, iters=3).collect()}
+    exact = {
+        r["entity"]: r["rank"]
+        for r in pagerank(spark, e, iters=3, exact=True).collect()
+    }
     fast = {
         r["entity"]: r["rank"]
         for r in pagerank(spark, e, iters=3, exact=False).collect()
@@ -69,3 +75,46 @@ def test_pagerank_fast_mode_close_and_mass_bounded(spark):
     # simplified PR leaks dangling mass, so total is <= 1 but positive
     assert 0.0 < sum(exact.values()) <= 1.0 + 1e-6
     assert all(v > 0 for v in exact.values())
+
+
+def test_pagerank_default_is_scale_safe(spark):
+    """The DEFAULT mode must be the hub-safe partial-agg sum: no
+    collect_list anywhere in the round's plan (VERDICT r3 nit 3 — a
+    copy-paste user gets the plan that survives a 10^8-in-degree hub).
+    The round plan is inspected pre-checkpoint via _pagerank_round (the
+    per-iteration localCheckpoint truncates pagerank()'s visible plan to
+    an RDD scan)."""
+    import inspect
+
+    from cypher_guard_spark.pipeline import graph_algo
+    from cypher_guard_spark.pipeline.graph_algo import _pagerank_round, pagerank
+
+    # the public default is exact=False
+    assert (
+        inspect.signature(pagerank).parameters["exact"].default is False
+    )
+    e = spark.createDataFrame(EDGES, ["src", "dst"])
+    from pyspark.sql import functions as F
+
+    verts = e.select(F.col("src").alias("entity")).unionByName(
+        e.select(F.col("dst").alias("entity"))
+    ).distinct()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = verts.select("entity", F.lit(0.25).alias("rank"))
+
+    def plan(exact):
+        df = _pagerank_round(e, verts, outdeg, ranks, 0.0375, 0.85, exact)
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    assert "collect_list" not in plan(exact=False)
+    # and the opt-in exact mode is the one that carries the sorted fold
+    assert "collect_list" in plan(exact=True)
+
+
+def test_pagerank_empty_edges(spark):
+    from cypher_guard_spark.pipeline.graph_algo import pagerank
+
+    e = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(spark, e, iters=3)
+    assert out.count() == 0
+    assert out.columns == ["entity", "rank"]

@@ -399,6 +399,35 @@ def test_line_dedup_crafted(spark):
     )
 
 
+def test_line_dedup_regex_special_delimiter(spark):
+    """A regex-special `newline` ('.', '|') must split on the LITERAL
+    character — the split side regex-escapes the delimiter so it matches
+    what array_join re-inserts (ADVICE r3)."""
+    from cypher_guard_spark.ops.dedup import line_dedup
+
+    rows = [
+        (1, "BOILER.alpha beta.BOILER"),
+        (2, "BOILER.gamma delta.BOILER"),
+        (3, "solo|x"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(docs, newline=".").collect()}
+    assert out[1]["text_clean"] == "alpha beta"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 2
+    assert out[2]["text_clean"] == "gamma delta"
+    # '|' as an (unescaped) regex would split between EVERY character
+    out2 = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            spark.createDataFrame([(1, "a|b"), (2, "c|b")], ["doc_id", "text"]),
+            newline="|",
+        ).collect()
+    }
+    assert out2[1]["n_lines"] == 2
+    assert out2[1]["text_clean"] == "a"
+    assert out2[2]["text_clean"] == "c"
+
+
 def test_pack_sequences_invariants(spark, docs):
     """Offsets/seq_ids follow the exclusive prefix-sum contract within
     each shard; shard assignment is pmod(xxhash64(doc_id), n_shards)."""
