@@ -308,6 +308,83 @@ def q_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("doc_id", "n_tokens", "quality")
 
 
+def q_emb_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed embedding-curation pass off ONE trained structure set
+    (VERDICT r3 #1): Lloyd runs ONCE (lazily checkpointed k-row table) and
+    feeds BOTH SemDeDup pair mining and IVF top-k via their `centroids=`
+    parameter; the int8 quantizer's dim ranges are likewise computed once
+    and passed via `ranges=`. Output = the three operators' rows in one
+    tagged long format (part, k1, k2, v) — each part bit-identical to the
+    standalone operator (locked by test_shared_centroids_bit_identity).
+
+    Scale shape: at 100 TB this is the difference between paying the
+    k-means trainer once per curation run vs once per operator — the
+    trainer subtree sits behind a single checkpoint boundary, so neither
+    consumer's plan re-enters it (plan-locked by
+    test_emb_curation_trains_once)."""
+    from cypher_guard_spark.ops import dedup, relational, similarity
+
+    emb = relational.load(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, iters=2).localCheckpoint(
+        eager=False
+    )
+    ranges = similarity.dim_ranges(emb)
+    sem = dedup.semantic_duplicates(emb, threshold=0.3, centroids=cents).select(
+        F.lit("semdup").alias("part"),
+        F.col("a").cast("long").alias("k1"),
+        F.col("b").cast("long").alias("k2"),
+        F.col("sim").cast("double").alias("v"),
+    )
+    ivf = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, nprobe=2, centroids=cents
+    ).select(
+        F.lit("ivf").alias("part"),
+        F.col("query_id").cast("long").alias("k1"),
+        F.col("neighbor_id").cast("long").alias("k2"),
+        F.col("sim").cast("double").alias("v"),
+    )
+    quant = (
+        similarity.quantize_embeddings(emb, ranges=ranges)
+        .select("vec_id", F.posexplode("qvec").alias("dim", "q"))
+        .select(
+            F.lit("quant").alias("part"),
+            F.col("vec_id").cast("long").alias("k1"),
+            F.col("dim").cast("long").alias("k2"),
+            F.col("q").cast("double").alias("v"),
+        )
+    )
+    return sem.unionByName(ivf).unionByName(quant)
+
+
+def _emb_curation_sql() -> str:
+    """Composed oracle: the standalone oracles' rows under the same tags —
+    the composition itself adds no arithmetic, so reusing the per-operator
+    twins IS the bit-identity contract."""
+    return f"""
+        SELECT 'semdup' AS part, a::BIGINT AS k1, b::BIGINT AS k2,
+               sim::DOUBLE AS v
+        FROM ({_emb_semdedup_values()})
+        UNION ALL
+        SELECT 'ivf', query_id::BIGINT, neighbor_id::BIGINT, sim::DOUBLE
+        FROM ({_emb_ivf_values()})
+        UNION ALL
+        SELECT 'quant', vec_id::BIGINT, dim::BIGINT, q::DOUBLE
+        FROM (
+            WITH x AS (
+              SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                     unnest(range(0, len(embedding))) AS dim
+              FROM embeddings),
+            r AS (SELECT dim, min(x) AS lo, max(x) - min(x) AS span
+                  FROM x GROUP BY dim)
+            SELECT x.vec_id, x.dim,
+                   CASE WHEN r.span = 0 THEN 0
+                        ELSE floor((x.x - r.lo) / r.span * 255.0 + 0.5)::INT - 128
+                   END AS q
+            FROM x JOIN r USING (dim)
+        )
+    """
+
+
 def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's core output, driver-verified end-to-end: extraction →
     mention stats → entity map → canonicalized (subj, pred, obj). The
@@ -1194,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantized": lambda s, d: similarity.quantize_embeddings(
             _emb(s, d)
         ).select("vec_id", F.posexplode("qvec").alias("dim", "q")),
+        "emb_curation": q_emb_curation,
         # multimodal plumbing (binary payload + typed metadata; stub kernel)
         "media_features": q_media_features,
         "media_frame_plan": q_media_frame_plan,
@@ -1601,6 +1679,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "media_resize": _media_resize_values(),
         "emb_ivf_topk": _emb_ivf_values(),
         "emb_semantic_dups": _emb_semdedup_values(),
+        "emb_curation": _emb_curation_sql(),
         "guard_verdicts": _guard_verdicts_values(),
         "guard_error_codes": _guard_error_codes_values(),
         "guard_is_write": _guard_is_write_values(),

@@ -267,6 +267,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_fraction: float = 1.0,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, sim) — IVF ANN: coarse k-means
     quantizer, base vectors indexed by nearest centroid, each query probes
@@ -279,12 +280,18 @@ def ivf_topk(
     instead of fixed by the hash. Centroids are broadcast everywhere —
     the only shuffle is the per-query top-k. `train_fraction < 1.0` trains
     the quantizer on a sample (the 10^12-row path); the full corpus is
-    still assigned and searchable either way."""
+    still assigned and searchable either way.
+
+    `centroids=` reuses an already-trained (centroid_id, center) table
+    (shared with `semantic_duplicates` / read from `write_ivf_index`'s
+    at-rest layout) and skips the inline trainer — train Lloyd once per
+    curation run, not once per operator."""
     from pyspark.sql import Window
 
-    centroids = kmeans_centroids(
-        embeddings, n_centroids, iters, id_col, vec_col, train_fraction
-    ).localCheckpoint(eager=False)
+    if centroids is None:
+        centroids = kmeans_centroids(
+            embeddings, n_centroids, iters, id_col, vec_col, train_fraction
+        ).localCheckpoint(eager=False)
     base = _assign(
         embeddings.select(F.col(id_col).alias("vid"), _to_double(vec_col).alias("v")),
         centroids,
@@ -332,6 +339,7 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_fraction: float = 1.0,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF index AT REST: base vectors written
     `partitionBy("centroid_id")` under `{path}/base`, trained centroids
@@ -343,10 +351,13 @@ def write_ivf_index(
     One write-side shuffle: `repartition("centroid_id")` so each cell's
     rows land in one task's output (without it every task writes a file
     into every cell directory — n_tasks × n_cells small files at scale).
+    `centroids=` writes an externally trained table instead of training
+    inline (one Lloyd run can feed the index AND the in-flight operators).
     """
-    centroids = kmeans_centroids(
-        embeddings, n_centroids, iters, id_col, vec_col, train_fraction
-    ).localCheckpoint(eager=False)
+    if centroids is None:
+        centroids = kmeans_centroids(
+            embeddings, n_centroids, iters, id_col, vec_col, train_fraction
+        ).localCheckpoint(eager=False)
     base = _assign(
         embeddings.select(F.col(id_col).alias("vid"), _to_double(vec_col).alias("v")),
         centroids,
