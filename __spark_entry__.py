@@ -844,6 +844,56 @@ def _doc_neardup_clusters_values(threshold: float = 0.3) -> str:
 
 _SAMPLE_FRACTIONS = {0: 1.0, 1: 0.5, 2: 0.25, 3: 0.125}
 
+# mixture weights for the token-budget sampler: even sources upweighted
+# 4:1 over odd ones (sums to 1.0 over the 20 synthetic sources)
+_MIXTURE_WEIGHTS = {f"src{i}": (0.08 if i % 2 == 0 else 0.02) for i in range(20)}
+_MIXTURE_TOTAL = 8000
+
+
+def _corpus_mixture_sql() -> str:
+    """Exact SQL-window oracle for token_budget_mixture: the doc->hash
+    order enters as VALUES from the pure-Python xxhash64 twin (DuckDB has
+    no xxhash64), the prefix-sum + quota filter run as one SQL window —
+    integer arithmetic throughout, so the match is exact. The oracle uses
+    the NAIVE one-window-per-source shape; the engine's two-level
+    bucketed prefix-sum must produce identical tok_cum values (that
+    equality IS the correctness claim of the distributed decomposition).
+    """
+    import math
+
+    from cypher_guard_spark.oracle import spark_xxhash64
+
+    rows = ", ".join(
+        f"({doc_id}, {spark_xxhash64(doc_id, int_widths=('long',))})"
+        for doc_id, _text in _oracle_documents()
+    )
+    quota_case = (
+        "CASE source "
+        + " ".join(
+            f"WHEN '{s}' THEN {int(math.floor(w * _MIXTURE_TOTAL))}"
+            for s, w in sorted(_MIXTURE_WEIGHTS.items())
+        )
+        + " ELSE 0 END"
+    )
+    return f"""
+        WITH ord AS (SELECT * FROM (VALUES {rows}) AS o(doc_id, h)),
+        base AS (
+          SELECT d.doc_id, d.source,
+                 len(regexp_split_to_array(lower(trim(d.text)), '\\s+'))::BIGINT
+                   AS n_tokens,
+                 o.h
+          FROM documents d JOIN ord o USING (doc_id)),
+        w AS (
+          SELECT doc_id, source, n_tokens,
+                 coalesce(SUM(n_tokens) OVER (
+                     PARTITION BY source ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                   AS tok_cum
+          FROM base)
+        SELECT doc_id, source, n_tokens, tok_cum FROM w
+        WHERE tok_cum < {quota_case}
+    """
+
 
 def _py_length_stratum(text: str, bucket_tokens: int = 16, n_buckets: int = 4) -> int:
     return min(len(_py_tokens(text)) // bucket_tokens, n_buckets - 1)
@@ -1238,6 +1288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "stratum", "rnk"),
         "doc_pack_sequences": lambda s, d: sample.pack_sequences(
             _docs(s, d), budget=64, n_shards=4
+        ),
+        "corpus_mixture": lambda s, d: sample.token_budget_mixture(
+            _docs(s, d), _MIXTURE_WEIGHTS, _MIXTURE_TOTAL
         ),
         # text analysis
         "doc_token_stats": lambda s, d: text.token_count(_docs(s, d)),
@@ -1695,4 +1748,5 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "doc_neardup_survivors": _doc_neardup_survivors_sql(),
         "doc_stratified_sample": _doc_stratified_sample_values(),
         "doc_balanced_sample": _doc_balanced_sample_values(),
+        "corpus_mixture": _corpus_mixture_sql(),
     }

@@ -112,6 +112,96 @@ def balanced_sample(
     )
 
 
+def token_budget_mixture(
+    df: DataFrame,
+    weights: dict,
+    total_tokens: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(doc_id, source, n_tokens, tok_cum) — the Pile/Llama-style mixture
+    step: given per-source target weights and a total token budget, keep
+    the deterministic document subset that fills each source's quota
+    (`floor(weight * total_tokens)` tokens, computed on the driver in
+    exact integer space and baked in as literals).
+
+    Within a source, documents are drawn in xxhash64(key) order (a
+    reproducible uniform shuffle — same determinism contract as
+    `stratified_sample`/`balanced_sample`: re-runnable under task retry,
+    engine-portable via the pure-Python xxhash64 twin); a doc survives
+    iff the EXCLUSIVE prefix-sum of tokens before it, `tok_cum`, is still
+    under the quota — so the quota-crossing doc is included and every
+    source overshoots by at most one document (the standard fill rule).
+    Sources without a weight get quota 0 and are dropped.
+
+    Scale posture — the naive shape (one window per source) sorts an
+    entire source on ONE task, the same trap `balanced_sample` documents;
+    at 10^12 docs a 30%-weight source is ~0.3 of the corpus. Instead the
+    prefix-sum is two-level: an arithmetic `shiftright(h, 64 - log2
+    n_buckets)` maps the signed hash order onto `n_buckets` CONTIGUOUS
+    ranges, sharding each source; a window per (source, bucket)
+    computes local exclusive sums (each task sorts one bucket), the
+    per-bucket totals (sources x n_buckets rows — tiny) get their own
+    offsets via a driver-scale window, and a broadcast join adds the
+    bucket offset back: tok_cum = bucket_offset + local_cum. One corpus
+    exchange (the repartition implied by the (source, bucket) window) +
+    one broadcast — `n_buckets` is the dial exactly like
+    `pack_sequences.n_shards`. The final filter is a map-only predicate,
+    so downstream consumers see a pruned scan."""
+    import math
+
+    shift = 64 - int(math.log2(n_buckets))
+    assert 1 << (64 - shift) == n_buckets, "n_buckets must be a power of two"
+    quotas = [
+        x
+        for s, w in weights.items()
+        for x in (F.lit(s), F.lit(int(math.floor(w * total_tokens))))
+    ]
+    quota = F.coalesce(
+        F.create_map(*quotas)[F.col(source_col)].cast("long"), F.lit(0).cast("long")
+    )
+    h = F.xxhash64(F.col(key_col))
+    base = df.select(
+        F.col(key_col),
+        F.col(source_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+        # arithmetic shift: contiguous blocks of the SIGNED hash order
+        F.shiftright(h, shift).alias("_b"),
+    )
+    w_local = (
+        Window.partitionBy(source_col, "_b")
+        .orderBy(F.col("_h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "_local_cum", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy(source_col, "_b")
+        .agg(F.sum("n_tokens").alias("_bt"))
+        .withColumn("_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0)))
+        .select(source_col, "_b", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), [source_col, "_b"])
+        .select(
+            key_col,
+            source_col,
+            "n_tokens",
+            (F.col("_off") + F.col("_local_cum")).cast("long").alias("tok_cum"),
+        )
+        .where(F.col("tok_cum") < quota)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 256,

@@ -134,3 +134,43 @@ def test_neardup_clusters_distributed_path_matches_driver_path(spark, docs):
         ).collect()
     }
     assert fast == dist
+
+
+def test_token_budget_mixture_invariants(spark, docs):
+    """Quota fill rule: per source, kept tokens minus the last kept doc
+    stay under quota (<= quota-1 before the crossing doc, which is
+    included); unweighted sources vanish; result is invariant to input
+    partitioning and to the bucket count (the two-level prefix-sum is a
+    pure decomposition of the naive window)."""
+    import math
+
+    from cypher_guard_spark.ops.sample import token_budget_mixture
+
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    total = 2000
+    out = token_budget_mixture(docs, weights, total).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) <= set(weights)
+    for s, rows in by_src.items():
+        quota = int(math.floor(weights[s] * total))
+        kept = sorted(rows, key=lambda r: r["tok_cum"])
+        # every kept doc started strictly under quota...
+        assert all(r["tok_cum"] < quota for r in kept)
+        # ...and tok_cum is a genuine exclusive prefix over the kept set
+        acc = 0
+        for r in kept:
+            assert r["tok_cum"] == acc
+            acc += r["n_tokens"]
+    # partitioning + bucket-count invariance (exact integer arithmetic)
+    base = {(r["doc_id"], r["tok_cum"]) for r in out}
+    re7 = {
+        (r["doc_id"], r["tok_cum"])
+        for r in token_budget_mixture(docs.repartition(7), weights, total).collect()
+    }
+    b4 = {
+        (r["doc_id"], r["tok_cum"])
+        for r in token_budget_mixture(docs, weights, total, n_buckets=4).collect()
+    }
+    assert base == re7 == b4 and base
