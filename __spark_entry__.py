@@ -1266,6 +1266,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d).where(F.col("doc_id") % 97 == 0),
             n=3,
         ),
+        "doc_decontam_spans": lambda s, d: decontam.contamination_spans(
+            _docs(s, d).where(F.col("doc_id") % 97 != 0),
+            _docs(s, d).where(F.col("doc_id") % 97 == 0),
+            n=3,
+        ),
         # corpus-wide line dedup: the flat synthetic text has no newlines,
         # so the query derives a multi-line corpus deterministically first
         # (newline after every 8th token) — the operator itself is the
@@ -1378,6 +1383,11 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     shingles = (
         "list_distinct(list_transform(generate_series(1, greatest(len(W) - 2, 0)),"
         " i -> W[i] || ' ' || W[i+1] || ' ' || W[i+2]))"
+    ).replace("W", "regexp_split_to_array(lower(trim(text)), '\\s+')")
+    # positional (non-distinct) variant — span-level decontam needs runs
+    shingles_pos = (
+        "list_transform(generate_series(1, greatest(len(W) - 2, 0)),"
+        " i -> W[i] || ' ' || W[i+1] || ' ' || W[i+2])"
     ).replace("W", "regexp_split_to_array(lower(trim(text)), '\\s+')")
 
     return {
@@ -1561,6 +1571,42 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    round(coalesce(h.n_cont, 0) / greatest(len(c.sh), 1), 6) AS contamination,
                    (coalesce(h.n_cont, 0) > 0)::int AS contaminated
             FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        """,
+        "doc_decontam_spans": f"""
+            WITH corpus AS (
+              SELECT doc_id, {shingles_pos} AS sh
+              FROM documents WHERE doc_id % 97 <> 0),
+            bench AS (
+              SELECT DISTINCT unnest({shingles}) AS ngram
+              FROM documents WHERE doc_id % 97 = 0),
+            g AS (
+              SELECT doc_id, unnest(generate_series(1, len(sh))) AS pos,
+                     unnest(sh) AS gram
+              FROM corpus),
+            m AS (
+              SELECT g.doc_id, g.pos,
+                     CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END AS hit
+              FROM g LEFT JOIN bench b ON g.gram = b.ngram),
+            agg AS (
+              SELECT doc_id, count(*) AS n_grams, sum(hit) AS n_contaminated
+              FROM m GROUP BY doc_id),
+            runs AS (
+              SELECT doc_id, count(*) AS run_len FROM (
+                SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS grp
+                FROM m WHERE hit = 1)
+              GROUP BY doc_id, grp),
+            mr AS (SELECT doc_id, max(run_len) AS max_run FROM runs GROUP BY doc_id)
+            SELECT c.doc_id,
+                   coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(a.n_contaminated, 0)::BIGINT AS n_contaminated,
+                   coalesce(mr.max_run, 0)::BIGINT AS max_run,
+                   round(coalesce(a.n_contaminated, 0) /
+                         greatest(coalesce(a.n_grams, 0), 1), 6) AS frac
+            FROM corpus c
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN mr USING (doc_id)
         """,
         "doc_repetition_scores": """
             WITH t AS (

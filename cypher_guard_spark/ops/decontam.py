@@ -72,6 +72,78 @@ def contamination_report(
     )
 
 
+def contamination_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, n_contaminated, max_run, frac) — span-level
+    decontamination (the GPT-3/Llama appendix recipe): instead of the
+    binary any-overlap flag, report how MUCH of each document the
+    benchmark covers — `n_grams` POSITIONAL n-grams (length-n+1 windows,
+    duplicates counted, unlike `contamination_report`'s distinct sets),
+    `n_contaminated` of them found in the benchmark set, `max_run` the
+    longest run of CONSECUTIVE contaminated n-gram positions (a long run
+    is a verbatim benchmark quote; scattered singleton hits are usually
+    idiom collisions), and `frac` = n_contaminated/n_grams — the two
+    numbers thresholds are actually tuned on.
+
+    Scale posture: identical to `contamination_report` — the benchmark
+    side is exploded/deduplicated/BROADCAST, the corpus side is scan →
+    posexplode → broadcast-hash-join (map-only); the one shuffle is the
+    per-doc regroup and carries (doc_id, pos, hit) int triples, never
+    text. The run detection is a sorted-struct fold per doc (bounded by
+    document length, the same bound `repetition_scores` relies on).
+    Sub-n-token docs report (0, 0, 0, 0.0) via posexplode_outer."""
+    grams = word_shingles(text_col, n)  # positional: runs need positions
+    bench = F.broadcast(
+        benchmark_ngrams(benchmark, n, text_col).withColumn("hit", F.lit(1))
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode_outer(grams).alias("pos", "ngram")
+    )
+    marked = exploded.join(bench, "ngram", "left").select(
+        "doc_id",
+        "pos",
+        F.when(F.col("ngram").isNotNull(), 1).otherwise(0).alias("is_gram"),
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+    )
+    hits_in_order = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "hit"))),
+        lambda s: s.getField("hit"),
+    )
+    max_run = F.aggregate(
+        hits_in_order,
+        F.struct(F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, h: F.struct(
+            F.when(h == 1, acc.getField("run") + 1).otherwise(F.lit(0)).alias("run"),
+            F.greatest(
+                acc.getField("best"),
+                F.when(h == 1, acc.getField("run") + 1).otherwise(F.lit(0)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.sum("is_gram").cast("long").alias("n_grams"),
+            F.sum("hit").cast("long").alias("n_contaminated"),
+            max_run.cast("long").alias("max_run"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            "max_run",
+            F.round(
+                F.col("n_contaminated") / F.greatest(F.col("n_grams"), F.lit(1)), 6
+            ).alias("frac"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

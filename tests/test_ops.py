@@ -575,3 +575,30 @@ def test_emb_curation_trains_once(spark):
         F.aggregate(F.array_sort(F.collect_list(F.lit(1.0))), F.lit(0.0), lambda a, x: a + x).alias("s")
     )
     assert "collect_list" in inner._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_contamination_spans_crafted(spark):
+    """Span-level decontam: positional counts, longest consecutive run,
+    and the sub-n-token row surviving as zeros."""
+    from cypher_guard_spark.ops.decontam import contamination_spans
+
+    bench = spark.createDataFrame([(100, "a b c d e")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            (1, "x a b c d e y"),          # one verbatim quote: run of 3
+            (2, "a b c q q q b c d"),      # two scattered hits
+            (3, "no overlap at all here"),
+            (4, "tiny"),                   # < n tokens: zero grams
+            (5, "a b c a b c"),            # repeated positional hits
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in contamination_spans(corpus, bench, n=3).collect()}
+    assert (out[1]["n_grams"], out[1]["n_contaminated"], out[1]["max_run"]) == (5, 3, 3)
+    assert out[1]["frac"] == 0.6
+    # doc 2 grams: "a b c","b c q","c q q","q q q","q q b","q b c","b c d"
+    assert (out[2]["n_grams"], out[2]["n_contaminated"], out[2]["max_run"]) == (7, 2, 1)
+    assert (out[3]["n_contaminated"], out[3]["max_run"]) == (0, 0)
+    assert (out[4]["n_grams"], out[4]["n_contaminated"], out[4]["max_run"], out[4]["frac"]) == (0, 0, 0, 0.0)
+    # doc 5 grams: "a b c","b c a","c a b","a b c" -> positional count 2, runs of 1
+    assert (out[5]["n_grams"], out[5]["n_contaminated"], out[5]["max_run"]) == (4, 2, 1)
