@@ -86,3 +86,67 @@ def test_golden_corpus_carries_reference_verdict(exp):
         assert g["parse_ok"] is exp["parse_ok"], (exp["id"], g)
         if not exp["parse_ok"]:
             assert g["exception_class"] in exp["exception_class"], (exp["id"], g)
+
+
+# ---------------------------------------------------------------------------
+# Parity-trace coverage of the golden error-class set (VERDICT r3 #6)
+# ---------------------------------------------------------------------------
+
+_ACCESS_RE = None
+
+
+def _error_class_of(entry) -> set:
+    """Distinct error classes a golden entry contributes: the exception
+    class for parse failures; 'msg:<code>' for validation messages, with
+    InvalidPropertyAccess split by its context string (each context is a
+    distinct reference code path — validation.rs:697-733 vs :738-773)."""
+    import re
+
+    classes = set()
+    if not entry["parse_ok"]:
+        classes.add(entry["exception_class"])
+        return classes
+    prefixes = [
+        ("Invalid node label", "InvalidNodeLabel"),
+        ("Invalid relationship type", "InvalidRelationshipType"),
+        ("Invalid node property", "InvalidNodeProperty"),
+        ("Invalid relationship property", "InvalidRelationshipProperty"),
+        ("Invalid property access", "InvalidPropertyAccess"),
+        ("Invalid property type", "InvalidPropertyType"),
+        ("Invalid relationship:", "InvalidRelationship"),
+        ("Undefined variable", "UndefinedVariable"),
+    ]
+    for m in entry["error_messages"]:
+        code = next((c for p, c in prefixes if m.startswith(p)), "Unknown")
+        if code == "InvalidPropertyAccess":
+            ctx = re.search(r" in (.+) clause$", m)
+            classes.add(f"msg:{code}|{ctx.group(1)}" if ctx else f"msg:{code}")
+        else:
+            classes.add(f"msg:{code}")
+    return classes
+
+
+def test_every_golden_error_class_is_traced():
+    """Every distinct error class in the 318-entry golden corpus must be
+    anchored by >=1 hand-trace in docs/PARITY.md (via the coverage
+    manifest), and every cited trace id must actually exist in PARITY.md
+    — so a corpus refresh cannot silently open an untraced class, and the
+    manifest cannot cite deleted traces."""
+    verdicts = json.loads((GOLDEN_DIR / "verdicts.json").read_text())
+    manifest = json.loads(
+        (GOLDEN_DIR / "parity_trace_coverage.json").read_text()
+    )
+    manifest.pop("_comment", None)
+    seen = set()
+    for e in verdicts:
+        seen |= _error_class_of(e)
+    untraced = seen - set(manifest)
+    assert not untraced, f"golden error classes without a PARITY.md trace: {untraced}"
+    parity = (Path(__file__).parents[1] / "docs" / "PARITY.md").read_text()
+    for cls, traces in manifest.items():
+        assert traces, cls
+        for t in traces:
+            assert f"**{t} " in parity, f"{cls}: trace {t} not found in PARITY.md"
+    # the manifest must not claim classes the corpus doesn't produce
+    stale = set(manifest) - seen
+    assert not stale, f"manifest classes absent from the corpus: {stale}"
