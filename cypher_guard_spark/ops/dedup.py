@@ -210,6 +210,19 @@ def minhash_near_duplicates(
     and the payload moves at most once per pair side. The candidate-pair
     subtree is referenced three times but contains a single shuffle
     (dropDuplicates), which Spark's ReuseExchange materializes once.
+
+    Hot-band skew (a boilerplate-heavy crawl where one band bucket holds
+    a large doc set): AQE's skew-join split DOES split the band self-join
+    — but only under `spark.sql.adaptive.forceOptimizeSkewedJoin=true`,
+    because the downstream dropDuplicates re-shuffles on (a, b) and the
+    conservative OptimizeSkewedJoin backs off whenever a split would add
+    a shuffle — a shuffle this plan pays regardless, so forcing is free
+    here. Set that conf for boilerplate-heavy corpora; behavior locked by
+    tests/test_skew.py (split engages on both join sides, pair set
+    identical with and without the split). The quadratic pair count
+    WITHIN a hot bucket is inherent to LSH banding — if one bucket holds
+    k near-identical docs, the k²/2 pairs are real output, and the split
+    spreads their verification across tasks instead of serializing it.
     """
     rows_per_band = num_hashes // bands
     base = df.select(
