@@ -176,16 +176,25 @@ def token_budget_mixture(
         .orderBy(F.col("_h").asc(), F.col(key_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # the windowed output is referenced twice (row side of the final join
+    # + the bucket-totals aggregate); without a checkpoint, column pruning
+    # strips the unused window column from the offsets branch and the
+    # optimizer re-expands it into a SECOND corpus scan + tokenize. The
+    # lazy localCheckpoint materializes the post-shuffle rows once — ids
+    # and ints only, never text — and Spark preserves the checkpointed
+    # plan's outputPartitioning, so the bucket-totals groupBy on
+    # (source, _b) plans WITHOUT an exchange on top of it
+    # (plan-locked by test_token_budget_mixture_single_corpus_pass).
     local = base.withColumn(
         "_local_cum", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
-    )
+    ).localCheckpoint(eager=False)
     w_off = (
         Window.partitionBy(source_col)
         .orderBy("_b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        base.groupBy(source_col, "_b")
+        local.groupBy(source_col, "_b")
         .agg(F.sum("n_tokens").alias("_bt"))
         .withColumn("_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0)))
         .select(source_col, "_b", "_off")

@@ -174,3 +174,24 @@ def test_token_budget_mixture_invariants(spark, docs):
         for r in token_budget_mixture(docs, weights, total, n_buckets=4).collect()
     }
     assert base == re7 == b4 and base
+
+
+def test_token_budget_mixture_single_corpus_pass(spark, docs):
+    """Plan lock for the 100-TB shape: the corpus is scanned, tokenized,
+    and shuffled ONCE — inside the lazily checkpointed window subtree.
+    The consumer plan therefore contains NO parquet scan (both references
+    read the checkpoint) and only two exchanges: the bucket-totals
+    shuffle (partial sums — sources x buckets x tasks rows, map-side
+    combined) and the tiny per-source offsets window."""
+    from cypher_guard_spark.ops.sample import token_budget_mixture
+
+    out = token_budget_mixture(docs.localCheckpoint(eager=False), {"src0": 0.5}, 1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") == 2  # row side + totals side
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the corpus-row-keyed shuffle must NOT appear here: no exchange on a
+    # window over raw rows — the (source, _b) exchange sits above a
+    # partial HashAggregate (bucket sums), asserted via partial_sum
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan  # offsets re-enter via broadcast

@@ -25,15 +25,9 @@ pyspark = pytest.importorskip("pyspark")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-
-@pytest.fixture(scope="module")
-def spark():
-    from cypher_guard_spark.spark import build_session
-
-    spark = build_session("skew-tests", cores=4, shuffle_partitions=16)
-    spark.sparkContext.setLogLevel("ERROR")
-    yield spark
-    spark.stop()
+# uses the conftest session-scoped `spark` fixture: every knob this test
+# needs is runtime-settable (and restored), and an extra module-local
+# session stop/start between suite modules races SparkContext teardown
 
 
 def _hot_band_corpus(spark, n=800, hot=600):
