@@ -257,6 +257,28 @@ class DuplicateSchemaProperty(CypherSchemaError):
     pass
 
 
+# Schema file/serde IO variants (python_bindings lib.rs:92-95, raised at
+# lib.rs:347-356 with "File open error: {}", "File create error: {}",
+# "JSON read error: {}", "Serialization error: {}"). The port has no file
+# IO path that raises them today, but they are part of the module's
+# registered exception surface (lib.rs:1879-1890) and a drop-in user may
+# catch them by name.
+class SchemaFileOpenError(CypherSchemaError):
+    pass
+
+
+class SchemaFileCreateError(CypherSchemaError):
+    pass
+
+
+class SchemaJsonReadError(CypherSchemaError):
+    pass
+
+
+class SchemaSerializationError(CypherSchemaError):
+    pass
+
+
 # ---------------------------------------------------------------------------
 # Validation error value objects (Display parity: errors.rs:48-91)
 # ---------------------------------------------------------------------------

@@ -686,3 +686,57 @@ class TestCodeDerivedBindingQuirks:
             1, "C", "UNIQUE", "NODE", ["l"], ["p"], None, None
         )
         assert c.owned_index == ""
+
+
+def test_module_exception_surface_matches_reference():
+    """The reference module registers its whole exception taxonomy at top
+    level (python_bindings/src/lib.rs:1713-1905, create_exception! blocks
+    at :10-95): a drop-in user can `from cypher_guard import X` and catch
+    by name for all 63 names below. Every name must be importable from
+    cypher_guard_spark.guard with the SAME base class the reference
+    declares (validation/parsing/schema family)."""
+    import cypher_guard_spark.guard as guard
+
+    FAMILIES = {
+        "CypherValidationError": [
+            "InvalidNodeLabel", "InvalidRelationshipType", "InvalidNodeProperty",
+            "InvalidRelationshipProperty", "InvalidPropertyAccess",
+            "InvalidPropertyName", "UndefinedVariable", "TypeMismatch",
+            "InvalidRelationship", "InvalidLabel", "InvalidPropertyType",
+        ],
+        "CypherParsingError": [
+            "NomParsingError", "UnexpectedEndOfInput", "ExpectedToken",
+            "InvalidSyntax", "ParsingUndefinedVariable", "MissingRequiredClause",
+            "InvalidClauseOrder", "ReturnBeforeOtherClauses", "MatchAfterReturn",
+            "CreateAfterReturn", "MergeAfterReturn", "DeleteAfterReturn",
+            "SetAfterReturn", "WhereAfterReturn", "WithAfterReturn",
+            "UnwindAfterReturn", "WhereBeforeMatch", "ReturnAfterReturn",
+            "OrderByBeforeReturn", "SkipBeforeReturn", "LimitBeforeReturn",
+            "InvalidPattern", "InvalidWhereCondition", "InvalidExpression",
+        ],
+        "CypherSchemaError": [
+            "InvalidSchemaFormat", "MissingSchemaField", "InvalidSchemaPropertyType",
+            "DuplicateSchemaDefinition", "InvalidSchemaPropertyName",
+            "InvalidSchemaRelationshipPattern", "InvalidSchemaConstraint",
+            "InvalidSchemaIndex", "InvalidSchemaMetadata", "InvalidSchemaEnumValues",
+            "InvalidSchemaValueRange", "InvalidSchemaDistinctValueCount",
+            "InvalidSchemaExampleValues", "InvalidSchemaJson", "SchemaIoError",
+            "SchemaLabelNotFound", "DuplicateSchemaLabel",
+            "SchemaRelationshipNotFound", "DuplicateSchemaRelationship",
+            "SchemaPropertyNotFound", "DuplicateSchemaProperty",
+            "SchemaFileOpenError", "SchemaFileCreateError", "SchemaJsonReadError",
+            "SchemaSerializationError",
+        ],
+    }
+    n = 0
+    for base_name, members in FAMILIES.items():
+        base = getattr(guard, base_name)
+        assert issubclass(base, Exception)
+        n += 1
+        for name in members:
+            cls = getattr(guard, name, None)
+            assert cls is not None, f"{name} not exported from guard"
+            assert issubclass(cls, base), f"{name} must subclass {base_name}"
+            assert name in guard.__all__, name
+            n += 1
+    assert n == 63
