@@ -842,6 +842,62 @@ def _doc_neardup_clusters_values(threshold: float = 0.3) -> str:
     )
 
 
+# fuzzy decontam uses a %7 split (not the %97 of the exact-n-gram
+# queries): the synthetic corpus's near-dup groups must CROSS the
+# corpus/benchmark split for the operator to have non-trivial output,
+# and %97's 6 bench docs touch none of them
+_FUZZY_MOD = 7
+
+
+def _doc_fuzzy_decontam_values(
+    n: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.2
+) -> str:
+    """Pure-Python twin of ops.decontam.fuzzy_contamination over the
+    %_FUZZY_MOD corpus/benchmark split: bipartite MinHash banding (bench
+    side bucketed, corpus side probed) + exact-Jaccard verification —
+    identical hashes via the murmur3/xxh64 twins."""
+    from collections import defaultdict
+
+    from cypher_guard_spark.oracle import spark_hash, spark_xxhash64
+
+    rows_per_band = num_hashes // bands
+    shingles: dict[int, list[str]] = {}
+    bench_buckets: defaultdict[tuple[int, int], list[int]] = defaultdict(list)
+    corpus_buckets: defaultdict[tuple[int, int], list[int]] = defaultdict(list)
+    for doc_id, text in _oracle_documents():
+        toks = _py_tokens(text)
+        sh = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+            )
+        )
+        if not sh:
+            continue
+        shingles[doc_id] = sh
+        mh = [min(spark_hash(s, k) for s in sh) for k in range(num_hashes)]
+        target = bench_buckets if doc_id % _FUZZY_MOD == 0 else corpus_buckets
+        for b in range(bands):
+            bh = spark_xxhash64(*mh[b * rows_per_band : (b + 1) * rows_per_band])
+            target[(b, bh)].append(doc_id)
+    pairs = set()
+    for key, bench_ids in bench_buckets.items():
+        for did in corpus_buckets.get(key, []):
+            for bid in bench_ids:
+                pairs.add((did, bid))
+    rows = []
+    for did, bid in sorted(pairs):
+        sa, sb = set(shingles[did]), set(shingles[bid])
+        sim = _round6(len(sa & sb) / len(sa | sb))
+        if sim >= threshold:
+            rows.append(f"({did}, {bid}, {sim!r}::DOUBLE)")
+    if not rows:
+        return (
+            "SELECT * FROM (VALUES (0, 0, 0.0::DOUBLE)) "
+            "AS t(doc_id, bench_id, sim) WHERE 1 = 0"
+        )
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(doc_id, bench_id, sim)"
+
+
 _SAMPLE_FRACTIONS = {0: 1.0, 1: 0.5, 2: 0.25, 3: 0.125}
 
 # mixture weights for the token-budget sampler: even sources upweighted
@@ -1265,6 +1321,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d).where(F.col("doc_id") % 97 != 0),
             _docs(s, d).where(F.col("doc_id") % 97 == 0),
             n=3,
+        ),
+        "doc_fuzzy_decontam": lambda s, d: decontam.fuzzy_contamination(
+            _docs(s, d).where(F.col("doc_id") % _FUZZY_MOD != 0),
+            _docs(s, d).where(F.col("doc_id") % _FUZZY_MOD == 0),
+            threshold=0.2,
         ),
         "doc_decontam_spans": lambda s, d: decontam.contamination_spans(
             _docs(s, d).where(F.col("doc_id") % 97 != 0),
@@ -1795,4 +1856,5 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "doc_stratified_sample": _doc_stratified_sample_values(),
         "doc_balanced_sample": _doc_balanced_sample_values(),
         "corpus_mixture": _corpus_mixture_sql(),
+        "doc_fuzzy_decontam": _doc_fuzzy_decontam_values(),
     }

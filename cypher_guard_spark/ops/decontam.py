@@ -144,6 +144,107 @@ def contamination_spans(
     )
 
 
+def fuzzy_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, bench_id, sim) — DOC-LEVEL fuzzy decontamination (the
+    Llama-2/GPT-4-appendix recipe next to exact n-gram collision): a
+    training document is contaminated when its n-gram shingle set has
+    Jaccard >= threshold with some BENCHMARK document — catching
+    near-verbatim benchmark copies that token-level edits would slip
+    past an exact n-gram filter.
+
+    The bipartite variant of `dedup.minhash_near_duplicates`: both sides
+    get the same K minhashes -> B banded bucket keys, candidates are
+    (corpus doc, bench doc) pairs sharing a band bucket, survivors are
+    verified with exact Jaccard on the real shingle sets.
+
+    Scale posture: the BENCHMARK side is small (10^3-10^5 docs), so its
+    banded table and its shingle sets are BROADCAST — the corpus side is
+    scan -> minhash -> broadcast-hash-join, map-only; the only shuffle is
+    the candidate dropDuplicates, O(candidate pairs). The corpus is
+    re-shingled ONLY for candidate docs (leftsemi on candidate ids, same
+    O(candidates) bound as the dedup operator)."""
+
+    def banded(side: DataFrame, id_alias: str) -> DataFrame:
+        from .dedup import word_shingles
+
+        rows_per_band = num_hashes // bands
+        base = side.select(
+            F.col("doc_id").alias(id_alias),
+            F.array_distinct(word_shingles(text_col, n)).alias("sh"),
+        ).where(F.size("sh") > 0)
+        mh = lambda b, r: (  # noqa: E731
+            f"array_min(transform(sh, x -> hash(x, b * {rows_per_band} + {r})))"
+        )
+        band_struct = (
+            "named_struct('band', b, 'bh', xxhash64("
+            + ", ".join(mh("b", r) for r in range(rows_per_band))
+            + "))"
+        )
+        bands_expr = F.expr(
+            f"transform(array(sh), sh -> transform(sequence(0, {bands - 1}), "
+            f"b -> {band_struct}))[0]"
+        )
+        return base.select(id_alias, F.explode(bands_expr).alias("bb")).select(
+            id_alias, "bb.band", "bb.bh"
+        )
+
+    from .dedup import word_shingles
+
+    cand = (
+        banded(docs, "doc_id")
+        .join(F.broadcast(banded(benchmark, "bench_id")), ["band", "bh"])
+        .select("doc_id", "bench_id")
+        .dropDuplicates(["doc_id", "bench_id"])
+    )
+    corpus_sh = docs.join(
+        cand.select("doc_id"), "doc_id", "leftsemi"
+    ).select(
+        "doc_id", F.array_distinct(word_shingles(text_col, n)).alias("s_doc")
+    )
+    bench_sh = F.broadcast(
+        benchmark.select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_distinct(word_shingles(text_col, n)).alias("s_bench"),
+        )
+    )
+    sim = F.round(
+        F.size(F.array_intersect("s_doc", "s_bench"))
+        / F.size(F.array_union("s_doc", "s_bench")),
+        6,
+    )
+    return (
+        cand.join(corpus_sh, "doc_id")
+        .join(bench_sh, "bench_id")
+        .select("doc_id", "bench_id", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The corpus minus fuzzy-contaminated docs (left-anti against the
+    flagged id set — same broadcast-banded plan)."""
+    flagged = fuzzy_contamination(
+        docs, benchmark, text_col, n, num_hashes, bands, threshold
+    ).select("doc_id").distinct()
+    return docs.join(flagged, "doc_id", "left_anti")
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -602,3 +602,47 @@ def test_contamination_spans_crafted(spark):
     assert (out[4]["n_grams"], out[4]["n_contaminated"], out[4]["max_run"], out[4]["frac"]) == (0, 0, 0, 0.0)
     # doc 5 grams: "a b c","b c a","c a b","a b c" -> positional count 2, runs of 1
     assert (out[5]["n_grams"], out[5]["n_contaminated"], out[5]["max_run"]) == (4, 2, 1)
+
+
+def test_fuzzy_decontam_crafted(spark):
+    """Doc-level fuzzy decontamination: a lightly edited benchmark copy
+    is flagged (high Jaccard), a doc sharing only an idiom is not (low
+    Jaccard despite exact n-gram overlap), and the filter drops exactly
+    the flagged docs."""
+    from cypher_guard_spark.ops.decontam import (
+        contamination_report,
+        fuzzy_contamination,
+        fuzzy_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the river bank")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # near-copy: one token edited -> high shingle Jaccard
+            (1, "the quick brown fox jumps over the sleepy dog near the river bank"),
+            # idiom collision only: shares 'the quick brown fox' 3-grams
+            (2, "the quick brown fox is a common pangram fragment used in tests "
+                "of fonts and keyboards and rendering and nothing else at all"),
+            (3, "completely unrelated text about spark physical plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    flagged = {
+        r["doc_id"]: r["sim"]
+        for r in fuzzy_contamination(corpus, bench, threshold=0.5).collect()
+    }
+    assert set(flagged) == {1} and flagged[1] >= 0.5
+    # the exact n-gram pass DOES flag the idiom doc — the two operators
+    # answer different questions (any collision vs document-level copy)
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_report(corpus, bench).collect()
+    }
+    assert exact[1] == 1 and exact[2] == 1 and exact[3] == 0
+    survivors = {
+        r["doc_id"] for r in fuzzy_decontaminate(corpus, bench, threshold=0.5).collect()
+    }
+    assert survivors == {2, 3}
