@@ -1317,6 +1317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neardup_survivors": lambda s, d: dedup.neardup_survivors(
             s, _docs(s, d), threshold=0.3
         ).select("doc_id", "source", "lang", "n_chars"),
+        "doc_neardup_report": lambda s, d: dedup.neardup_report(
+            s, _docs(s, d), threshold=0.3
+        ),
         "doc_decontam": lambda s, d: decontam.contamination_report(
             _docs(s, d).where(F.col("doc_id") % 97 != 0),
             _docs(s, d).where(F.col("doc_id") % 97 == 0),
@@ -1853,6 +1856,12 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "doc_simhash_near_dups": _doc_simhash_values(),
         "doc_neardup_clusters": _doc_neardup_clusters_values(),
         "doc_neardup_survivors": _doc_neardup_survivors_sql(),
+        "doc_neardup_report": (
+            "SELECT cluster_size, count(DISTINCT cluster_id) AS n_clusters, "
+            "count(*) AS n_docs FROM ("
+            + _doc_neardup_clusters_values()
+            + ") GROUP BY cluster_size"
+        ),
         "doc_stratified_sample": _doc_stratified_sample_values(),
         "doc_balanced_sample": _doc_balanced_sample_values(),
         "corpus_mixture": _corpus_mixture_sql(),

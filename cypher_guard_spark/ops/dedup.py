@@ -569,6 +569,20 @@ def simhash_near_duplicates(
     return cand.where(F.col("hamming") <= max_hamming)
 
 
+def neardup_report(spark, df: DataFrame, **cluster_kwargs) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs) — the cluster-size histogram of
+    `neardup_clusters`: the one-page duplication profile a curation run
+    inspects BEFORE applying the survivor filter (size-1 row = unique
+    docs; a fat tail of large clusters = boilerplate-heavy crawl, tune
+    the threshold). One extra low-cardinality shuffle over the
+    assignment (distinct cluster sizes ≈ tens of values)."""
+    clusters = neardup_clusters(spark, df, **cluster_kwargs)
+    return clusters.groupBy("cluster_size").agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def neardup_survivors(spark, df: DataFrame, **cluster_kwargs) -> DataFrame:
     """The corpus MINUS near-duplicates: exactly one document (the
     min-doc_id canonical) survives per near-dup cluster, singletons
