@@ -198,11 +198,17 @@ def fuzzy_contamination(
 
     from .dedup import word_shingles
 
+    # the candidate list is referenced three times (corpus-shingle
+    # leftsemi, bench join, final select) and each reference would
+    # re-evaluate the full-corpus minhash subtree under column pruning —
+    # the §14/§16 pathology (docs/PERFORMANCE.md). Lazy checkpoint: the
+    # corpus is minhashed ONCE; the materialized rows are id pairs only.
     cand = (
         banded(docs, "doc_id")
         .join(F.broadcast(banded(benchmark, "bench_id")), ["band", "bh"])
         .select("doc_id", "bench_id")
         .dropDuplicates(["doc_id", "bench_id"])
+        .localCheckpoint(eager=False)
     )
     corpus_sh = docs.join(
         cand.select("doc_id"), "doc_id", "leftsemi"
