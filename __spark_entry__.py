@@ -533,6 +533,50 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_entity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-neighbor Jaccard over the canonical entity graph — the
+    entity-resolution QA view (near-identical neighbor sets = candidate
+    missed merges). Uncapped here so the oracle semantics are exact; at
+    corpus scale `max_nbr_degree` prunes hub blocking-neighbors (see
+    pipeline/graph_algo.entity_similarity)."""
+    from cypher_guard_spark.pipeline.graph_algo import entity_similarity
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return entity_similarity(
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        threshold=0.2,
+    )
+
+
+def _kg_entity_similarity_values(threshold: float = 0.2) -> str:
+    """Pure-Python twin of pipeline.graph_algo.entity_similarity over the
+    canonical-triple edge set: distinct undirected adjacency, pairwise
+    Jaccard (exact ints + one correctly-rounded division, HALF_UP 6dp)."""
+    from collections import defaultdict
+
+    adj: defaultdict = defaultdict(set)
+    for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        adj[s].add(o)
+        adj[o].add(s)
+    ents = sorted(adj)
+    rows = []
+    for i, a in enumerate(ents):
+        for b in ents[i + 1 :]:
+            inter = len(adj[a] & adj[b])
+            if inter == 0:
+                continue
+            sim = _round6(inter / (len(adj[a]) + len(adj[b]) - inter))
+            if sim >= threshold:
+                rows.append(
+                    f"({_sql_quote(a)}, {_sql_quote(b)}, {inter}, {sim!r}::DOUBLE)"
+                )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(a, b, n_shared, sim)"
+    )
+
+
 def _kg_pagerank_values(iters: int = 3, damping: float = 0.85) -> str:
     """Pure-Python twin of pipeline.graph_algo.pagerank(exact=True) over
     the canonical-triple edge multiset: same uniform 6dp start, same
@@ -1370,6 +1414,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_bigrams": lambda s, d: text.top_ngrams(_docs(s, d), n=2, k=20),
         "doc_pii_counts": lambda s, d: text.pii_counts(_docs(s, d)),
         "doc_repetition_scores": lambda s, d: text.repetition_scores(_docs(s, d), n=2),
+        "doc_tfidf_keywords": lambda s, d: text.tfidf_keywords(_docs(s, d), k=5),
+        "doc_rarity_scores": lambda s, d: text.rarity_scores(
+            _docs(s, d), rare_max_df=2
+        ),
         "corpus_source_mix": lambda s, d: text.source_mix(_docs(s, d)),
         "corpus_curated": q_corpus_curated,
         # similarity search
@@ -1408,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": q_kg_canonical_triples,
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "kg_entity_similarity": q_kg_entity_similarity,
         "kg_media_links": q_kg_media_links,
     }
 
@@ -1695,6 +1744,55 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                        AS top_ngram_ratio
             FROM g LEFT JOIN best b ON g.doc_id = b.doc_id
         """,
+        "doc_tfidf_keywords": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents),
+            per AS (
+              SELECT doc_id, unnest(list_distinct(ws)) AS token, ws FROM t),
+            tfp AS (
+              SELECT doc_id, token,
+                     len(list_filter(ws, x -> x = token)) AS tf
+              FROM per),
+            dfreq AS (
+              SELECT token, count(*) AS doc_freq FROM tfp GROUP BY token),
+            n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+            scored AS (
+              SELECT doc_id, tfp.token, tf, doc_freq,
+                     round(tf * (n.nd - doc_freq + 0.5) / (doc_freq + 0.5), 6)
+                       AS score
+              FROM tfp JOIN dfreq USING (token) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+              FROM scored)
+            SELECT doc_id, token, tf, doc_freq, score, rnk
+            FROM ranked WHERE rnk <= 5
+        """,
+        "doc_rarity_scores": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents),
+            per AS (
+              SELECT doc_id, unnest(list_distinct(ws)) AS token, ws FROM t),
+            tfp AS (
+              SELECT doc_id, token,
+                     len(list_filter(ws, x -> x = token)) AS tf
+              FROM per),
+            dfreq AS (
+              SELECT token, count(*) AS doc_freq FROM tfp GROUP BY token),
+            j AS (
+              SELECT doc_id, tf, doc_freq FROM tfp JOIN dfreq USING (token))
+            SELECT doc_id,
+                   sum(tf)::BIGINT AS n_tokens,
+                   sum(CASE WHEN doc_freq <= 2 THEN tf ELSE 0 END)::BIGINT
+                     AS n_rare,
+                   round(sum(CASE WHEN doc_freq <= 2 THEN tf ELSE 0 END) /
+                         greatest(sum(tf), 1), 6) AS rare_ratio,
+                   round(sum(tf * doc_freq) / greatest(sum(tf), 1), 6)
+                     AS avg_doc_freq
+            FROM j GROUP BY doc_id
+        """,
         "corpus_source_mix": """
             SELECT source, lang, count(*) AS n_docs,
                    count(DISTINCT md5(lower(trim(text)))) AS n_unique,
@@ -1851,6 +1949,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_canonical_triples": _kg_canonical_triples_values(),
         "kg_entity_degrees": _kg_entity_degrees_values(),
         "kg_pagerank": _kg_pagerank_values(),
+        "kg_entity_similarity": _kg_entity_similarity_values(),
         "kg_media_links": _kg_media_links_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),

@@ -249,6 +249,120 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("has_pii", flag.cast("int"))
 
 
+def doc_token_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, token, tf) — one row per DISTINCT token per document with
+    its in-document count. The shared front half of every corpus-statistics
+    scorer (TF-IDF, rarity): duplicates collapse INSIDE the row (the tf
+    count is a row-local array fold), so what leaves the map stage is one
+    row per distinct (doc, token) — the explode→groupBy(doc_id, token)
+    alternative would shuffle every token occurrence of a 100-TB corpus to
+    compute a per-row statistic.
+
+    The token array is bound once via the single-element-array lambda
+    trick (CollapseProject would otherwise inline the regex split into
+    the distinct AND every filter-count — O(tokens²) regex work per row).
+    Per-token counting is O(distinct × tokens) JVM comparisons per row,
+    fine at document lengths; row-local, nothing leaves the task."""
+    pairs = F.expr(
+        f"transform(array(split(lower(trim({text_col})), '\\\\s+')), ws -> "
+        "transform(array_distinct(ws), t -> "
+        "named_struct('token', t, 'tf', size(filter(ws, x -> x = t)))))[0]"
+    )
+    return df.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.token", "p.tf"
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """(doc_id, token, tf, doc_freq, score, rnk) — each document's top-k
+    keywords by TF-IDF. The idf is the BM25 rational form WITHOUT the log:
+    ``score = tf * (N - df + 0.5) / (df + 0.5)`` — monotone in the same
+    (tf↑, df↓) direction as ln-idf, but built only from IEEE-exact ops
+    (+, -, ×, ÷ are correctly rounded; ln is not), so the 6dp-rounded
+    double is bit-identical across Spark/DuckDB/Python and the oracle is
+    exact. Swapping in ln((N-df+0.5)/(df+0.5)) is a one-line change where
+    cross-engine hashing isn't a contract. Ties (equal tf and df) break
+    by token text, so the top-k is total.
+
+    Scale posture: doc-frequency is one partial-aggregating shuffle on the
+    token key over the distinct-(doc,token) rows (counts combine map-side;
+    a hot token is skew-immune — partials are associative). The score join
+    re-shuffles the same rows on token (the df table is vocab-sized — a
+    web-scale vocabulary is NOT broadcastable, so the equi-join is the
+    honest plan; AQE broadcasts it whenever a filtered vocab fits), and
+    the per-doc top-k window is one shuffle on doc_id carrying only
+    (doc_id, token, tf, df) — never text. N is a driver scalar from a
+    count(*) over parquet metadata, baked into the plan as a literal."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    per = doc_token_freqs(df, text_col)
+    dfreq = per.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    score = F.round(
+        F.col("tf")
+        * (F.lit(float(n_docs)) - F.col("doc_freq") + F.lit(0.5))
+        / (F.col("doc_freq") + F.lit(0.5)),
+        6,
+    )
+    scored = per.join(dfreq, "token").select(
+        "doc_id", "token", "tf", "doc_freq", score.alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )
+
+
+def rarity_scores(
+    df: DataFrame, text_col: str = "text", rare_max_df: int = 2
+) -> DataFrame:
+    """(doc_id, n_tokens, n_rare, rare_ratio, avg_doc_freq) — corpus-
+    grounded rarity signals per document: the fraction of token
+    OCCURRENCES whose corpus document-frequency is ≤ `rare_max_df`
+    (gibberish / OCR noise / code-ish text scores high) and the
+    tf-weighted mean document frequency (boilerplate scores high). This
+    is the cheap exact-arithmetic proxy for CCNet's LM-perplexity bucket
+    (the KenLM scorer is a drop-in replacement at the same join point:
+    per-token corpus statistics joined back to the document); integer
+    sums + one correctly-rounded division keep the oracle exact where a
+    log-probability would not be.
+
+    Scale posture: same two shuffles as tfidf_keywords (vocab partial
+    agg on token, score join on token), then one groupBy(doc_id)
+    re-aggregation of integer partials — every shuffle carries
+    (doc_id, token, tf)-shaped rows, never text."""
+    per = doc_token_freqs(df, text_col)
+    dfreq = per.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    joined = per.join(dfreq, "token")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("doc_freq") <= rare_max_df, F.col("tf")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_rare"),
+            F.sum(F.col("tf") * F.col("doc_freq")).alias("wsum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            F.round(
+                F.col("n_rare") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            ).alias("rare_ratio"),
+            F.round(
+                F.col("wsum") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            ).alias("avg_doc_freq"),
+        )
+    )
+
+
 def curation_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, quality, dup_token_ratio, lang_pred) — every
     per-document curation signal in ONE projection over ONE scan: the

@@ -79,6 +79,79 @@ def pagerank(
     return ranks
 
 
+def entity_similarity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    threshold: float = 0.2,
+    max_nbr_degree: int | None = None,
+) -> DataFrame:
+    """(a, b, n_shared, sim) — Jaccard similarity of undirected neighbor
+    sets over the canonical entity graph: the entity-resolution QA view
+    (two canonical entities whose contexts overlap heavily are either a
+    missed merge or a genuinely entangled pair worth reviewing).
+
+    Scale posture: candidate pairs are BLOCKED BY SHARED NEIGHBOR (the
+    standard set-similarity self-join — two entities meet only under a
+    common neighbor), so there is no all-pairs stage; n_shared is a
+    partial-aggregating count on the (a, b) key and the Jaccard is exact
+    integer arithmetic (|A∪B| = |A| + |B| - |A∩B|) + one correctly-rounded
+    division, so the oracle is exact. The known hazard is a HUB neighbor:
+    k entities sharing one hub yield k²/2 candidate rows. `max_nbr_degree`
+    drops blocking neighbors above a degree cap BEFORE the self-join —
+    the standard prefix-filter mitigation (a neighbor shared by everyone
+    carries no signal); the Jaccard is then over the capped adjacency,
+    consistently on both the intersection and the set sizes. None = no
+    cap (exact semantics, what the oracle uses at test scale)."""
+    adj = (
+        edges.select(F.col(src).alias("entity"), F.col(dst).alias("nbr"))
+        .unionByName(
+            edges.select(F.col(dst).alias("entity"), F.col(src).alias("nbr"))
+        )
+        .distinct()
+    )
+    if max_nbr_degree is not None:
+        keep = (
+            adj.groupBy("nbr")
+            .agg(F.count("*").alias("nd"))
+            .where(F.col("nd") <= max_nbr_degree)
+            .select("nbr")
+        )
+        adj = adj.join(keep, "nbr", "leftsemi")
+    sizes = adj.groupBy("entity").agg(F.count("*").alias("n_nbrs"))
+    l, r = adj.alias("l"), adj.alias("r")
+    shared = (
+        l.join(
+            r,
+            on=[
+                F.col("l.nbr") == F.col("r.nbr"),
+                F.col("l.entity") < F.col("r.entity"),
+            ],
+        )
+        .groupBy(
+            F.col("l.entity").alias("a"), F.col("r.entity").alias("b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sim = F.round(
+        F.col("n_shared")
+        / (F.col("sa") + F.col("sb") - F.col("n_shared")),
+        6,
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("entity").alias("a"), F.col("n_nbrs").alias("sa")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("entity").alias("b"), F.col("n_nbrs").alias("sb")),
+            "b",
+        )
+        .select("a", "b", "n_shared", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def _pagerank_round(
     e: DataFrame,
     verts: DataFrame,

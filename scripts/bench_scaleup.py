@@ -35,7 +35,22 @@ def main() -> None:
     from cypher_guard_spark.pipeline import run_pipeline, synthesize_documents
     from cypher_guard_spark.spark.session import build_session
 
-    spark = build_session("scaleup", cores=cores)
+    # Speculative execution: at 10^8+ docs a single lost python worker
+    # (fork race / silent worker death leaves the JVM blocked forever on
+    # the Arrow socket — observed once at 128M: one straggler task, whole
+    # job hung with 31 idle cores) would otherwise stall the run. A
+    # speculative copy of the straggler completes the stage; this is the
+    # standard production setting for any long fan-out job and costs
+    # nothing when no straggler appears.
+    spark = build_session(
+        "scaleup",
+        cores=cores,
+        extra_conf={
+            "spark.speculation": "true",
+            "spark.speculation.multiplier": "4",
+            "spark.speculation.quantile": "0.9",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     workdir = tempfile.mkdtemp(prefix="kgscaleup_")  # disk, deliberately
     try:

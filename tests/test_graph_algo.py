@@ -118,3 +118,66 @@ def test_pagerank_empty_edges(spark):
     out = pagerank(spark, e, iters=3)
     assert out.count() == 0
     assert out.columns == ["entity", "rank"]
+
+
+def test_entity_similarity_matches_python_twin(spark):
+    """Jaccard over the undirected distinct adjacency of a crafted graph,
+    vs an inline set-arithmetic reference (exact ints + one division)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cypher_guard_spark.pipeline.graph_algo import entity_similarity
+
+    edges = [
+        ("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("b", "z"),
+        ("c", "z"), ("a", "x"),  # duplicate edge: adjacency is distinct
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["a"], r["b"]): (r["n_shared"], r["sim"])
+        for r in entity_similarity(e, threshold=0.0).collect()
+    }
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    ents = sorted(adj)
+    want = {}
+    for i, a in enumerate(ents):
+        for b in ents[i + 1:]:
+            inter = len(adj[a] & adj[b])
+            if inter == 0:
+                continue
+            sim = float(
+                Decimal(repr(inter / (len(adj[a]) + len(adj[b]) - inter)))
+                .quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+            want[(a, b)] = (inter, sim)
+    assert got == want
+
+
+def test_entity_similarity_hub_cap_drops_hub_blocked_pairs(spark):
+    """With max_nbr_degree set below the hub's degree, pairs that share
+    ONLY the hub disappear and the Jaccard of surviving pairs is computed
+    over the capped adjacency (consistent numerator and denominator)."""
+    from cypher_guard_spark.pipeline.graph_algo import entity_similarity
+
+    # hub h is a neighbor of all of a..d; a,b also share private nbr p
+    edges = [(v, "h") for v in "abcd"] + [("a", "p"), ("b", "p")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    uncapped = {
+        (r["a"], r["b"]) for r in entity_similarity(e, threshold=0.0).collect()
+    }
+    assert ("c", "d") in uncapped and ("a", "b") in uncapped
+    capped = {
+        (r["a"], r["b"]): (r["n_shared"], r["sim"])
+        for r in entity_similarity(
+            e, threshold=0.0, max_nbr_degree=3
+        ).collect()
+    }
+    # h has degree 4 > 3 so it stops BLOCKING: the hub-only pairs like
+    # (c, d) disappear. h itself is still an entity (its neighbors a..d
+    # each have degree 2 ≤ 3), so (h, p) survives via shared a, b. Sizes
+    # use the capped adjacency: a:{p} b:{p} h:{a,b,c,d} p:{a,b}.
+    assert ("c", "d") not in capped
+    assert capped == {("a", "b"): (1, 1.0), ("h", "p"): (2, 0.5)}

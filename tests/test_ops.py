@@ -646,3 +646,104 @@ def test_fuzzy_decontam_crafted(spark):
         r["doc_id"] for r in fuzzy_decontaminate(corpus, bench, threshold=0.5).collect()
     }
     assert survivors == {2, 3}
+
+
+def _py_tfidf_rows(texts):
+    """Pure-Python twin of text.doc_token_freqs + corpus doc-frequency:
+    returns ({doc_id: {token: tf}}, {token: df}, n_docs)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _py_tokens
+
+    per = {}
+    for doc_id, text in texts:
+        tf = {}
+        for t in _py_tokens(text):
+            tf[t] = tf.get(t, 0) + 1
+        per[doc_id] = tf
+    dfreq = {}
+    for tf in per.values():
+        for t in tf:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    return per, dfreq, len(per)
+
+
+def test_tfidf_keywords_matches_python_twin(spark, docs):
+    """Top-k keywords by the rational (log-free) BM25 idf vs an exact
+    pure-Python twin — scores, doc_freq, and the tie-broken ranking."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cypher_guard_spark.ops.text import tfidf_keywords
+
+    texts = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    per, dfreq, n = _py_tfidf_rows(texts)
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    want = {}
+    for doc_id, tf in per.items():
+        scored = sorted(
+            (
+                (
+                    -r6(c * (float(n) - dfreq[t] + 0.5) / (dfreq[t] + 0.5)),
+                    t,
+                    c,
+                )
+                for t, c in tf.items()
+            )
+        )
+        for rnk, (neg_score, t, c) in enumerate(scored[:5], start=1):
+            want[(doc_id, t)] = (c, dfreq[t], -neg_score, rnk)
+
+    got = {
+        (r["doc_id"], r["token"]): (r["tf"], r["doc_freq"], r["score"], r["rnk"])
+        for r in tfidf_keywords(docs, k=5).collect()
+    }
+    assert got == want
+
+
+def test_rarity_scores_matches_python_twin(spark, docs):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cypher_guard_spark.ops.text import rarity_scores
+
+    texts = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    per, dfreq, _n = _py_tfidf_rows(texts)
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_rare"], r["rare_ratio"], r["avg_doc_freq"])
+        for r in rarity_scores(docs, rare_max_df=2).collect()
+    }
+    for doc_id, tf in per.items():
+        n_tokens = sum(tf.values())
+        n_rare = sum(c for t, c in tf.items() if dfreq[t] <= 2)
+        wsum = sum(c * dfreq[t] for t, c in tf.items())
+        assert got[doc_id] == (
+            n_tokens,
+            n_rare,
+            r6(n_rare / max(n_tokens, 1)),
+            r6(wsum / max(n_tokens, 1)),
+        ), doc_id
+
+
+def test_tfidf_topk_shape(spark, docs):
+    """≤ k rows per doc, rnk is 1..k dense, every doc represented."""
+    from cypher_guard_spark.ops.text import tfidf_keywords
+
+    rows = tfidf_keywords(docs, k=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["rnk"])
+    assert len(by_doc) == docs.count()
+    for ranks in by_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
