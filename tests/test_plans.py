@@ -232,3 +232,39 @@ def test_centroid_assignment_map_only(spark):
     )
     plan = plan_of(_assign(vecs, cents))
     assert "Exchange" not in plan, plan
+
+
+def test_tfidf_rarity_column_pruned_scan_and_no_python(spark):
+    """The shared doc_token_freqs base must (a) prune the documents scan
+    to (doc_id, text) — a corpus-statistics pass never reads the other
+    columns — and (b) stay pure-JVM (no ArrowEvalPython / BatchEvalPython
+    anywhere in either scorer)."""
+    from cypher_guard_spark.ops import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (
+        text.tfidf_keywords(docs, k=3),
+        text.rarity_scores(docs),
+    ):
+        plan = plan_of(df)
+        assert "ReadSchema" in plan
+        # the scan schema line must not mention the unused columns
+        read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert read and all(
+            "source" not in ln and "n_chars" not in ln for ln in read
+        ), read
+        assert "EvalPython" not in plan
+
+
+def test_entity_similarity_no_cartesian(spark):
+    """The shared-neighbor self-join must be an equi-join on the blocking
+    neighbor key — never a cartesian/broadcast-nested-loop over entities."""
+    from cypher_guard_spark.pipeline.graph_algo import entity_similarity
+
+    e = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y"), ("d", "y")],
+        "src string, dst string",
+    )
+    plan = plan_of(entity_similarity(e, threshold=0.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
