@@ -363,6 +363,82 @@ def rarity_scores(
     )
 
 
+def write_inverted_index(
+    df: DataFrame, path: str, text_col: str = "text", n_buckets: int = 64
+) -> None:
+    """Materialize a token inverted index AT REST: postings rows
+    (token, doc_id, tf) written ``partitionBy("bucket")`` with
+    ``bucket = pmod(xxhash64(token), n_buckets)`` under
+    ``{path}/postings`` — the text-side sibling of
+    similarity.write_ivf_index. A term lookup then reads ONLY the query
+    terms' bucket directories (PartitionFilters, locked by
+    tests/test_plans.py), not the corpus: the layout that makes
+    "which documents contain these benchmark/PII/keyword terms" an
+    O(postings-of-terms) query instead of a corpus scan.
+
+    One write-side shuffle (`repartition("bucket")`) so each bucket's
+    postings land in one task's output — without it every task writes a
+    file into every bucket directory (n_tasks × n_buckets small files;
+    the same reasoning as the IVF writer). `n_buckets` is the
+    table-lifetime scale dial: size it so one bucket ≈ one DFS block at
+    the target corpus. Token-frequency skew ('the') concentrates
+    postings WITHIN a bucket but never concentrates the write (hash
+    buckets) nor the lookup (a hot token is read, summed by partial agg,
+    never re-shuffled raw)."""
+    per = doc_token_freqs(df, text_col)
+    postings = per.withColumn(
+        "bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets))
+    )
+    postings.repartition("bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(f"{path}/postings")
+
+
+def search_inverted_index(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(doc_id, n_terms_matched, total_tf, rnk) — top-k documents
+    matching ANY of `terms` against a `write_inverted_index` layout,
+    ranked by (distinct terms matched, total term frequency), ties by
+    doc_id so the top-k is total.
+
+    The terms' buckets are computed DRIVER-SIDE with the pure-Python
+    xxhash64 twin (cypher_guard_spark.oracle — bit-parity with Spark's
+    locked by test), so the bucket set is a literal isin predicate on
+    the partition column and the scan prunes at planning time; the token
+    filter then prunes within the bucket via parquet row-group stats.
+    The only shuffle is a partial-aggregating groupBy(doc_id) over the
+    matched postings — O(postings of the query terms), corpus-size-
+    independent."""
+    from pyspark.sql import Window
+
+    from ..oracle import spark_xxhash64
+
+    buckets = sorted({spark_xxhash64(t) % n_buckets for t in terms})
+    post = spark.read.parquet(f"{path}/postings").where(
+        F.col("bucket").isin(buckets) & F.col("token").isin(list(terms))
+    )
+    scored = post.groupBy("doc_id").agg(
+        F.countDistinct("token").alias("n_terms_matched"),
+        F.sum("tf").alias("total_tf"),
+    )
+    order = [
+        F.col("n_terms_matched").desc(),
+        F.col("total_tf").desc(),
+        F.col("doc_id").asc(),
+    ]
+    # global top-k as orderBy().limit(k) → TakeOrderedAndProject (per-task
+    # partial top-k, no single-task global sort even when a hot term
+    # matches much of the corpus); the row_number window then runs over
+    # the k survivors only.
+    top = scored.orderBy(*order).limit(k)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+
+
 def curation_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, quality, dup_token_ratio, lang_pred) — every
     per-document curation signal in ONE projection over ONE scan: the

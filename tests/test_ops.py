@@ -747,3 +747,65 @@ def test_tfidf_topk_shape(spark, docs):
     for ranks in by_doc.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_inverted_index_roundtrip_matches_bruteforce(spark, docs, tmp_path):
+    """write_inverted_index + search must rank exactly like a pure-Python
+    brute-force over the corpus (distinct terms matched, then total tf,
+    ties by doc_id)."""
+    from cypher_guard_spark.ops.text import (
+        search_inverted_index,
+        write_inverted_index,
+    )
+
+    path = str(tmp_path / "invidx")
+    write_inverted_index(docs, path, n_buckets=8)
+    terms = ["spark", "merge", "zz-nonexistent-term"]
+    got = [
+        (r["doc_id"], r["n_terms_matched"], r["total_tf"], r["rnk"])
+        for r in search_inverted_index(spark, path, terms, k=7, n_buckets=8)
+        .orderBy("rnk")
+        .collect()
+    ]
+
+    texts = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    per, _dfreq, _n = _py_tfidf_rows(texts)
+    cand = []
+    for doc_id, tf in per.items():
+        matched = {t: tf[t] for t in terms if t in tf}
+        if matched:
+            cand.append((doc_id, len(matched), sum(matched.values())))
+    cand.sort(key=lambda x: (-x[1], -x[2], x[0]))
+    want = [(d, nt, tt, i + 1) for i, (d, nt, tt) in enumerate(cand[:7])]
+    assert got == want
+
+
+def test_inverted_index_scan_prunes_to_term_buckets(spark, docs, tmp_path):
+    """The search scan must carry a PartitionFilters entry on the bucket
+    column (the literal isin computed driver-side with the xxhash64
+    twin) — reading only the query terms' bucket directories."""
+    import contextlib
+    import io
+
+    from cypher_guard_spark.oracle import spark_xxhash64
+    from cypher_guard_spark.ops.text import (
+        search_inverted_index,
+        write_inverted_index,
+    )
+
+    path = str(tmp_path / "invidx")
+    write_inverted_index(docs, path, n_buckets=16)
+    df = search_inverted_index(spark, path, ["spark"], k=3, n_buckets=16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    b = spark_xxhash64("spark") % 16
+    assert "PartitionFilters" in plan
+    assert f"bucket#" in plan or "bucket IN" in plan or str(b) in plan
+    # engine-side bucket agrees with the driver-side twin: the probed
+    # bucket directory actually contains the token's postings
+    hit = spark.read.parquet(f"{path}/postings").where(
+        (F.col("bucket") == b) & (F.col("token") == "spark")
+    )
+    assert hit.count() > 0
