@@ -548,6 +548,52 @@ def q_kg_entity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the canonical
+    entity graph (fixed 5 rounds, min-label tie-break) — coarse entity
+    grouping; a third resident of the iterative-join family (CC kernel,
+    PageRank)."""
+    from cypher_guard_spark.pipeline.graph_algo import label_propagation
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return label_propagation(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        iters=5,
+    )
+
+
+def _kg_communities_values(iters: int = 5) -> str:
+    """Pure-Python twin of pipeline.graph_algo.label_propagation over the
+    canonical-triple edge set: undirected distinct adjacency, synchronous
+    rounds, argmax neighbor label with min-label tie-break."""
+    from collections import defaultdict
+
+    adj: defaultdict = defaultdict(set)
+    for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        adj[s].add(o)
+        adj[o].add(s)
+    labels = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v, nbrs in adj.items():
+            counts: defaultdict = defaultdict(int)
+            for nb in nbrs:
+                counts[labels[nb]] += 1
+            new[v] = min(
+                counts, key=lambda lbl: (-counts[lbl], lbl)
+            )
+        labels = new
+    rows = [
+        f"({_sql_quote(v)}, {_sql_quote(c)})" for v, c in labels.items()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(entity, community)"
+    )
+
+
 def _kg_entity_similarity_values(threshold: float = 0.2) -> str:
     """Pure-Python twin of pipeline.graph_algo.entity_similarity over the
     canonical-triple edge set: distinct undirected adjacency, pairwise
@@ -1457,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_entity_similarity": q_kg_entity_similarity,
+        "kg_communities": q_kg_communities,
         "kg_media_links": q_kg_media_links,
     }
 
@@ -1950,6 +1997,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_entity_degrees": _kg_entity_degrees_values(),
         "kg_pagerank": _kg_pagerank_values(),
         "kg_entity_similarity": _kg_entity_similarity_values(),
+        "kg_communities": _kg_communities_values(),
         "kg_media_links": _kg_media_links_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),

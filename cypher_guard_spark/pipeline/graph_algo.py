@@ -152,6 +152,62 @@ def entity_similarity(
     )
 
 
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+) -> DataFrame:
+    """(entity, community) — synchronous label propagation over the
+    undirected DISTINCT adjacency: each vertex starts as its own label;
+    every round it adopts the most frequent label among its neighbors,
+    ties broken by the lexicographically smallest label. A FIXED number
+    of synchronous rounds (not convergence — synchronous LPA can
+    oscillate on bipartite structures) makes the output a pure function
+    of the edge set, so the pure-Python twin is exact and the operator
+    is engine-portable; the standard use is coarse entity grouping on
+    the canonical graph (communities ≈ topical clusters of entities).
+
+    Scale posture: the same driver-looped join family as pagerank and
+    the CC kernel — per round, one equi-join of the adjacency against
+    the label table on the neighbor key, one partial-aggregating count
+    on (entity, label), one per-entity argmax window (shuffle keyed on
+    entity, carrying (entity, label, count) rows only), and a lazy
+    localCheckpoint to truncate the iterative lineage. Hub vertices are
+    partial-agg safe (counts combine map-side); label cardinality only
+    ever shrinks."""
+    adj = (
+        edges.select(F.col(src).alias("entity"), F.col(dst).alias("nbr"))
+        .unionByName(
+            edges.select(F.col(dst).alias("entity"), F.col(src).alias("nbr"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = adj.select("entity").distinct().select(
+        "entity", F.col("entity").alias("community")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity").orderBy(
+        F.col("cnt").desc(), F.col("community").asc()
+    )
+    for _ in range(iters):
+        nbr_labels = adj.join(
+            labels.withColumnRenamed("entity", "nbr"), "nbr"
+        ).select("entity", "community")
+        labels = (
+            nbr_labels.groupBy("entity", "community")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("entity", "community")
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
 def _pagerank_round(
     e: DataFrame,
     verts: DataFrame,

@@ -181,3 +181,42 @@ def test_entity_similarity_hub_cap_drops_hub_blocked_pairs(spark):
     # use the capped adjacency: a:{p} b:{p} h:{a,b,c,d} p:{a,b}.
     assert ("c", "d") not in capped
     assert capped == {("a", "b"): (1, 1.0), ("h", "p"): (2, 0.5)}
+
+
+def test_label_propagation_matches_python_twin(spark):
+    """Fixed-round synchronous LPA vs an inline reference on a two-
+    community barbell (two triangles + one bridge)."""
+    from cypher_guard_spark.pipeline.graph_algo import label_propagation
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),        # triangle 1
+        ("x", "y"), ("y", "z"), ("z", "x"),        # triangle 2
+        ("c", "x"),                                  # bridge
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    for iters in (1, 3, 5):
+        got = {
+            r["entity"]: r["community"]
+            for r in label_propagation(spark, e, iters=iters).collect()
+        }
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        labels = {v: v for v in adj}
+        for _ in range(iters):
+            labels = {
+                v: min(
+                    {lbl: sum(1 for nb in nbrs if labels[nb] == lbl)
+                     for lbl in {labels[nb] for nb in nbrs}}.items(),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[0]
+                for v, nbrs in adj.items()
+            }
+        assert got == labels, iters
+    # 5 rounds on this graph: each triangle collapses to one community
+    final = {
+        r["entity"]: r["community"]
+        for r in label_propagation(spark, e, iters=5).collect()
+    }
+    assert len(set(final.values())) <= 2
