@@ -241,6 +241,10 @@ def test_tfidf_rarity_column_pruned_scan_and_no_python(spark):
     anywhere in either scorer)."""
     from cypher_guard_spark.ops import text
 
+    # another module may have cached the documents parquet; a matching
+    # cached InMemoryRelation replaces the scan and carries ALL columns,
+    # hiding exactly the pruning this test asserts
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     for df in (
         text.tfidf_keywords(docs, k=3),
