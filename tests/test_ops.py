@@ -809,3 +809,27 @@ def test_inverted_index_scan_prunes_to_term_buckets(spark, docs, tmp_path):
         (F.col("bucket") == b) & (F.col("token") == "spark")
     )
     assert hit.count() > 0
+
+
+def test_tfidf_rarity_edge_docs(spark):
+    """Empty / whitespace-only / single-token docs: split('') yields ['']
+    (the empty token), so every doc has ≥1 token row and the scorers stay
+    total — locked against the same-convention Python twin."""
+    from cypher_guard_spark.ops.text import rarity_scores, tfidf_keywords
+
+    rows = [(1, ""), (2, "   "), (3, "solo"), (4, "solo solo solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tk = {
+        (r["doc_id"], r["token"]): (r["tf"], r["doc_freq"])
+        for r in tfidf_keywords(df, k=5).collect()
+    }
+    # docs 1 and 2 both normalize to the '' token (trim then split)
+    assert tk[(1, "")] == (1, 2) and tk[(2, "")] == (1, 2)
+    assert tk[(3, "solo")] == (1, 2) and tk[(4, "solo")] == (3, 2)
+    rs = {
+        r["doc_id"]: (r["n_tokens"], r["n_rare"], r["rare_ratio"])
+        for r in rarity_scores(df, rare_max_df=2).collect()
+    }
+    assert rs[1] == (1, 1, 1.0)          # '' has df 2 <= 2: rare
+    assert rs[4] == (3, 3, 1.0)          # 'solo' df 2 <= 2, tf-weighted
+    assert set(rs) == {1, 2, 3, 4}
