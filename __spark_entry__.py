@@ -1465,6 +1465,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), rare_max_df=2
         ),
         "corpus_source_mix": lambda s, d: text.source_mix(_docs(s, d)),
+        # exact=True is the oracle gate's opt-in; the default (fast) mode
+        # is the approx-sketch plan that survives 10^12 rows
+        "corpus_length_quantiles": lambda s, d: text.length_quantiles(
+            _docs(s, d), exact=True
+        ),
         "corpus_curated": q_corpus_curated,
         # similarity search
         "emb_knn_bruteforce": lambda s, d: similarity.brute_force_topk(
@@ -1839,6 +1844,25 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    round(sum(tf * doc_freq) / greatest(sum(tf), 1), 6)
                      AS avg_doc_freq
             FROM j GROUP BY doc_id
+        """,
+        "corpus_length_quantiles": """
+            WITH base AS (
+              SELECT source,
+                     len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS n_tokens,
+                     doc_id
+              FROM documents),
+            ranked AS (
+              SELECT source, n_tokens,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM base)
+            SELECT source, q, n_tokens AS n_tokens_q
+            FROM ranked
+            CROSS JOIN (VALUES (0.25::DOUBLE), (0.5::DOUBLE),
+                               (0.9::DOUBLE), (0.99::DOUBLE)) AS qt(q)
+            WHERE rn = floor(q * (n - 1)) + 1
         """,
         "corpus_source_mix": """
             SELECT source, lang, count(*) AS n_docs,

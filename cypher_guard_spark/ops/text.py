@@ -363,6 +363,70 @@ def rarity_scores(
     )
 
 
+def length_quantiles(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    qs: tuple = (0.25, 0.5, 0.9, 0.99),
+    exact: bool = False,
+) -> DataFrame:
+    """(source, q, n_tokens_q) — per-group token-length quantiles, the
+    sequence-length-budgeting view a curation run reads before choosing
+    pack_sequences' budget and truncation policy.
+
+    Two modes, same contract as pagerank's exact/fast pair:
+    - ``exact=True`` (the oracle gate): DISCRETE quantile pinned to one
+      explicit rule — the value at row_number ``floor(q*(n-1)) + 1`` of
+      the group's ascending (n_tokens, doc_id) order. Integer in, integer
+      out, no interpolation, so the SQL oracle reproduces it exactly.
+      Costs one full sort shuffle per group (window over the group) —
+      correct but sort-heavy at corpus scale.
+    - ``exact=False`` (default, the at-scale mode): ``approx_percentile``
+      with a fixed accuracy — one partial-aggregating shuffle, no sort,
+      the plan that survives 10^12 rows; answers within the sketch's
+      rank-error bound of the exact mode (locked by test), not
+      bit-identical.
+    """
+    toks = F.size(tokens(F.col(text_col)))
+    base = df.select(F.col(group_col).alias("source"), toks.alias("n_tokens"), "doc_id")
+    if not exact:
+        agg = base.groupBy("source").agg(
+            F.percentile_approx(
+                "n_tokens", F.array(*[F.lit(q) for q in qs]), 10_000
+            ).alias("vals")
+        )
+        pairs = F.arrays_zip(
+            F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("vals").alias("v")
+        )
+        return agg.select(
+            "source", F.explode(pairs).alias("p")
+        ).select(
+            "source",
+            F.col("p.q").alias("q"),
+            F.col("p.v").cast("long").alias("n_tokens_q"),
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_tokens").asc(), F.col("doc_id").asc()
+    )
+    ranked = base.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    picks = None
+    for q in qs:
+        p = ranked.where(
+            F.col("rn") == F.floor(F.lit(q) * (F.col("n") - 1)) + 1
+        ).select(
+            "source", F.lit(float(q)).alias("q"), F.col("n_tokens").alias("n_tokens_q")
+        )
+        picks = p if picks is None else picks.unionByName(p)
+    return picks
+
+
 def write_inverted_index(
     df: DataFrame, path: str, text_col: str = "text", n_buckets: int = 64
 ) -> None:

@@ -833,3 +833,48 @@ def test_tfidf_rarity_edge_docs(spark):
     assert rs[1] == (1, 1, 1.0)          # '' has df 2 <= 2: rare
     assert rs[4] == (3, 3, 1.0)          # 'solo' df 2 <= 2, tf-weighted
     assert set(rs) == {1, 2, 3, 4}
+
+
+def test_length_quantiles_exact_matches_python_and_fast_is_close(spark, docs):
+    """Exact mode reproduces the explicit discrete rule (value at rank
+    floor(q*(n-1))+1 of the (n_tokens, doc_id) order); the default fast
+    mode (approx_percentile sketch) lands within a ±2-rank window of the
+    exact rule at this corpus size."""
+    import bisect
+
+    from cypher_guard_spark.ops.text import length_quantiles
+
+    texts = [(r["doc_id"], r["text"], r["source"])
+             for r in docs.select("doc_id", "text", "source").collect()]
+    per, _dfreq, _n = _py_tfidf_rows([(d, t) for d, t, _s in texts])
+    groups = {}
+    for d, _t, s in texts:
+        groups.setdefault(s, []).append((sum(per[d].values()), d))
+    want = {}
+    for s, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for q in (0.25, 0.5, 0.9, 0.99):
+            import math
+            rn = math.floor(q * (n - 1)) + 1
+            want[(s, q)] = vals[rn - 1][0]
+
+    exact = {
+        (r["source"], r["q"]): r["n_tokens_q"]
+        for r in length_quantiles(docs, exact=True).collect()
+    }
+    assert exact == want
+
+    fast = {
+        (r["source"], r["q"]): r["n_tokens_q"]
+        for r in length_quantiles(docs, exact=False).collect()
+    }
+    assert set(fast) == set(want)
+    for (s, q), v in fast.items():
+        svals = sorted(x for x, _d in groups[s])
+        # the sketch's value must sit within ±2 ranks of the exact rule's
+        lo = bisect.bisect_left(svals, v)
+        hi = bisect.bisect_right(svals, v)
+        import math
+        target = math.floor(q * (len(svals) - 1))
+        assert lo - 2 <= target <= hi + 1, (s, q, v, target, lo, hi)
