@@ -594,6 +594,78 @@ def _kg_communities_values(iters: int = 5) -> str:
     )
 
 
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over the events table: each click attributed to the most
+    recent strictly-earlier purchase by the same user (backward, strict).
+    ONE keyed exchange total (union-tag + running last(ignorenulls) window
+    — `ops/temporal.py:asof_join`); the naive inequality join this replaces
+    is O(|clicks| x |purchases per user|)."""
+    from cypher_guard_spark.ops import relational, temporal
+
+    ev = relational.load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id"), "value"
+    )
+    # payload order (ts, p_event_id, value): event ids are unique, so the
+    # tie-break is a total order and the result is deterministic.
+    out = temporal.asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_cols=["p_event_id", "value"],
+        strict=True,
+        direction="backward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_p_event_id").alias("purchase_event_id"),
+        F.col("asof_value").alias("purchase_value"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+def q_events_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: views landing inside a [purchase_ts, +30 min) window of
+    the same user — interval containment via time-bucketed equi-join
+    (`ops/temporal.py:range_join`), never a broadcast-nested-loop."""
+    from cypher_guard_spark.ops import relational, temporal
+
+    ev = relational.load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"), "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        F.timestamp_add("SECOND", F.lit(1800), F.col("ts")).alias("hi"),
+    )
+    out = temporal.range_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_s=1800,
+    )
+    return out.select(
+        "view_event_id",
+        "purchase_event_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("lo").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
 def _kg_entity_similarity_values(threshold: float = 0.2) -> str:
     """Pure-Python twin of pipeline.graph_algo.entity_similarity over the
     canonical-triple edge set: distinct undirected adjacency, pairwise
@@ -1390,6 +1462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": relational.events_hourly,
         "events_top_users": relational.events_top_users,
         "events_sessionized": relational.events_sessionized,
+        # temporal joins (asof / range — primitives Spark lacks)
+        "events_asof_purchase": q_events_asof_purchase,
+        "events_purchase_window": q_events_purchase_window,
         # dedup
         "doc_exact_dedup": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
         "doc_ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -1635,6 +1710,30 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_session
                 FROM events)
             ) GROUP BY user_id ORDER BY user_id
+        """,
+        "events_asof_purchase": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 r AS (SELECT user_id, ts, event_id AS p_event_id, value
+                       FROM events WHERE event_type = 'purchase')
+            SELECT event_id, user_id, purchase_event_id, purchase_value, gap_us
+            FROM (
+              SELECT l.event_id, l.user_id,
+                     r.p_event_id AS purchase_event_id,
+                     r.value AS purchase_value,
+                     epoch_us(l.ts) - epoch_us(r.ts) AS gap_us,
+                     row_number() OVER (PARTITION BY l.event_id
+                                        ORDER BY r.ts DESC, r.p_event_id DESC) AS rn
+              FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts < l.ts
+            ) WHERE rn = 1
+        """,
+        "events_purchase_window": """
+            SELECT v.event_id AS view_event_id, p.event_id AS purchase_event_id,
+                   epoch_us(v.ts) - epoch_us(p.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'view') v
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON v.user_id = p.user_id AND v.ts >= p.ts
+                 AND v.ts < p.ts + INTERVAL 1800 SECONDS
         """,
         "doc_exact_dedup": """
             SELECT md5(lower(trim(text))) AS digest, count(*) AS dup_count,

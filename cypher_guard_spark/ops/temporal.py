@@ -1,0 +1,186 @@
+"""Temporal join operators Spark's DataFrame API lacks as primitives.
+
+Two classics from time-series / event analytics, each re-expressed as a
+single-shuffle composition of built-in operators (no Python in the hot
+path, no cartesian products):
+
+- ``asof_join``: for every left row, the single right row with the
+  greatest (backward) / smallest (forward) timestamp satisfying the
+  inequality, per key — pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+  semantics, implemented as ONE union + ONE window pass (the
+  "union-tag + last(ignorenulls)" pattern), so the only shuffle is the
+  partition-by-key exchange both inputs need anyway.
+
+- ``range_join``: left rows falling inside right-side ``[lo, hi)``
+  intervals, implemented by time-bucketing both sides and equi-joining on
+  (key, bucket) — the inequality predicate becomes a post-join filter on
+  an already-tiny candidate set instead of a broadcast-nested-loop join.
+
+Neither operator exists in the reference (it has no data plane); they are
+part of the training-data/KG pipeline surface this engine adds (event
+attribution, session enrichment, interval containment at corpus scale).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def _as_list(on: str | Sequence[str]) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def _micros(c: Column) -> Column:
+    """Epoch microseconds for TIMESTAMP **or** TIMESTAMP_NTZ input.
+
+    ``unix_micros`` only accepts TIMESTAMP; parquet lands as NTZ. The cast
+    is a no-op for LTZ and interprets NTZ in the session timezone — the
+    engine pins ``spark.sql.session.timeZone=UTC`` (spark/session.py:85),
+    so NTZ values convert naive-as-UTC, exactly DuckDB's ``epoch_us``.
+    """
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    strict: bool = True,
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: attach to each left row the temporally nearest right row
+    per key (backward = most recent right at-or-before the left timestamp;
+    forward = earliest right at-or-after).
+
+    100-TB posture: both sides are tagged and UNIONED, then a single
+    window (partitionBy key, orderBy timestamp) propagates the latest
+    right payload with ``last(..., ignorenulls=True)``. Exactly ONE
+    exchange (hash by key) and one per-partition sort — the same cost as
+    any keyed window — versus the naive inequality join whose candidate
+    set is O(|left| x |right per key|). Hub keys cost one task's sort
+    (same skew profile as sessionization); salt-split upstream if a
+    single key exceeds a task.
+
+    Determinism: among right rows tied on ``right_ts``, the row with the
+    greatest ``struct(right_ts, *right_cols)`` wins (backward; smallest
+    for forward) — a total order, so the result is a pure function of the
+    inputs. ``strict=True`` excludes right rows at exactly the left
+    timestamp (DuckDB ``ON l.ts > r.ts``); ``tolerance_s`` nulls the
+    match when the time gap exceeds the bound (pandas ``merge_asof``
+    tolerance).
+
+    Returns all left columns plus ``{prefix}{c}`` for each of
+    ``right_cols`` and ``{prefix}{right_ts}``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = _as_list(on)
+    right_cols = [c for c in (right_cols or []) if c != right_ts]
+
+    payload = F.struct(F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols])
+    # side ordering encodes strictness: for strict matches the left row
+    # must sort BEFORE same-timestamp right rows (so the running window
+    # cannot see them); non-strict sorts right rows first.
+    left_side, right_side = (0, 1) if strict else (1, 0)
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__t"),
+        F.lit(right_side).alias("__side"),
+        payload.alias("__payload"),
+    )
+    # the full left row rides through the union (right side null-fills the
+    # left-only columns via allowMissingColumns), so the operator never
+    # needs a second join to re-attach payload columns — one exchange total.
+    l = (  # noqa: E741
+        left.withColumn("__t", F.col(left_ts))
+        .withColumn("__side", F.lit(left_side))
+        .withColumn("__is_left", F.lit(1))
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__side").asc(), F.col("__payload").asc()]
+    else:
+        # forward scan = reverse time; struct DESC makes ties pick the
+        # SMALLEST payload, mirroring backward's largest-wins.
+        order = [F.col("__t").desc(), F.col("__side").asc(), F.col("__payload").desc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    ).where(F.col("__is_left") == 1)
+
+    if tolerance_s is not None:
+        gap = F.abs(_micros(F.col("__t")) - _micros(F.col("__match.__ts")))
+        matched = matched.withColumn(
+            "__match",
+            F.when(gap <= int(tolerance_s * 1_000_000), F.col("__match")),
+        )
+
+    out_cols = [F.col("__match.__ts").alias(f"{prefix}{right_ts}")] + [
+        F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_cols
+    ]
+    return matched.select(*[F.col(c) for c in left.columns], *out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_s: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join: left rows with ``lo <= left_ts < hi``
+    (per key). Right intervals are exploded over the time buckets they
+    cover; the join is a plain equi-join on (key, bucket) plus a residual
+    filter — no broadcast-nested-loop, no cartesian.
+
+    ``bucket_s`` should be >= the typical interval length so the explode
+    factor stays ~2; a fixed-length-interval workload with bucket = length
+    never exceeds 2 buckets per interval. Each left row maps to exactly
+    ONE bucket, so a (left, right) pair can meet in at most one bucket
+    and no post-join dedup is needed.
+    """
+    keys = _as_list(on)
+    bucket_us = int(bucket_s) * 1_000_000
+    lb = (_micros(F.col(left_ts)) / bucket_us).cast("long")
+    lo_us, hi_us = _micros(F.col(right_lo)), _micros(F.col(right_hi))
+    r = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (lo_us / bucket_us).cast("long"),
+                (F.greatest(hi_us - 1, lo_us) / bucket_us).cast("long"),
+            )
+        ),
+    )
+    # explicit aliases: both sides are often derived from the SAME scan
+    # (self-join), where bare l[k] == r[k] resolves ambiguously.
+    l = left.withColumn("__bucket", lb).alias("__rj_l")  # noqa: E741
+    r = r.alias("__rj_r")
+    cond = [F.col(f"__rj_l.{c}") == F.col(f"__rj_r.{c}") for c in ["__bucket", *keys]]
+    joined = l.join(r, cond, how).where(
+        (_micros(F.col(f"__rj_l.{left_ts}")) >= _micros(F.col(f"__rj_r.{right_lo}")))
+        & (_micros(F.col(f"__rj_l.{left_ts}")) < _micros(F.col(f"__rj_r.{right_hi}")))
+    )
+    right_keep = [c for c in right.columns if c not in keys]
+    return joined.select(
+        *[F.col(f"__rj_l.{c}") for c in left.columns],
+        *[F.col(f"__rj_r.{c}") for c in right_keep],
+    )

@@ -1,0 +1,197 @@
+"""Temporal join operators (ops/temporal.py): as-of join and range join.
+
+Correctness is locked against exhaustive pure-Python twins on randomized
+inputs with deliberate timestamp collisions (the tie-break paths), and the
+plan shapes are locked: asof_join pays exactly ONE exchange (the keyed
+window), range_join never degenerates to a broadcast-nested-loop or
+cartesian plan.
+"""
+
+import contextlib
+import io
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from cypher_guard_spark.ops import temporal
+
+
+def _t(s: float) -> datetime:
+    return datetime(2024, 1, 1) + timedelta(seconds=s)
+
+
+def _plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def _mk_inputs(seed: int, n_left: int = 60, n_right: int = 60, ts_range: int = 30):
+    """Small key space + small integer timestamp range so same-instant ties
+    (the interesting path) occur often."""
+    rng = random.Random(seed)
+    left = [(i, rng.randint(1, 5), _t(rng.randint(0, ts_range))) for i in range(n_left)]
+    right = [
+        (rng.randint(1, 6), _t(rng.randint(0, ts_range)), 1000 + j)
+        for j in range(n_right)
+    ]
+    return left, right
+
+
+def _brute_asof(left, right, strict, direction, tolerance_s=None):
+    """Exhaustive twin: per left row, best right row by (ts, rid) order."""
+    out = {}
+    for lid, key, lts in left:
+        cands = []
+        for rkey, rts, rid in right:
+            if rkey != key:
+                continue
+            if direction == "backward":
+                ok = (rts < lts) if strict else (rts <= lts)
+            else:
+                ok = (rts > lts) if strict else (rts >= lts)
+            if ok:
+                cands.append((rts, rid))
+        best = (max(cands) if direction == "backward" else min(cands)) if cands else None
+        if best is not None and tolerance_s is not None:
+            if abs((lts - best[0]).total_seconds()) > tolerance_s:
+                best = None
+        out[lid] = best
+    return out
+
+
+def _spark_asof(spark, left, right, **kw):
+    ldf = spark.createDataFrame(left, "lid int, key int, ts timestamp")
+    rdf = spark.createDataFrame(right, "key int, ts timestamp, rid int")
+    got = temporal.asof_join(ldf, rdf, on="key", right_cols=["rid"], **kw).collect()
+    return {
+        r["lid"]: (None if r["asof_ts"] is None else (r["asof_ts"], r["asof_rid"]))
+        for r in got
+    }
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [True, False])
+def test_asof_join_matches_bruteforce(spark, direction, strict):
+    left, right = _mk_inputs(seed=7 if strict else 11)
+    want = _brute_asof(left, right, strict, direction)
+    got = _spark_asof(spark, left, right, strict=strict, direction=direction)
+    assert got == want
+
+
+def test_asof_join_tolerance_nulls_far_matches(spark):
+    left, right = _mk_inputs(seed=3, ts_range=100)
+    want = _brute_asof(left, right, True, "backward", tolerance_s=10)
+    got = _spark_asof(spark, left, right, strict=True, direction="backward", tolerance_s=10)
+    assert got == want
+    # the tolerance must actually bite somewhere on this input
+    unbounded = _brute_asof(left, right, True, "backward")
+    assert sum(v is None for v in want.values()) > sum(
+        v is None for v in unbounded.values()
+    )
+
+
+def test_asof_join_keeps_unmatched_left_and_all_left_columns(spark):
+    ldf = spark.createDataFrame(
+        [(1, 10, _t(5), "a"), (2, 10, _t(0), "b"), (3, 99, _t(5), "c")],
+        "lid int, key int, ts timestamp, tag string",
+    )
+    rdf = spark.createDataFrame([(10, _t(1), 7)], "key int, ts timestamp, rid int")
+    out = temporal.asof_join(ldf, rdf, on="key", right_cols=["rid"])
+    rows = {r["lid"]: r for r in out.collect()}
+    assert out.columns == ["lid", "key", "ts", "tag", "asof_ts", "asof_rid"]
+    assert len(rows) == 3  # left join semantics: every left row survives
+    assert rows[1]["asof_rid"] == 7 and rows[1]["tag"] == "a"
+    assert rows[2]["asof_rid"] is None  # nothing strictly earlier
+    assert rows[3]["asof_rid"] is None  # key with no right rows at all
+
+
+def test_asof_join_single_exchange(spark):
+    left, right = _mk_inputs(seed=1)
+    ldf = spark.createDataFrame(left, "lid int, key int, ts timestamp")
+    rdf = spark.createDataFrame(right, "key int, ts timestamp, rid int")
+    plan = _plan_of(
+        temporal.asof_join(ldf, rdf, on="key", right_cols=["rid"]), mode="simple"
+    )
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+    assert "Join" not in plan  # union + window, never a join
+
+
+def _brute_range(left, right):
+    return sorted(
+        (lid, rid)
+        for lid, lkey, lts in left
+        for rid, rkey, lo, hi in right
+        if lkey == rkey and lo <= lts < hi
+    )
+
+
+def _mk_intervals(seed: int, n: int = 40, ts_range: int = 600):
+    """Interval lengths from zero-length through several-bucket spans."""
+    rng = random.Random(seed)
+    out = []
+    for j in range(n):
+        lo = rng.randint(0, ts_range)
+        length = rng.choice([0, 1, 30, 60, 61, 200, 400])
+        out.append((2000 + j, rng.randint(1, 5), _t(lo), _t(lo + length)))
+    return out
+
+
+def test_range_join_matches_bruteforce(spark):
+    rng = random.Random(17)
+    left = [(i, rng.randint(1, 5), _t(rng.randint(0, 650))) for i in range(80)]
+    right = _mk_intervals(seed=23)
+    ldf = spark.createDataFrame(left, "lid int, key int, ts timestamp")
+    rdf = spark.createDataFrame(
+        right, "rid int, key int, lo timestamp, hi timestamp"
+    )
+    for bucket_s in (60, 300):  # explode factor varies; result must not
+        out = temporal.range_join(
+            ldf, rdf, on="key", left_ts="ts", right_lo="lo", right_hi="hi",
+            bucket_s=bucket_s,
+        )
+        got = sorted((r["lid"], r["rid"]) for r in out.collect())
+        assert got == _brute_range(left, right), f"bucket_s={bucket_s}"
+        # at most one bucket meeting per (left, right) pair — no dup rows
+        assert len(got) == len(set(got))
+
+
+def test_temporal_ops_accept_timestamp_ntz(spark):
+    """Parquet timestamps land as TIMESTAMP_NTZ; unix_micros rejects NTZ,
+    so both operators must cast internally (regression: first sf0.01 run
+    failed analysis with DATATYPE_MISMATCH on the events table)."""
+    ldf = spark.createDataFrame(
+        [(1, 1, _t(5))], "lid int, key int, ts timestamp"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rdf = spark.createDataFrame(
+        [(1, _t(1), 7)], "key int, ts timestamp, rid int"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = temporal.asof_join(
+        ldf, rdf, on="key", right_cols=["rid"], tolerance_s=60
+    ).collect()
+    assert [r["asof_rid"] for r in got] == [7]
+    idf = spark.createDataFrame(
+        [(9, 1, _t(0), _t(10))], "rid int, key int, lo timestamp, hi timestamp"
+    ).select("rid", "key", F.col("lo").cast("timestamp_ntz").alias("lo"),
+             F.col("hi").cast("timestamp_ntz").alias("hi"))
+    out = temporal.range_join(
+        ldf, idf, on="key", left_ts="ts", right_lo="lo", right_hi="hi", bucket_s=60
+    ).collect()
+    assert [(r["lid"], r["rid"]) for r in out] == [(1, 9)]
+
+
+def test_range_join_plan_is_equi_join(spark):
+    left = [(1, 1, _t(5))]
+    right = [(9, 1, _t(0), _t(10))]
+    ldf = spark.createDataFrame(left, "lid int, key int, ts timestamp")
+    rdf = spark.createDataFrame(right, "rid int, key int, lo timestamp, hi timestamp")
+    plan = _plan_of(
+        temporal.range_join(
+            ldf, rdf, on="key", left_ts="ts", right_lo="lo", right_hi="hi", bucket_s=60
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
