@@ -594,6 +594,93 @@ def _kg_communities_values(iters: int = 5) -> str:
     )
 
 
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle counts over the canonical entity graph
+    (degree-ordered orientation — `pipeline/graph_algo.py:triangle_count`);
+    the standard clustering-structure report, exact integer output."""
+    from cypher_guard_spark.pipeline.graph_algo import triangle_count
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return triangle_count(
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+
+
+def _kg_und_adj() -> dict:
+    """Undirected distinct adjacency of the canonical-triple twin."""
+    adj: dict = {}
+    for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        if s == o:
+            continue
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    return adj
+
+
+def _kg_triangles_values() -> str:
+    """Pure-Python twin of triangle_count over the canonical edge set."""
+    adj = _kg_und_adj()
+    counts = {v: 0 for v in adj}
+    for v, nbrs in adj.items():
+        for a in nbrs:
+            for b in nbrs:
+                if a < b and b in adj.get(a, ()):  # wedge at v closed by (a,b)
+                    counts[v] += 1
+    rows = [f"({_sql_quote(v)}, {c})" for v, c in counts.items()]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(entity, n_triangles)"
+    )
+
+
+def q_kg_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the graph's hub (max-degree canonical entity,
+    ties to the smallest name) over the undirected canonical graph —
+    multi-source-capable iterative BFS (`pipeline/graph_algo.py:bfs_depths`);
+    the standard connectivity-radius QA view."""
+    from cypher_guard_spark.pipeline.graph_algo import bfs_depths
+
+    canon = q_kg_canonical_triples(spark, sf_dir).localCheckpoint(eager=False)
+    e = canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    und = (
+        e.select(F.col("src").alias("entity"), F.col("dst").alias("nbr"))
+        .unionByName(e.select(F.col("dst").alias("entity"), F.col("src").alias("nbr")))
+        .where(F.col("entity") != F.col("nbr"))
+        .distinct()
+    )
+    hub = (
+        und.groupBy("entity")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("entity").asc())
+        .limit(1)  # 1-row driver scalar: the seed choice, not graph data
+        .select("entity")
+    )
+    return bfs_depths(spark, e, hub, max_depth=6)
+
+
+def _kg_bfs_depths_values(max_depth: int = 6) -> str:
+    """Pure-Python twin: BFS from the max-degree (min-name tie) entity."""
+    from collections import deque
+
+    adj = _kg_und_adj()
+    hub = min(adj, key=lambda v: (-len(adj[v]), v))
+    depth = {hub: 0}
+    q = deque([hub])
+    while q:
+        v = q.popleft()
+        if depth[v] >= max_depth:
+            continue
+        for nb in sorted(adj[v]):
+            if nb not in depth:
+                depth[nb] = depth[v] + 1
+                q.append(nb)
+    rows = [f"({_sql_quote(v)}, {d})" for v, d in depth.items()]
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(entity, depth)"
+    )
+
+
 def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join over the events table: each click attributed to the most
     recent strictly-earlier purchase by the same user (backward, strict).
@@ -1584,6 +1671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_entity_similarity": q_kg_entity_similarity,
         "kg_communities": q_kg_communities,
+        "kg_triangles": q_kg_triangles,
+        "kg_bfs_depths": q_kg_bfs_depths,
         "kg_media_links": q_kg_media_links,
     }
 
@@ -2121,6 +2210,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_pagerank": _kg_pagerank_values(),
         "kg_entity_similarity": _kg_entity_similarity_values(),
         "kg_communities": _kg_communities_values(),
+        "kg_triangles": _kg_triangles_values(),
+        "kg_bfs_depths": _kg_bfs_depths_values(),
         "kg_media_links": _kg_media_links_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),

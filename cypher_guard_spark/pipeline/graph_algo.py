@@ -208,6 +208,136 @@ def label_propagation(
     return labels
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(entity, n_triangles) — triangles through each vertex of the
+    undirected distinct graph; pure integer counts, so exact in any
+    engine/partitioning.
+
+    Scale posture: the classic degree-ordered orientation (node-iterator++ /
+    Cohen's MapReduce scheme). Every undirected edge is oriented from the
+    (degree, id)-SMALLER endpoint to the larger, so each triangle is
+    enumerated exactly once from its smallest vertex, and — the reason this
+    survives hubs — the out-degree of any vertex in the oriented graph is
+    O(sqrt(m)): wedges are built by self-joining the oriented adjacency on
+    its source, giving sum(d_out^2) <= m*sqrt(m) candidate wedges instead
+    of a hub's d^2. The wedge list then probes the oriented edge set with
+    one equi-join on the (v, w) pair. Three keyed shuffles total (degree
+    agg, wedge self-join, closing probe), all on vertex/pair keys carrying
+    id-sized rows. Vertices in no triangle report 0.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))  # self-loops close no triangle
+        .distinct()
+        .localCheckpoint(eager=False)  # referenced by degrees + orientation
+    )
+    verts = (
+        und.select(F.col("a").alias("entity"))
+        .unionByName(und.select(F.col("b").alias("entity")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("entity"))
+        .unionByName(und.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count("*").alias("deg"))
+    )
+    # attach each endpoint's (deg, id) rank, orient small -> large
+    ranked = (
+        und.join(deg.select(F.col("entity").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("entity").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            F.struct(F.col("da").alias("d"), F.col("a").alias("v")).alias("ra"),
+            F.struct(F.col("db").alias("d"), F.col("b").alias("v")).alias("rb"),
+        )
+    )
+    oriented = ranked.select(
+        F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(F.col("ra") < F.col("rb"), F.col("rb")).otherwise(F.col("ra")).alias(
+            "rw"
+        ),
+    ).localCheckpoint(eager=False)  # wedge join + closing probe both read it
+    l, r = oriented.alias("l"), oriented.alias("r")
+    # wedge (u; v, w) with rank(v) < rank(w): the closing edge, if present,
+    # is oriented v -> w, so one equi-join on the pair finds it
+    wedges = l.join(
+        r,
+        on=[F.col("l.u") == F.col("r.u"), F.col("l.rw") < F.col("r.rw")],
+    ).select(
+        F.col("l.u").alias("u"), F.col("l.w").alias("v"), F.col("r.w").alias("w")
+    )
+    closing = oriented.select(F.col("u").alias("v"), F.col("w").alias("w"))
+    tris = wedges.join(closing, ["v", "w"])
+    credits = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return verts.join(credits, "entity", "left").select(
+        "entity", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
+def bfs_depths(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 6,
+) -> DataFrame:
+    """(entity, depth) — unweighted shortest hop count from the seed set
+    over the undirected graph, up to ``max_depth``; unreachable vertices
+    are omitted. Multi-source BFS as iterative frontier-expansion joins —
+    the fourth resident of the driver-looped family (CC, PageRank, LPA).
+
+    Scale posture: per round ONE equi-join of the current frontier against
+    the adjacency (keyed on the frontier vertex), one anti-join against the
+    visited set, one distinct — all id-only rows; lineage truncated per
+    round with lazy localCheckpoints like the sibling kernels. The loop
+    exits early when the frontier drains (a driver-side count per round —
+    the same entity-scaled scalar class as CC's). Frontier size is bounded
+    by the graph's breadth, never materialized on the driver.
+    """
+    adj = (
+        edges.select(F.col(src).alias("entity"), F.col(dst).alias("nbr"))
+        .unionByName(
+            edges.select(F.col(dst).alias("entity"), F.col(src).alias("nbr"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    frontier = seeds.select("entity").distinct().localCheckpoint(eager=False)
+    visited = frontier.select("entity", F.lit(0).alias("depth")).localCheckpoint(
+        eager=False
+    )
+    for d in range(1, max_depth + 1):
+        nxt = (
+            adj.join(frontier, "entity")
+            .select(F.col("nbr").alias("entity"))
+            .join(visited.select("entity"), "entity", "left_anti")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        if not nxt.take(1):  # frontier drained — all reachable found
+            break
+        visited = visited.unionByName(
+            nxt.select("entity", F.lit(d).alias("depth"))
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited
+
+
 def _pagerank_round(
     e: DataFrame,
     verts: DataFrame,

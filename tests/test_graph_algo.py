@@ -220,3 +220,100 @@ def test_label_propagation_matches_python_twin(spark):
         for r in label_propagation(spark, e, iters=5).collect()
     }
     assert len(set(final.values())) <= 2
+
+
+def _rand_edges(seed, n_verts=40, n_edges=160):
+    import random
+
+    rng = random.Random(seed)
+    vs = [f"v{i:02d}" for i in range(n_verts)]
+    return [(rng.choice(vs), rng.choice(vs)) for _ in range(n_edges)]
+
+
+def _und(edges):
+    return {
+        (min(s, d), max(s, d)) for s, d in edges if s != d
+    }
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from cypher_guard_spark.pipeline.graph_algo import triangle_count
+
+    for seed in (3, 9):
+        edges = _rand_edges(seed)
+        e = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["entity"]: r["n_triangles"] for r in triangle_count(e).collect()
+        }
+        und = _und(edges)
+        verts = sorted({v for p in und for v in p})
+        want = {v: 0 for v in verts}
+        for t in combinations(verts, 3):
+            a, b, c = t
+            if {(a, b), (a, c), (b, c)} <= und:
+                for v in t:
+                    want[v] += 1
+        assert got == want, seed
+
+
+def test_triangle_count_multiedge_selfloop_and_zero(spark):
+    from cypher_guard_spark.pipeline.graph_algo import triangle_count
+
+    # duplicate edges and self-loops must not inflate counts; the isolated
+    # path vertex reports 0 (present in output, not dropped)
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+             ("a", "a"), ("c", "d")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["entity"]: r["n_triangles"] for r in triangle_count(e).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+
+def test_bfs_depths_matches_bruteforce(spark):
+    from collections import deque
+
+    from cypher_guard_spark.pipeline.graph_algo import bfs_depths
+
+    edges = _rand_edges(seed=5, n_verts=60, n_edges=90)  # sparse: real depths
+    e = spark.createDataFrame(edges, "src string, dst string")
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    seeds = sorted(adj)[:2]
+    want = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        v = q.popleft()
+        for nb in adj.get(v, ()):
+            if nb not in want:
+                want[nb] = want[v] + 1
+                q.append(nb)
+    want = {v: d for v, d in want.items() if d <= 6}
+    sdf = spark.createDataFrame([(s,) for s in seeds], "entity string")
+    got = {
+        r["entity"]: r["depth"] for r in bfs_depths(spark, e, sdf).collect()
+    }
+    assert got == want
+
+
+def test_bfs_depths_early_exit_and_cap(spark):
+    from cypher_guard_spark.pipeline.graph_algo import bfs_depths
+
+    # 9-vertex path from p0: cap at 3 hops, and on the full run the loop
+    # must early-exit once the frontier drains rather than pad to max_depth
+    edges = [(f"p{i}", f"p{i+1}") for i in range(8)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([("p0",)], "entity string")
+    capped = {
+        r["entity"]: r["depth"]
+        for r in bfs_depths(spark, e, sdf, max_depth=3).collect()
+    }
+    assert capped == {"p0": 0, "p1": 1, "p2": 2, "p3": 3}
+    full = {
+        r["entity"]: r["depth"]
+        for r in bfs_depths(spark, e, sdf, max_depth=50).collect()
+    }
+    assert full == {f"p{i}": i for i in range(9)}
