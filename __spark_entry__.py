@@ -1200,6 +1200,20 @@ def _corpus_mixture_sql() -> str:
     """
 
 
+def _doc_training_shards_values(n_shards: int = 8, seed: int = 0) -> str:
+    """VALUES (doc_id, shard, h) for the shuffle_shards oracle: shard and
+    hash from the pure-Python xxhash64 twin (DuckDB's % differs on
+    negatives, so pmod stays in Python); the within-shard position rank
+    stays in SQL as a window."""
+    from cypher_guard_spark.oracle import spark_xxhash64
+
+    rows = []
+    for doc_id, _text in _oracle_documents():
+        h = spark_xxhash64(doc_id, seed, int_widths=("long", "int"))
+        rows.append(f"({doc_id}, {h % n_shards}, {h})")
+    return "(VALUES " + ", ".join(rows) + ") AS t(doc_id, shard, h)"
+
+
 def _py_length_stratum(text: str, bucket_tokens: int = 16, n_buckets: int = 4) -> int:
     return min(len(_py_tokens(text)) // bucket_tokens, n_buckets - 1)
 
@@ -1607,6 +1621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_balanced_sample": lambda s, d: sample.balanced_sample(
             _docs(s, d), sample.length_bucket(), k=25
         ).select("doc_id", "stratum", "rnk"),
+        "doc_training_shards": lambda s, d: sample.shuffle_shards(
+            _docs(s, d), 8, seed=0
+        ).select("doc_id", "shard", "pos"),
         "doc_pack_sequences": lambda s, d: sample.pack_sequences(
             _docs(s, d), budget=64, n_shards=4
         ),
@@ -2162,6 +2179,13 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                      AS n_removed,
                    coalesce(r.text_clean, '') AS text_clean
             FROM docs2 d LEFT JOIN reb r USING (doc_id)
+        """,
+        "doc_training_shards": f"""
+            WITH v AS (SELECT * FROM {_doc_training_shards_values()})
+            SELECT doc_id, shard,
+                   (row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                    - 1)::BIGINT AS pos
+            FROM v
         """,
         "doc_pack_sequences": f"""
             WITH shards AS (SELECT * FROM {_doc_pack_shards_values()}),

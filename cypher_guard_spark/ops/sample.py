@@ -254,3 +254,52 @@ def pack_sequences(
         "n_tokens",
         F.pmod(cum_excl, F.lit(budget)).cast("long").alias("tok_offset"),
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """All input columns + (shard, pos): a deterministic seeded GLOBAL
+    SHUFFLE for training-data export — the "randomize document order and
+    cut into fixed shards" step every pretraining pipeline runs last.
+
+    shard = pmod(xxhash64(key, seed), n_shards); pos = dense 0-based rank
+    within the shard by (xxhash64(key, seed), key) — i.e. reading shards
+    in pos order replays one uniform seeded permutation of the corpus.
+    No `rand()` anywhere: the permutation is a pure function of (key,
+    seed), so lost-task retries reproduce it exactly and a different
+    `seed` yields an independent epoch order.
+
+    100-TB posture: ONE exchange (hash by shard) + one per-shard sort —
+    identical shape to `pack_sequences`; n_shards is the scale dial (pick
+    corpus_bytes / ~1 GB so each sort stays task-sized). The window's sort
+    key is (hash, key), so hub-free by construction (hashes are uniform).
+    """
+    h = F.xxhash64(F.col(key_col), F.lit(int(seed)))
+    base = df.withColumn(
+        "shard", F.pmod(h, F.lit(n_shards)).cast("int")
+    ).withColumn("__h", h)
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(key_col))
+    return base.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    ).drop("__h")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int = 0,
+    key_col: str = "doc_id",
+) -> None:
+    """Materialize `shuffle_shards` as an at-rest shard-partitioned
+    parquet table (`shard=K/` directories, rows in pos order within each
+    file): the final export a trainer's data loader reads sequentially.
+    The window already hashes rows to their shard and emits them sorted
+    by pos, so partitionBy adds NO extra exchange — each window task
+    writes whole shards."""
+    sharded = shuffle_shards(df, n_shards, seed=seed, key_col=key_col)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)

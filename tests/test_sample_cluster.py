@@ -195,3 +195,82 @@ def test_token_budget_mixture_single_corpus_pass(spark, docs):
     # partial HashAggregate (bucket sums), asserted via partial_sum
     assert "partial_sum" in plan
     assert "BroadcastHashJoin" in plan  # offsets re-enter via broadcast
+
+
+def test_shuffle_shards_matches_twin_and_is_partitioning_invariant(spark, docs):
+    from cypher_guard_spark.oracle import spark_xxhash64
+    from cypher_guard_spark.ops.sample import shuffle_shards
+
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    for seed in (0, 7):
+        want = {}
+        by_shard = {}
+        for i in ids:
+            h = spark_xxhash64(i, seed, int_widths=("long", "int"))
+            by_shard.setdefault(h % 8, []).append((h, i))
+        for sh, rows in by_shard.items():
+            for pos, (_h, i) in enumerate(sorted(rows)):
+                want[i] = (sh, pos)
+        got = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in shuffle_shards(docs, 8, seed=seed).select(
+                "doc_id", "shard", "pos"
+            ).collect()
+        }
+        assert got == want, seed
+        # physical partitioning must not leak into the permutation
+        got2 = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in shuffle_shards(docs.repartition(13), 8, seed=seed)
+            .select("doc_id", "shard", "pos")
+            .collect()
+        }
+        assert got2 == want, seed
+    # different seed = genuinely different permutation
+    a = shuffle_shards(docs, 8, seed=0).select("doc_id", "shard", "pos")
+    b = shuffle_shards(docs, 8, seed=7).select("doc_id", "shard", "pos")
+    assert {tuple(r) for r in a.collect()} != {tuple(r) for r in b.collect()}
+
+
+def test_shuffle_shards_single_exchange(spark, docs):
+    import contextlib
+    import io
+
+    from cypher_guard_spark.ops.sample import shuffle_shards
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        shuffle_shards(docs, 8).select("doc_id", "shard", "pos").explain("simple")
+    plan = buf.getvalue()
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+
+
+def test_write_training_shards_roundtrip(spark, docs, tmp_path):
+    from cypher_guard_spark.ops.sample import shuffle_shards, write_training_shards
+
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4, seed=3)
+    back = spark.read.parquet(out)
+    # every shard directory present; pos contiguous 0..n_k-1 within shard
+    per = {
+        r["shard"]: (r["n"], r["mn"], r["mx"])
+        for r in back.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.min("pos").alias("mn"), F.max("pos").alias("mx"))
+        .collect()
+    }
+    assert sorted(per) == [0, 1, 2, 3]
+    for _sh, (n, mn, mx) in per.items():
+        assert (mn, mx) == (0, n - 1)
+    assert back.count() == docs.count()
+    # at-rest table equals the in-plan operator (text payload included)
+    live = {
+        (r["shard"], r["pos"]): (r["doc_id"], r["text"])
+        for r in shuffle_shards(docs, 4, seed=3)
+        .select("doc_id", "text", "shard", "pos")
+        .collect()
+    }
+    stored = {
+        (r["shard"], r["pos"]): (r["doc_id"], r["text"])
+        for r in back.select("doc_id", "text", "shard", "pos").collect()
+    }
+    assert stored == live
