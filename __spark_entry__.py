@@ -681,6 +681,42 @@ def _kg_bfs_depths_values(max_depth: int = 6) -> str:
     )
 
 
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the canonical entity graph (iterative peeling —
+    `pipeline/graph_algo.py:k_core`): the dense nucleus after stripping
+    degree-1 tendrils, with each survivor's in-core degree."""
+    from cypher_guard_spark.pipeline.graph_algo import k_core
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return k_core(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        k=2,
+    )
+
+
+def _kg_kcore_values(k: int = 2) -> str:
+    """Pure-Python twin: classic peeling to the unique k-core fixpoint."""
+    adj = _kg_und_adj()
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, nbrs in adj.items() if len(nbrs) < k]:
+            for nb in adj.pop(v):
+                adj[nb].discard(v)
+            changed = True
+    rows = [
+        f"({_sql_quote(v)}, {len(nbrs)})" for v, nbrs in adj.items() if nbrs
+    ]
+    if not rows:
+        return "SELECT * FROM (VALUES (NULL, NULL)) AS t(entity, core_degree) WHERE FALSE"
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(entity, core_degree)"
+    )
+
+
 def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join over the events table: each click attributed to the most
     recent strictly-earlier purchase by the same user (backward, strict).
@@ -1690,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_triangles": q_kg_triangles,
         "kg_bfs_depths": q_kg_bfs_depths,
+        "kg_kcore": q_kg_kcore,
         "kg_media_links": q_kg_media_links,
     }
 
@@ -2236,6 +2273,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_communities": _kg_communities_values(),
         "kg_triangles": _kg_triangles_values(),
         "kg_bfs_depths": _kg_bfs_depths_values(),
+        "kg_kcore": _kg_kcore_values(),
         "kg_media_links": _kg_media_links_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),

@@ -338,6 +338,73 @@ def bfs_depths(
     return visited
 
 
+def k_core(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(entity, core_degree) — the k-core of the undirected distinct
+    graph: the maximal subgraph where every vertex keeps degree >= k,
+    found by synchronous iterative peeling (drop all sub-k vertices,
+    recompute degrees, repeat). The fixpoint is unique (the k-core is
+    well-defined), so the output is a pure function of the edge set;
+    `core_degree` is the vertex's degree WITHIN the core. The standard
+    "dense nucleus" QA view over the canonical entity graph (hub cliques
+    vs peripheral tendrils).
+
+    Scale posture: the fifth driver-looped kernel (CC, PageRank, LPA,
+    BFS) — per round one partial-agg degree count plus two id-only
+    leftsemi joins to drop peeled endpoints, lineage truncated with lazy
+    localCheckpoints; the loop exits when an edge-count driver scalar
+    stops moving (the same per-round scalar class as CC/BFS). Peeling
+    cascades on path-like graphs can take O(diameter) rounds —
+    ``max_rounds`` bounds the loop; the synchronous schedule keeps a
+    capped run deterministic too.
+    """
+    live = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_edges = live.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            live.select(F.col("a").alias("entity"))
+            .unionByName(live.select(F.col("b").alias("entity")))
+            .groupBy("entity")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("entity").localCheckpoint(
+            eager=False
+        )
+        nxt = (
+            live.join(keep.select(F.col("entity").alias("a")), "a", "leftsemi")
+            .join(keep.select(F.col("entity").alias("b")), "b", "leftsemi")
+            .localCheckpoint(eager=False)
+        )
+        n_nxt = nxt.count()
+        live = nxt
+        if n_nxt == n_edges:  # fixpoint: nobody fell below k this round
+            break
+        n_edges = n_nxt
+    return (
+        live.select(F.col("a").alias("entity"))
+        .unionByName(live.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count("*").alias("core_degree"))
+        .where(F.col("core_degree") >= k)
+    )
+
+
 def _pagerank_round(
     e: DataFrame,
     verts: DataFrame,

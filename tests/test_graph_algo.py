@@ -317,3 +317,48 @@ def test_bfs_depths_early_exit_and_cap(spark):
         for r in bfs_depths(spark, e, sdf, max_depth=50).collect()
     }
     assert full == {f"p{i}": i for i in range(9)}
+
+
+def _py_kcore(edges, k):
+    und = _und(edges)
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, nbrs in adj.items() if len(nbrs) < k]:
+            for nb in adj.pop(v):
+                adj[nb].discard(v)
+            changed = True
+    return {v: len(nbrs) for v, nbrs in adj.items() if nbrs}
+
+
+def test_k_core_matches_bruteforce(spark):
+    from cypher_guard_spark.pipeline.graph_algo import k_core
+
+    for seed, k in ((2, 2), (2, 3), (8, 4)):
+        edges = _rand_edges(seed, n_verts=30, n_edges=90)
+        e = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["entity"]: r["core_degree"]
+            for r in k_core(spark, e, k=k).collect()
+        }
+        assert got == _py_kcore(edges, k), (seed, k)
+
+
+def test_k_core_peeling_cascade_and_empty(spark):
+    from cypher_guard_spark.pipeline.graph_algo import k_core
+
+    # path + triangle: 2-core must peel the whole tail (cascade) and keep
+    # exactly the triangle; 3-core of the same graph is empty
+    edges = [(f"t{i}", f"t{i+1}") for i in range(5)] + [
+        ("t0", "x"), ("x", "y"), ("y", "t0"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["entity"]: r["core_degree"] for r in k_core(spark, e, k=2).collect()
+    }
+    assert got == {"t0": 2, "x": 2, "y": 2}
+    assert k_core(spark, e, k=3).count() == 0
