@@ -1680,6 +1680,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), rare_max_df=2
         ),
         "corpus_source_mix": lambda s, d: text.source_mix(_docs(s, d)),
+        # oracle gate opts into exact distinct counts; the production
+        # default is the HLL sketch mode (approx_count_distinct)
+        "corpus_cardinality": lambda s, d: text.corpus_cardinality(
+            _docs(s, d), exact=True
+        ),
         # exact=True is the oracle gate's opt-in; the default (fast) mode
         # is the approx-sketch plan that survives 10^12 rows
         "corpus_length_quantiles": lambda s, d: text.length_quantiles(
@@ -2105,6 +2110,21 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             CROSS JOIN (VALUES (0.25::DOUBLE), (0.5::DOUBLE),
                                (0.9::DOUBLE), (0.99::DOUBLE)) AS qt(q)
             WHERE rn = floor(q * (n - 1)) + 1
+        """,
+        "corpus_cardinality": """
+            WITH base AS (
+              SELECT source, md5(lower(trim(text))) AS digest,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            d AS (SELECT source, count(*) AS n_docs,
+                         count(DISTINCT digest) AS n_unique_texts
+                  FROM base GROUP BY source),
+            t AS (SELECT source, count(*) AS n_tokens,
+                         count(DISTINCT token) AS n_unique_tokens
+                  FROM (SELECT source, unnest(toks) AS token FROM base)
+                  GROUP BY source)
+            SELECT source, n_docs, n_tokens, n_unique_texts, n_unique_tokens
+            FROM d JOIN t USING (source)
         """,
         "corpus_source_mix": """
             SELECT source, lang, count(*) AS n_docs,

@@ -545,3 +545,50 @@ def curation_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         dup_ratio.alias("dup_token_ratio"),
         lang_pred.alias("lang_pred"),
     )
+
+
+def corpus_cardinality(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    exact: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """(source, n_docs, n_tokens, n_unique_texts, n_unique_tokens) — the
+    cardinality profile a curation run reads first: how big is each
+    source, how much of it is literal repeats, how rich is its vocabulary.
+
+    The DEFAULT is the sketch mode (``exact=False``): both distinct
+    counts run as `approx_count_distinct` — HyperLogLog++ sketches that
+    COMBINE MAP-SIDE, so each of the two aggregations (doc-grain and
+    token-grain) is a single partial-agg shuffle of fixed-size sketch
+    rows per (source); at 10^12 docs the exact token distinct would
+    shuffle the full (source, token) universe while the sketch ships
+    ~1.5 KB per group-slot. ``rsd`` is the standard-error dial. The exact
+    mode exists for the oracle gate and small corpora; same plan shape,
+    but `countDistinct` pays the per-key dedup exchange.
+
+    `n_unique_texts` counts distinct md5 digests of the normalized text
+    (digest-only shuffle — never full payloads, mirroring exact dedup).
+    """
+    cd = (
+        (lambda c, n: F.countDistinct(c).alias(n))
+        if exact
+        else (lambda c, n: F.approx_count_distinct(c, rsd).alias(n))
+    )
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.md5(_norm(F.col(text_col))).alias("digest"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    docs = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"), cd(F.col("digest"), "n_unique_texts")
+    )
+    toks = (
+        base.select("source", F.explode("toks").alias("token"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_tokens"), cd(F.col("token"), "n_unique_tokens"))
+    )
+    return docs.join(toks, "source").select(
+        "source", "n_docs", "n_tokens", "n_unique_texts", "n_unique_tokens"
+    )

@@ -878,3 +878,38 @@ def test_length_quantiles_exact_matches_python_and_fast_is_close(spark, docs):
         import math
         target = math.floor(q * (len(svals) - 1))
         assert lo - 2 <= target <= hi + 1, (s, q, v, target, lo, hi)
+
+
+def test_corpus_cardinality_sketch_mode_tracks_exact(spark, docs):
+    """Default (HLL sketch) mode must stay within ~3x the configured rsd
+    of the exact counts, and the two modes must actually plan different
+    aggregates (sketch: approx_count_distinct partial-aggs; exact:
+    count(distinct ...))."""
+    import contextlib
+    import io
+
+    from cypher_guard_spark.ops.text import corpus_cardinality
+
+    exact = {
+        r["source"]: r.asDict() for r in corpus_cardinality(docs, exact=True).collect()
+    }
+    approx = {
+        r["source"]: r.asDict()
+        for r in corpus_cardinality(docs, rsd=0.05).collect()
+    }
+    assert set(exact) == set(approx)
+    for src, e in exact.items():
+        a = approx[src]
+        # plain counts are exact in both modes
+        assert (a["n_docs"], a["n_tokens"]) == (e["n_docs"], e["n_tokens"])
+        for c in ("n_unique_texts", "n_unique_tokens"):
+            assert abs(a[c] - e[c]) <= max(3, 0.15 * e[c]), (src, c, a[c], e[c])
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        return buf.getvalue()
+
+    assert "approx_count_distinct" in plan_of(corpus_cardinality(docs))
+    assert "distinct" in plan_of(corpus_cardinality(docs, exact=True)).lower()
