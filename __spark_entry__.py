@@ -1685,6 +1685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cardinality": lambda s, d: text.corpus_cardinality(
             _docs(s, d), exact=True
         ),
+        "corpus_collocations": lambda s, d: text.collocations(
+            _docs(s, d), window=5, min_count=5, k=50
+        ),
         # exact=True is the oracle gate's opt-in; the default (fast) mode
         # is the approx-sketch plan that survives 10^12 rows
         "corpus_length_quantiles": lambda s, d: text.length_quantiles(
@@ -2125,6 +2128,35 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                   GROUP BY source)
             SELECT source, n_docs, n_tokens, n_unique_texts, n_unique_tokens
             FROM d JOIN t USING (source)
+        """,
+        "corpus_collocations": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            pos AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     unnest(range(0, len(toks))) AS ord
+              FROM t),
+            uni AS (SELECT tok, count(*) AS c FROM pos GROUP BY tok),
+            n AS (SELECT count(*) AS total FROM pos),
+            pairs AS (
+              SELECT least(p1.tok, p2.tok) AS tok_a,
+                     greatest(p1.tok, p2.tok) AS tok_b
+              FROM pos p1 JOIN pos p2
+                ON p1.doc_id = p2.doc_id
+               AND p2.ord > p1.ord AND p2.ord <= p1.ord + 5),
+            pc AS (
+              SELECT tok_a, tok_b, count(*) AS n_pairs
+              FROM pairs GROUP BY tok_a, tok_b
+              HAVING count(*) >= 5)
+            SELECT tok_a, tok_b, n_pairs,
+                   round(n.total * n_pairs / (ua.c * ub.c), 6) AS lift
+            FROM pc
+            JOIN uni ua ON ua.tok = pc.tok_a
+            JOIN uni ub ON ub.tok = pc.tok_b, n
+            ORDER BY n_pairs DESC, tok_a, tok_b
+            LIMIT 50
         """,
         "corpus_source_mix": """
             SELECT source, lang, count(*) AS n_docs,

@@ -592,3 +592,74 @@ def corpus_cardinality(
     return docs.join(toks, "source").select(
         "source", "n_docs", "n_tokens", "n_unique_texts", "n_unique_tokens"
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 5,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """(tok_a, tok_b, n_pairs, lift) — the top-k within-window token
+    collocations of the corpus, scored by lift = N * c(a,b) / (c(a)*c(b))
+    (the log-free monotone core of PMI, kept rational so the doubles are
+    engine-exact like tfidf's idf). The standard template/boilerplate and
+    multi-word-expression miner.
+
+    Scale posture: pair generation is MAP-ONLY — a nested
+    sequence/transform emits every unordered token pair within `window`
+    positions straight from the token array (O(n_tokens * window) rows,
+    no self-join, no shuffle until the count), then ONE partial-agg
+    shuffle on the (a, b) pair key, a `min_count` filter BEFORE the
+    unigram joins cuts the long tail, the two unigram-count joins are
+    vocabulary-sized (AQE broadcasts them at any realistic vocab), the
+    token total enters as a broadcast 1-row cross join (never a driver
+    collect), and the final top-k is TakeOrderedAndProject with a total
+    (n_pairs desc, tok_a, tok_b) order — deterministic output set.
+    """
+    t = tokens(F.col(text_col))
+    sz = F.size(t)
+    pair_arr = F.when(
+        sz >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), sz - 2),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.least(i + window, sz - 1)),
+                    lambda j: F.struct(
+                        F.least(F.get(t, i), F.get(t, j)).alias("a"),
+                        F.greatest(F.get(t, i), F.get(t, j)).alias("b"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = df.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
+    pc = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_pairs"))
+        .where(F.col("n_pairs") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("total"))
+    scored = (
+        pc.join(uni.select(F.col("tok").alias("a"), F.col("c").alias("ca")), "a")
+        .join(uni.select(F.col("tok").alias("b"), F.col("c").alias("cb")), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("a").alias("tok_a"),
+            F.col("b").alias("tok_b"),
+            "n_pairs",
+            F.round(
+                F.col("total") * F.col("n_pairs") / (F.col("ca") * F.col("cb")), 6
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("n_pairs").desc(), F.col("tok_a"), F.col("tok_b")
+    ).limit(k)

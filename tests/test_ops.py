@@ -913,3 +913,60 @@ def test_corpus_cardinality_sketch_mode_tracks_exact(spark, docs):
 
     assert "approx_count_distinct" in plan_of(corpus_cardinality(docs))
     assert "distinct" in plan_of(corpus_cardinality(docs, exact=True)).lower()
+
+
+def test_collocations_matches_bruteforce_and_plan_is_map_only(spark):
+    """Pair generation must be join-free (nested transform over the token
+    array) with the final top-k as TakeOrderedAndProject; values checked
+    against an exhaustive window-pair twin, including the empty / 1-token
+    edge docs and same-token pairs."""
+    import contextlib
+    import io
+    import itertools
+    import re
+    from collections import Counter
+
+    from cypher_guard_spark.ops.text import collocations
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the fish",
+        "a cat and the cat sat",
+        "",
+        "one",
+        "fish fish fish",
+    ] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    window, min_count, k = 3, 2, 10
+    out = collocations(df, window=window, min_count=min_count, k=k).collect()
+
+    toks_of = lambda s: re.split(r"\s+", s.lower().strip())  # noqa: E731
+    uni = Counter(itertools.chain.from_iterable(toks_of(t) for t in texts))
+    total = sum(uni.values())
+    pc = Counter()
+    for t in texts:
+        ts = toks_of(t)
+        for i in range(len(ts) - 1):
+            for j in range(i + 1, min(i + window, len(ts) - 1) + 1):
+                pc[tuple(sorted((ts[i], ts[j])))] += 1
+    keep = [(a, b, n) for (a, b), n in pc.items() if n >= min_count]
+    keep.sort(key=lambda r: (-r[2], r[0], r[1]))
+    want = [
+        (a, b, n, round(total * n / (uni[a] * uni[b]), 6))
+        for a, b, n in keep[:k]
+    ]
+    got = [(r["tok_a"], r["tok_b"], r["n_pairs"], r["lift"]) for r in out]
+    assert sorted(got) == sorted(want)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        collocations(df).explain("simple")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    # the ONLY product join allowed is the 1-row token-total attach; pair
+    # generation itself must be explode-based (join-free)
+    n_products = plan.count("CartesianProduct") + plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert n_products <= 1, plan
+    assert "Generate explode" in plan
