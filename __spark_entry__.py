@@ -1250,6 +1250,38 @@ def _doc_training_shards_values(n_shards: int = 8, seed: int = 0) -> str:
     return "(VALUES " + ", ".join(rows) + ") AS t(doc_id, shard, h)"
 
 
+def _emb_projected_values(out_dim: int = 8, seed: int = 0) -> str:
+    """Pure-Python twin of ops.similarity.project_embeddings: identical
+    sign matrix (shared `jl_signs` derivation), identical index-order
+    fold in float64, identical half-up 6dp rounding."""
+    import pyarrow.parquet as pq
+
+    from cypher_guard_spark.ops.similarity import jl_signs
+
+    t = pq.read_table(
+        str(Path(_oracle_sf_dir()) / "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    vecs = dict(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+    d = len(next(iter(vecs.values())))
+    signs = jl_signs(d, out_dim, seed)
+    rows = []
+    for vid in sorted(vecs):
+        x = vecs[vid]
+        for j in range(out_dim):
+            acc = 0.0
+            for i in range(d):
+                acc = acc + float(x[i]) * signs[i][j]
+            rows.append(f"({vid}, {j}, {_round6(acc)!r})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(vec_id, dim, value)"
+    )
+
+
 def _py_length_stratum(text: str, bucket_tokens: int = 16, n_buckets: int = 4) -> int:
     return min(len(_py_tokens(text)) // bucket_tokens, n_buckets - 1)
 
@@ -1716,6 +1748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d)
         ).select("vec_id", F.posexplode("qvec").alias("dim", "q")),
         "emb_curation": q_emb_curation,
+        "emb_projected": lambda s, d: similarity.project_embeddings(
+            _emb(s, d), out_dim=8, seed=0
+        ),
         # multimodal plumbing (binary payload + typed metadata; stub kernel)
         "media_features": q_media_features,
         "media_frame_plan": q_media_frame_plan,
@@ -2313,6 +2348,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "emb_ivf_topk": _emb_ivf_values(),
         "emb_semantic_dups": _emb_semdedup_values(),
         "emb_curation": _emb_curation_sql(),
+        "emb_projected": _emb_projected_values(),
         "guard_verdicts": _guard_verdicts_values(),
         "guard_error_codes": _guard_error_codes_values(),
         "guard_is_write": _guard_is_write_values(),

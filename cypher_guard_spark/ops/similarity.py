@@ -499,3 +499,66 @@ def quantize_embeddings(
         .cast("int"),
     )
     return embeddings.select(F.col(id_col), q.alias("qvec"))
+
+
+def jl_signs(d: int, out_dim: int, seed: int = 0) -> list[list[int]]:
+    """Deterministic Achlioptas sparse sign matrix: s[i][j] in {+1,0,-1}
+    with P(+1)=P(-1)=1/6, P(0)=2/3, derived from the xxhash64 twin of the
+    string key "seed:i:j" — a pure function of (d, out_dim, seed), so the
+    operator and its oracle build bit-identical matrices with no RNG
+    state anywhere."""
+    from cypher_guard_spark.oracle import spark_xxhash64
+
+    def sign(i: int, j: int) -> int:
+        m = spark_xxhash64(f"{seed}:{i}:{j}") % 6
+        return 1 if m == 0 else (-1 if m == 1 else 0)
+
+    return [[sign(i, j) for j in range(out_dim)] for i in range(d)]
+
+
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int = 16,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, dim, value) — Johnson-Lindenstrauss sparse random
+    projection of the embedding column to `out_dim` dimensions: the
+    standard cheap shrink before ANN / clustering / near-dup at corpus
+    scale (JL: pairwise distances survive within epsilon for
+    out_dim ~ O(log n / eps^2); Achlioptas' {+1,0,-1} density-1/3 matrix
+    needs no Gaussians). Values are unscaled sign-dot-products rounded to
+    6dp — multiply by sqrt(3/out_dim) for the isometry constant; kept
+    rational here so the doubles are engine-exact.
+
+    Scale posture: the sign matrix is built DRIVER-SIDE as a pure
+    function of (d, out_dim, seed) (`jl_signs` — no RNG state, no
+    training pass) and baked into the plan as literals, so the operator
+    is MAP-ONLY with zero exchanges — same plan-baked-literal pattern as
+    the IVF centroid assignment (`ops/similarity.py` `_assign_literal`).
+    Each output value is a sequential index-order fold (zip_with +
+    aggregate), deterministic in any partitioning. The input width d is
+    probed from one row (a driver scalar, not data).
+    """
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, dim int, value double"
+        )
+    signs = jl_signs(first["d"], out_dim, seed)
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    cols = []
+    for j in range(out_dim):
+        sj = F.array(*[F.lit(signs[i][j]) for i in range(len(signs))])
+        acc = F.aggregate(
+            F.zip_with(x, sj, lambda xv, sv: xv * sv),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        cols.append(
+            F.struct(F.lit(j).alias("dim"), F.round(acc, 6).alias("value"))
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*cols)).alias("p")
+    ).select(id_col, "p.dim", "p.value")

@@ -970,3 +970,31 @@ def test_collocations_matches_bruteforce_and_plan_is_map_only(spark):
     )
     assert n_products <= 1, plan
     assert "Generate explode" in plan
+
+
+def test_project_embeddings_map_only_and_deterministic(spark):
+    import contextlib
+    import io
+
+    from cypher_guard_spark.ops.similarity import jl_signs, project_embeddings
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = project_embeddings(emb, out_dim=4, seed=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    assert "Exchange" not in buf.getvalue()  # plan-baked literals: map-only
+
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, project_embeddings(emb, out_dim=4, seed=1).collect()))
+    assert a == b and len(a) == emb.count() * 4
+    # a different seed gives a genuinely different projection
+    c = sorted(
+        map(tuple, project_embeddings(emb, out_dim=4, seed=2).collect())
+    )
+    assert a != c
+    # sign matrix is a pure function: same call twice, same matrix
+    assert jl_signs(16, 4, seed=1) == jl_signs(16, 4, seed=1)
+    # empty input short-circuits with the right schema
+    empty = project_embeddings(emb.limit(0), out_dim=4)
+    assert empty.columns == ["vec_id", "dim", "value"] and empty.count() == 0
