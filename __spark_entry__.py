@@ -717,6 +717,56 @@ def _kg_kcore_values(k: int = 2) -> str:
     )
 
 
+def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 missing-edge candidates on the canonical entity graph by
+    the Resource Allocation index (`pipeline/graph_algo.py:
+    link_prediction_ra`, exact sorted-fold mode for the oracle gate) —
+    the KG-completion suggestion list."""
+    from cypher_guard_spark.pipeline.graph_algo import link_prediction_ra
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return link_prediction_ra(
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        min_shared=2,
+        k=100,
+        exact=True,  # oracle gate opts in; production default is exact=False
+    )
+
+
+def _kg_link_prediction_values(min_shared: int = 2, k: int = 100) -> str:
+    """Pure-Python twin: RA index over shared neighbors of non-adjacent
+    pairs, value-sorted float64 fold, half-up 6dp rounding."""
+    adj = _kg_und_adj()
+    scores = {}
+    ids = sorted(adj)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if b in adj[a]:
+                continue
+            shared = adj[a] & adj[b]
+            if len(shared) < min_shared:
+                continue
+            acc = 0.0
+            for wv in sorted(1.0 / len(adj[z]) for z in shared):
+                acc = acc + wv
+            scores[(a, b)] = (len(shared), _round6(acc))
+    top = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:k]
+    rows = [
+        f"({_sql_quote(a)}, {_sql_quote(b)}, {n}, {ra!r})"
+        for (a, b), (n, ra) in top
+    ]
+    if not rows:
+        return (
+            "SELECT * FROM (VALUES (NULL, NULL, NULL, NULL))"
+            " AS t(a, b, n_shared, ra) WHERE FALSE"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(a, b, n_shared, ra)"
+    )
+
+
 def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join over the events table: each click attributed to the most
     recent strictly-earlier purchase by the same user (backward, strict).
@@ -1770,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "kg_bfs_depths": q_kg_bfs_depths,
         "kg_kcore": q_kg_kcore,
+        "kg_link_prediction": q_kg_link_prediction,
         "kg_media_links": q_kg_media_links,
     }
 
@@ -2362,6 +2413,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_triangles": _kg_triangles_values(),
         "kg_bfs_depths": _kg_bfs_depths_values(),
         "kg_kcore": _kg_kcore_values(),
+        "kg_link_prediction": _kg_link_prediction_values(),
         "kg_media_links": _kg_media_links_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),

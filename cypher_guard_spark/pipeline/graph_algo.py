@@ -338,6 +338,77 @@ def bfs_depths(
     return visited
 
 
+def link_prediction_ra(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_shared: int = 2,
+    k: int = 100,
+    max_nbr_degree: int | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """(a, b, n_shared, ra) — top-k NON-adjacent vertex pairs by the
+    Resource Allocation index ra = sum over shared neighbors z of
+    1/deg(z) (Zhou-Lü-Zhang 2009): the standard link-prediction score,
+    i.e. "these two canonical entities are probably missing an edge" —
+    the KG-completion suggestion list. RA is chosen over Adamic-Adar
+    because 1/deg is log-free, keeping the score a short rational sum.
+
+    Scale posture: candidate pairs are BLOCKED BY SHARED NEIGHBOR (same
+    self-join shape as `entity_similarity`, same `max_nbr_degree` hub
+    prefix-filter — a neighbor shared by everyone carries ~no RA mass
+    AND quadratic blocking cost, so capping it is both the perf and the
+    relevance fix); existing edges are removed with one id-pair
+    anti-join; top-k is TakeOrderedAndProject under a total (ra desc,
+    a, b) order. Determinism: with ``exact=True`` the per-pair sum is a
+    value-sorted sequential fold (bit-identical to the Python twin, the
+    oracle mode); the default partial-agg `sum` is the hub-safe
+    production mode (same convention as `pagerank`).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # adjacency + deg + anti-join reuse it
+    )
+    adj = und.select(F.col("a").alias("entity"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("entity"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("nbr").agg(F.count("*").alias("nd"))
+    if max_nbr_degree is not None:
+        deg = deg.where(F.col("nd") <= max_nbr_degree)
+    wadj = adj.join(deg, "nbr")  # (entity, nbr, nd): blocking + weight
+    l, r = wadj.alias("l"), wadj.alias("r")
+    grouped = l.join(
+        r,
+        on=[
+            F.col("l.nbr") == F.col("r.nbr"),
+            F.col("l.entity") < F.col("r.entity"),
+        ],
+    ).groupBy(F.col("l.entity").alias("a"), F.col("r.entity").alias("b"))
+    w = 1.0 / F.col("l.nd")
+    if exact:
+        scored = grouped.agg(
+            F.count("*").alias("n_shared"),
+            F.aggregate(
+                F.array_sort(F.collect_list(w)), F.lit(0.0), lambda acc, x: acc + x
+            ).alias("s"),
+        )
+    else:
+        scored = grouped.agg(
+            F.count("*").alias("n_shared"), F.sum(w).alias("s")
+        )
+    cands = (
+        scored.where(F.col("n_shared") >= min_shared)
+        .join(und, ["a", "b"], "left_anti")  # only MISSING edges are predictions
+        .select("a", "b", "n_shared", F.round("s", 6).alias("ra"))
+    )
+    return cands.orderBy(F.col("ra").desc(), F.col("a"), F.col("b")).limit(k)
+
+
 def k_core(
     spark: SparkSession,
     edges: DataFrame,

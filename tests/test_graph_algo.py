@@ -362,3 +362,47 @@ def test_k_core_peeling_cascade_and_empty(spark):
     }
     assert got == {"t0": 2, "x": 2, "y": 2}
     assert k_core(spark, e, k=3).count() == 0
+
+
+def test_link_prediction_ra_matches_bruteforce(spark):
+    from cypher_guard_spark.pipeline.graph_algo import link_prediction_ra
+
+    edges = _rand_edges(seed=13, n_verts=25, n_edges=80)
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = [
+        (r["a"], r["b"], r["n_shared"], r["ra"])
+        for r in link_prediction_ra(e, min_shared=1, k=30, exact=True).collect()
+    ]
+    und = _und(edges)
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    want = []
+    ids = sorted(adj)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if b in adj[a]:
+                continue  # existing edges are never predictions
+            shared = adj[a] & adj[b]
+            if not shared:
+                continue
+            acc = 0.0
+            for w in sorted(1.0 / len(adj[z]) for z in shared):
+                acc += w
+            want.append((a, b, len(shared), r6(acc)))
+    want.sort(key=lambda t: (-t[3], t[0], t[1]))
+    assert got == want[:30]
+    # fast mode returns the same pair SET with scores within FP slack
+    fast = {
+        (r["a"], r["b"]): r["ra"]
+        for r in link_prediction_ra(e, min_shared=1, k=30).collect()
+    }
+    assert set(fast) == {(a, b) for a, b, _n, _s in got}
+    for a, b, _n, s in got:
+        assert abs(fast[(a, b)] - s) < 1e-5
