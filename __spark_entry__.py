@@ -1749,6 +1749,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), _MIXTURE_WEIGHTS, _MIXTURE_TOTAL
         ),
         # text analysis
+        # the synthetic corpus is single-line and unpunctuated, so the
+        # driver instantiation gates on word count (require_punct=False,
+        # min_words=50 ~ the corpus median); the punctuation path is
+        # pytest-locked on crafted multi-line docs
+        "doc_clean_text": lambda s, d: text.clean_text(
+            _docs(s, d), min_words=50, require_punct=False
+        ).select("doc_id", "clean_text", "n_lines_kept", "n_lines_dropped"),
         "doc_token_stats": lambda s, d: text.token_count(_docs(s, d)),
         "doc_quality_scores": lambda s, d: text.quality_scores(_docs(s, d)),
         "doc_language_id": lambda s, d: text.language_id(_docs(s, d)),
@@ -1989,6 +1996,23 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
             WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
                         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.2
+        """,
+        "doc_clean_text": """
+            WITH l AS (
+              SELECT doc_id, regexp_split_to_array(text, '\\n') AS lines
+              FROM documents),
+            f AS (
+              SELECT doc_id, len(lines) AS n_lines,
+                     list_filter(lines, x ->
+                       len(regexp_split_to_array(trim(x), '\\s+')) >= 50
+                       AND NOT (contains(lower(x), 'cookie')
+                                OR contains(lower(x), 'javascript')
+                                OR contains(lower(x), 'lorem ipsum'))) AS kept
+              FROM l)
+            SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+                   len(kept) AS n_lines_kept,
+                   n_lines - len(kept) AS n_lines_dropped
+            FROM f WHERE len(kept) > 0
         """,
         "doc_token_stats": """
             SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,

@@ -663,3 +663,55 @@ def collocations(
     return scored.orderBy(
         F.col("n_pairs").desc(), F.col("tok_a"), F.col("tok_b")
     ).limit(k)
+
+
+# C4-style line filters (Raffel et al. 2020 §2.2, the public recipe):
+# terminal punctuation, minimum words, boilerplate blocklist.
+_CLEAN_BLOCKLIST = ("cookie", "javascript", "lorem ipsum")
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    keep_empty: bool = False,
+    require_punct: bool = True,
+) -> DataFrame:
+    """(all columns) + clean_text / n_lines_kept / n_lines_dropped — the
+    C4 line-level cleaner: keep only lines that end in terminal
+    punctuation (``require_punct``; disable for corpora that aren't
+    sentence-punctuated), carry >= `min_words` whitespace words, and
+    contain no boilerplate blocklist phrase; survivors rejoin with
+    '\\n'. Documents whose every line drops get clean_text='' (and are
+    the natural next filter unless ``keep_empty``, mirroring C4
+    dropping empty pages).
+
+    Scale posture: MAP-ONLY — the line split, per-line predicates
+    (higher-order `filter` over the line array, pure JVM: rlike +
+    size(split) + contains), and rejoin all run inside the row, no
+    shuffle, no Python; composes with `curation_features` upstream of
+    any wide stage, so at 100 TB the cleaner rides the first scan free.
+    """
+    import functools
+
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(l):  # noqa: E741
+        blocked = functools.reduce(
+            lambda x, y: x | y,
+            [F.contains(F.lower(l), F.lit(b)) for b in _CLEAN_BLOCKLIST],
+        )
+        cond = (F.size(F.split(F.trim(l), r"\s+")) >= min_words) & ~blocked
+        if require_punct:
+            cond = cond & l.rlike(r'[.!?"]\s*$')
+        return cond
+
+    kept = F.filter(lines, keep)
+    out = (
+        df.withColumn("clean_text", F.array_join(kept, "\n"))
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn("n_lines_dropped", F.size(lines) - F.size(kept))
+    )
+    if not keep_empty:
+        out = out.where(F.col("n_lines_kept") > 0)
+    return out

@@ -998,3 +998,47 @@ def test_project_embeddings_map_only_and_deterministic(spark):
     # empty input short-circuits with the right schema
     empty = project_embeddings(emb.limit(0), out_dim=4)
     assert empty.columns == ["vec_id", "dim", "value"] and empty.count() == 0
+
+
+def test_clean_text_c4_line_filters(spark):
+    """Punctuation, min-words, and blocklist paths on crafted multi-line
+    docs (the synthetic corpus is single-line, so the driver entry gates
+    on word count only — this test owns the full C4 rule set)."""
+    import contextlib
+    import io
+
+    from cypher_guard_spark.ops.text import clean_text
+
+    docs = [
+        (1, "Good sentence stays here.\nno punct line\nAlso kept line!\n"
+            'Quoted keeps going."\nWe use javascript here.\ntiny.'),
+        (2, "only\nshort\nlines"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in clean_text(df, min_words=3).collect()}
+    # doc 1: punct'd >=3-word non-blocklisted lines survive, order kept
+    assert out[1]["clean_text"] == (
+        'Good sentence stays here.\nAlso kept line!\nQuoted keeps going."'
+    )
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_dropped"]) == (3, 3)
+    # docs 2 and 3 lose every line and are dropped by default...
+    assert set(out) == {1}
+    # ...but survive with keep_empty (clean_text empty, counts intact)
+    kept = {
+        r["doc_id"]: r
+        for r in clean_text(df, min_words=3, keep_empty=True).collect()
+    }
+    assert kept[2]["clean_text"] == "" and kept[2]["n_lines_dropped"] == 3
+    assert kept[3]["n_lines_kept"] == 0
+    # require_punct=False keeps unpunctuated long lines
+    relaxed = {
+        r["doc_id"]: r
+        for r in clean_text(df, min_words=3, require_punct=False).collect()
+    }
+    assert "no punct line" in relaxed[1]["clean_text"]
+    # map-only contract: no exchange anywhere in the plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        clean_text(df).explain("simple")
+    assert "Exchange" not in buf.getvalue()
