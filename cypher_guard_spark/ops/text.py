@@ -618,7 +618,13 @@ def collocations(
     collect), and the final top-k is TakeOrderedAndProject with a total
     (n_pairs desc, tok_a, tok_b) order — deterministic output set.
     """
-    t = tokens(F.col(text_col))
+    # the token array MUST be materialized as a column before the nested
+    # transform: HOF lambdas block common-subexpression elimination, so
+    # referencing the split() expression directly re-tokenizes the string
+    # on EVERY F.get element access (measured 51s -> 4.6s at sf0.1 for
+    # the same 1.28M pairs when projected first)
+    base = df.select(tokens(F.col(text_col)).alias("__toks"))
+    t = F.col("__toks")
     sz = F.size(t)
     pair_arr = F.when(
         sz >= 2,
@@ -635,7 +641,7 @@ def collocations(
             )
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    pairs = df.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
+    pairs = base.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
     pc = (
         pairs.groupBy("a", "b")
         .agg(F.count("*").alias("n_pairs"))
