@@ -717,6 +717,57 @@ def _kg_kcore_values(k: int = 2) -> str:
     )
 
 
+def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the hub entity (max-degree, min-name
+    tie — same seed rule as kg_bfs_depths): relevance of every canonical
+    entity to the hub (exact sorted-fold mode for the oracle gate)."""
+    from cypher_guard_spark.pipeline.graph_algo import pagerank
+
+    canon = q_kg_canonical_triples(spark, sf_dir).localCheckpoint(eager=False)
+    e = canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    und = (
+        e.select(F.col("src").alias("entity"), F.col("dst").alias("nbr"))
+        .unionByName(e.select(F.col("dst").alias("entity"), F.col("src").alias("nbr")))
+        .where(F.col("entity") != F.col("nbr"))
+        .distinct()
+    )
+    hub = (
+        und.groupBy("entity")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("entity").asc())
+        .limit(1)
+        .select("entity")
+    )
+    return pagerank(spark, e, iters=3, exact=True, seeds=hub)
+
+
+def _kg_ppr_values(iters: int = 3, damping: float = 0.85) -> str:
+    """Pure-Python twin of personalized pagerank from the hub seed over
+    the canonical edge MULTISET (out-degree counts repeats, like the
+    engine's groupBy count), value-sorted folds, 6dp half-up rounding."""
+    edges = [(s, o) for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples()]
+    adj = _kg_und_adj()
+    hub = min(adj, key=lambda v: (-len(adj[v]), v))
+    verts = sorted({v for e_ in edges for v in e_})
+    outdeg: dict = {}
+    for s, _o in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: (round(1.0, 6) if v == hub else 0.0) for v in verts}
+    base = {v: ((1.0 - damping) if v == hub else 0.0) for v in verts}
+    for _ in range(iters):
+        contribs: dict = {v: [] for v in verts}
+        for s, o in edges:
+            contribs[o].append(rank[s] / outdeg[s])
+        rank = {
+            v: _round6(base[v] + damping * sum(sorted(contribs[v]), 0.0))
+            for v in verts
+        }
+    rows = [f"({_sql_quote(v)}, {r!r})" for v, r in rank.items()]
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(entity, rank)"
+    )
+
+
 def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 missing-edge candidates on the canonical entity graph by
     the Resource Allocation index (`pipeline/graph_algo.py:
@@ -1828,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs_depths": q_kg_bfs_depths,
         "kg_kcore": q_kg_kcore,
         "kg_link_prediction": q_kg_link_prediction,
+        "kg_ppr": q_kg_ppr,
         "kg_media_links": q_kg_media_links,
     }
 
@@ -2438,6 +2490,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_bfs_depths": _kg_bfs_depths_values(),
         "kg_kcore": _kg_kcore_values(),
         "kg_link_prediction": _kg_link_prediction_values(),
+        "kg_ppr": _kg_ppr_values(),
         "kg_media_links": _kg_media_links_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),

@@ -40,6 +40,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     exact: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(entity, rank) after `iters` synchronous iterations from a uniform
     start; rank rounded to 6dp per iteration (see module docstring).
@@ -47,7 +48,14 @@ def pagerank(
     Default is the SCALE-SAFE mode (``exact=False``: partial-agg sum, no
     per-vertex collect_list) — a copy-paste user gets the plan that
     survives a 10^8-in-degree hub; the oracle gate opts into
-    ``exact=True`` explicitly for bit-identical doubles."""
+    ``exact=True`` explicitly for bit-identical doubles.
+
+    ``seeds`` switches to PERSONALIZED PageRank: the teleport mass
+    (1-damping) returns only to the seed entities (uniformly), and the
+    walk starts there — "importance relative to this query set", the
+    standard KG relevance ranking. Implemented as a per-vertex base
+    column on the same kernel: one extra id-only leftsemi + left join up
+    front, zero per-iteration cost difference."""
     # the edge list may sit on an arbitrarily expensive upstream DAG (e.g.
     # extraction UDF -> entity map -> canonicalize); it is referenced by
     # outdeg + every iteration's join, so truncate lineage ONCE up front —
@@ -67,8 +75,30 @@ def pagerank(
         # empty edge set: no vertices, no ranks — guard the 1/n start
         return spark.createDataFrame([], "entity string, rank double")
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    base = (1.0 - damping) / n
-    ranks = verts.select("entity", F.lit(round(1.0 / n, 6)).alias("rank"))
+    if seeds is None:
+        base = F.lit((1.0 - damping) / n)
+        ranks = verts.select("entity", F.lit(round(1.0 / n, 6)).alias("rank"))
+    else:
+        s = (
+            seeds.select("entity")
+            .distinct()
+            .join(verts, "entity", "leftsemi")
+            .localCheckpoint(eager=False)
+        )
+        ns = s.count()
+        if ns == 0:
+            return spark.createDataFrame([], "entity string, rank double")
+        verts = verts.join(
+            s.withColumn("__seed", F.lit(1)), "entity", "left"
+        ).localCheckpoint(eager=False)
+        is_seed = F.col("__seed") == 1
+        base = F.when(is_seed, F.lit((1.0 - damping) / ns)).otherwise(F.lit(0.0))
+        ranks = verts.select(
+            "entity",
+            F.when(is_seed, F.lit(round(1.0 / ns, 6)))
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+        )
     for _ in range(iters):
         # lazy checkpoint per round truncates the iterative-join lineage
         # (the plan pre-checkpoint is exposed via _pagerank_round so tests
@@ -485,7 +515,10 @@ def _pagerank_round(
     damping: float,
     exact: bool,
 ) -> DataFrame:
-    """One synchronous PageRank update (un-checkpointed plan)."""
+    """One synchronous PageRank update (un-checkpointed plan). ``base``
+    is a float (uniform teleport) or a Column over `verts` (personalized
+    per-vertex teleport)."""
+    base = F.lit(base) if isinstance(base, float) else base
     contribs = (
         e.join(ranks.withColumnRenamed("entity", "src"), "src")
         .join(outdeg, "src")
@@ -506,7 +539,7 @@ def _pagerank_round(
         sums = contribs.groupBy("entity").agg(F.sum("c").alias("s"))
     return verts.join(sums, "entity", "left").select(
         "entity",
-        F.round(F.lit(base) + damping * F.coalesce("s", F.lit(0.0)), 6).alias(
+        F.round(base + damping * F.coalesce("s", F.lit(0.0)), 6).alias(
             "rank"
         ),
     )

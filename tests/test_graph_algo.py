@@ -406,3 +406,37 @@ def test_link_prediction_ra_matches_bruteforce(spark):
     assert set(fast) == {(a, b) for a, b, _n, _s in got}
     for a, b, _n, s in got:
         assert abs(fast[(a, b)] - s) < 1e-5
+
+
+def test_personalized_pagerank_seed_mass_and_twin(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cypher_guard_spark.pipeline.graph_algo import pagerank
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("d",)], "entity string")
+    got = {
+        r["entity"]: r["rank"]
+        for r in pagerank(spark, e, iters=3, exact=True, seeds=seeds).collect()
+    }
+    verts = sorted({v for ed in EDGES for v in ed})
+    outdeg = {}
+    for s, _ in EDGES:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    S = {"a", "d"}
+    rank = {v: (r6(1.0 / len(S)) if v in S else 0.0) for v in verts}
+    base = {v: ((1.0 - 0.85) / len(S) if v in S else 0.0) for v in verts}
+    for _ in range(3):
+        contribs = {v: [] for v in verts}
+        for s, o in EDGES:
+            contribs[o].append(rank[s] / outdeg[s])
+        rank = {
+            v: r6(base[v] + 0.85 * sum(sorted(contribs[v]), 0.0)) for v in verts
+        }
+    assert got == rank
+    # seeds outside the graph contribute nothing; all-foreign seeds -> empty
+    foreign = spark.createDataFrame([("zz",)], "entity string")
+    assert pagerank(spark, e, iters=1, seeds=foreign).count() == 0
