@@ -1825,6 +1825,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cardinality": lambda s, d: text.corpus_cardinality(
             _docs(s, d), exact=True
         ),
+        # oracle gate opts into the exact rank rule; the production
+        # default is the approx_percentile threshold (no per-source sort)
+        "corpus_quality_floor": lambda s, d: text.quality_floor(
+            _docs(s, d), q=0.2, exact=True
+        ),
         "corpus_collocations": lambda s, d: text.collocations(
             _docs(s, d), window=5, min_count=5, k=50
         ),
@@ -2290,6 +2295,26 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                   GROUP BY source)
             SELECT source, n_docs, n_tokens, n_unique_texts, n_unique_tokens
             FROM d JOIN t USING (source)
+        """,
+        "corpus_quality_floor": """
+            WITH t AS (
+              SELECT doc_id, source, lower(trim(text)) AS txt,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            ql AS (
+              SELECT doc_id, source,
+                     round(least(len(toks) / 32.0, 1.0) *
+                           (1.0 - round((length(txt) - length(regexp_replace(txt, '[^\\w\\s]', '', 'g'))) /
+                           greatest(length(txt), 1), 6)), 6) AS quality
+              FROM t),
+            r AS (
+              SELECT doc_id, source, quality,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY quality, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM ql)
+            SELECT doc_id, source, quality
+            FROM r WHERE rn > floor(0.2 * n)
         """,
         "corpus_collocations": """
             WITH t AS (

@@ -7,7 +7,7 @@ ANSI-SQL oracle in __spark_entry__.oracle_sql().
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language function-word lists for the n-gram/stopword language-ID
@@ -67,6 +67,62 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         quality.alias("quality"),
+    )
+
+
+def quality_floor(
+    df: DataFrame,
+    q: float = 0.2,
+    text_col: str = "text",
+    source_col: str = "source",
+    exact: bool = False,
+) -> DataFrame:
+    """(doc_id, source, quality) — survivors after dropping each source's
+    worst q-fraction by the `quality_scores` heuristic: the per-source
+    ADAPTIVE floor (a global threshold over-prunes clean sources and
+    under-prunes noisy ones — the standard curation refinement).
+
+    ``exact=True`` (oracle mode) pins a discrete rule: within a source of
+    n docs, rank docs by (quality, doc_id) ascending and drop ranks
+    1..floor(q*n) — integer arithmetic, engine-portable, but the
+    per-source rank window SORTS ONE SOURCE PER TASK (the balanced_sample
+    skew hazard). The DEFAULT mode computes each source's
+    `approx_percentile(quality, q)` threshold — one partial-agg sketch
+    shuffle — and keeps quality >= threshold via a broadcast join of the
+    tiny per-source threshold table: no per-source sort anywhere, the
+    10^12-doc plan; boundary docs within the sketch's error band may
+    differ from the exact rule (same fast-vs-exact contract as
+    `length_quantiles`)."""
+    # quality computed inline (same formula as quality_scores) so the
+    # operator stays single-scan — joining quality_scores back on doc_id
+    # would be a corpus-vs-corpus exchange for three columns
+    t = _norm(F.col(text_col))
+    toks = F.split(t, r"\s+")
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    quality = F.round(
+        F.least(n_tokens / F.lit(32.0), F.lit(1.0)) * (F.lit(1.0) - punct_ratio), 6
+    )
+    base = df.select(
+        "doc_id", F.col(source_col).alias("source"), quality.alias("quality")
+    )
+    if exact:
+        w = Window.partitionBy("source").orderBy("quality", "doc_id")
+        return (
+            base.withColumn("__r", F.row_number().over(w))
+            .withColumn("__n", F.count("*").over(Window.partitionBy("source")))
+            .where(F.col("__r") > F.floor(F.lit(q) * F.col("__n")))
+            .select("doc_id", "source", "quality")
+        )
+    thr = base.groupBy("source").agg(
+        F.percentile_approx("quality", q).alias("__thr")
+    )
+    return (
+        base.join(F.broadcast(thr), "source")
+        .where(F.col("quality") >= F.col("__thr"))
+        .select("doc_id", "source", "quality")
     )
 
 

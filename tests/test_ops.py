@@ -1042,3 +1042,44 @@ def test_clean_text_c4_line_filters(spark):
     with contextlib.redirect_stdout(buf):
         clean_text(df).explain("simple")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_quality_floor_fast_mode_tracks_exact(spark, docs):
+    import contextlib
+    import io
+
+    from cypher_guard_spark.ops.text import quality_floor
+
+    exact = quality_floor(docs, q=0.2, exact=True).collect()
+    fast = quality_floor(docs, q=0.2).collect()
+    n = docs.count()
+    # both modes drop roughly the worst fifth
+    assert abs(len(exact) - 0.8 * n) <= 0.05 * n
+    assert abs(len(fast) - len(exact)) <= 0.1 * n
+    # fast mode may differ from exact only in a band around the q-th
+    # quantile: each source's minimum surviving quality must land within
+    # the [q-0.15, q+0.15] rank band of that source's quality order
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in docs.select(
+        "source", F.col("doc_id")
+    ).join(
+        quality_floor(docs, q=0.0).select("doc_id", "quality"), "doc_id"
+    ).collect():
+        by_src[r["source"]].append(r["quality"])
+    min_fast = {}
+    for r in fast:
+        s = r["source"]
+        min_fast[s] = min(min_fast.get(s, 1e9), r["quality"])
+    for s, quals in by_src.items():
+        quals.sort()
+        lo = quals[max(0, int(0.05 * len(quals)))]
+        hi = quals[min(len(quals) - 1, int(0.35 * len(quals)))]
+        assert lo <= min_fast[s] <= hi, (s, lo, min_fast[s], hi)
+    # the scale mode must not contain a per-source rank window
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        quality_floor(docs, q=0.2).explain("simple")
+    plan = buf.getvalue()
+    assert "row_number" not in plan and "percentile" in plan
