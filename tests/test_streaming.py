@@ -367,3 +367,67 @@ def test_stream_contamination_matches_batch(spark, doc_stream_dir, tmp_path):
         n, c = by_key[k]
         assert (r["n_docs"], r["n_contaminated_docs"]) == (n, c)
         assert abs(r["rate"] - round(c / n, 6)) < 1e-9
+
+
+def test_stream_sessionize_native_session_windows(spark, tmp_path):
+    """session_window sessionization: cross-microbatch session merge (one
+    session's events split over two files/triggers must coalesce into ONE
+    row), append emission only after the watermark closes a session, and
+    value parity with a pure-Python gap-split twin of the batch rule."""
+    from cypher_guard_spark.streaming.session_stream import stream_sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(uid, mins, val):
+        return (uid, t0 + dt.timedelta(minutes=mins), float(val))
+
+    # user 1: one session [0,10,20] split across the two files + a later
+    # session [120]; user 2: single event session; sentinel user 99 far in
+    # the future advances the watermark so every real session closes
+    part_a = [ev(1, 0, 1.0), ev(1, 10, 2.0), ev(2, 5, 5.0)]
+    part_b = [ev(1, 20, 3.0), ev(1, 120, 4.0), ev(99, 24 * 60, 0.0)]
+    schema = "user_id long, event_time timestamp, value double"
+    src = tmp_path / "sess_src"
+    spark.createDataFrame(part_a, schema).coalesce(1).write.parquet(
+        str(src / "p=a")
+    )
+    spark.createDataFrame(part_b, schema).coalesce(1).write.parquet(
+        str(src / "p=b")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "p=*"))
+    )
+    out = stream_sessionize(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["user_id"], r["session_start"]): r
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+    # twin: gap-split per user over ALL events (the batch rule)
+    all_ev = sorted(part_a + part_b)
+    want = {}
+    for uid in {e[0] for e in all_ev if e[0] != 99}:
+        evs = sorted(e for e in all_ev if e[0] == uid)
+        cur = [evs[0]]
+        for e in evs[1:]:
+            if (e[1] - cur[-1][1]).total_seconds() > 30 * 60:
+                want[(uid, cur[0][1])] = cur
+                cur = []
+            cur.append(e)
+        want[(uid, cur[0][1])] = cur
+    assert set(rows) == set(want)
+    for key, evs in want.items():
+        r = rows[key]
+        assert r["n_events"] == len(evs)
+        assert r["total_value"] == sum(e[2] for e in evs)
+        assert r["session_end_exclusive"] == evs[-1][1] + dt.timedelta(minutes=30)
