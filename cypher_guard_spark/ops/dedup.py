@@ -596,3 +596,79 @@ def neardup_survivors(spark, df: DataFrame, **cluster_kwargs) -> DataFrame:
     clusters = neardup_clusters(spark, df, **cluster_kwargs)
     keep = clusters.where(F.col("is_canonical") == 1).select("doc_id")
     return df.join(keep, "doc_id", "leftsemi")
+
+
+def write_digest_index(
+    df: DataFrame, path: str, text_col: str = "text", n_buckets: int = 64
+) -> None:
+    """Materialize the corpus's distinct normalized-text digests as the
+    at-rest exact-dedup index an INGESTION pipeline joins new batches
+    against (`ingest_new_batch`). One digest-only distinct + one write;
+    rows are 32-byte digests, never payloads. `bucket` (pmod of the
+    digest's xxhash64) partitions the store so appends of novel digests
+    land in stable directories and a future compaction can merge
+    per-bucket."""
+    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    (
+        df.select(digest.alias("digest"))
+        .distinct()
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("digest"), F.lit(n_buckets)).cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ingest_new_batch(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    update_index: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """New-batch rows that are novel against BOTH the at-rest digest
+    index and the batch itself (first doc_id per digest wins in-batch) —
+    the continuous-ingestion face of exact dedup: crawl snapshot N+1
+    arrives, only never-seen documents enter the corpus.
+
+    Scale posture: the index side is scanned as its digest column only
+    (payloads never existed there), so the anti-join shuffles 32-byte
+    digests on both sides; the in-batch tie-break is a window over the
+    batch (batch-sized, not corpus-sized). With ``update_index`` the
+    novel digests are APPENDED to the store partition-aligned (same
+    bucket function), so the index stays one digest-distinct table
+    without rewriting history. Duplicate semantics match
+    `stream_dedup_exact` with an infinite horizon — this is the batch
+    backstop the streaming docstring promises.
+    """
+    from pyspark.sql import Window
+
+    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    batch = new_df.withColumn("digest", digest)
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    first = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    index = spark.read.parquet(index_path).select("digest")
+    novel = first.join(index, "digest", "left_anti")
+    if update_index:
+        # localCheckpoint: the append must not re-run the anti-join scan
+        # against directories it is concurrently writing into
+        novel = novel.localCheckpoint(eager=True)
+        (
+            novel.select("digest")
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("digest"), F.lit(n_buckets)).cast("int"),
+            )
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(index_path)
+        )
+    return novel.drop("digest")

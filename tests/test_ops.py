@@ -1083,3 +1083,59 @@ def test_quality_floor_fast_mode_tracks_exact(spark, docs):
         quality_floor(docs, q=0.2).explain("simple")
     plan = buf.getvalue()
     assert "row_number" not in plan and "percentile" in plan
+
+
+def test_ingest_new_batch_against_digest_index(spark, docs, tmp_path):
+    """Ingestion exact-dedup lifecycle: build the index from wave A,
+    ingest A+B (with in-batch duplicates) -> only novel-first-seen B rows
+    pass; with update_index a re-ingest of the same wave yields nothing;
+    the index scan stays digest-only (pruned schema)."""
+    import contextlib
+    import io
+
+    from cypher_guard_spark.ops.dedup import ingest_new_batch, write_digest_index
+
+    path = str(tmp_path / "digest_idx")
+    wave_a = docs.where(F.col("doc_id") < 300)
+    write_digest_index(wave_a, path)
+
+    wave_b = docs.where(F.col("doc_id") >= 300)
+    batch = wave_a.unionByName(wave_b)  # re-crawl: A is all dup
+    novel = ingest_new_batch(spark, batch, path)
+    got_ids = {r["doc_id"] for r in novel.select("doc_id").collect()}
+    # expected: first doc_id per NEW digest (B texts can collide with A
+    # texts and with each other — compute the twin)
+    a_digests = {
+        r["d"]
+        for r in wave_a.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("d")
+        ).collect()
+    }
+    want, seen = set(), set(a_digests)
+    for r in sorted(
+        batch.select(
+            "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("d")
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    ):
+        if r["d"] not in seen:
+            seen.add(r["d"])
+            want.add(r["doc_id"])
+    assert got_ids == want and got_ids  # non-trivial and exact
+    assert "digest" not in novel.columns  # internal column dropped
+
+    # pruned index scan: only the digest column is read
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ingest_new_batch(spark, batch, path).explain("formatted")
+    scan = [
+        ln
+        for ln in buf.getvalue().splitlines()
+        if "ReadSchema" in ln and "digest" in ln
+    ]
+    assert scan, buf.getvalue()
+
+    # update_index appends the novel digests: same wave again -> nothing
+    n2 = ingest_new_batch(spark, batch, path, update_index=True)
+    assert {r["doc_id"] for r in n2.select("doc_id").collect()} == want
+    assert ingest_new_batch(spark, batch, path).count() == 0
