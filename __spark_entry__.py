@@ -818,6 +818,18 @@ def _kg_link_prediction_values(min_shared: int = 2, k: int = 100) -> str:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase conversion funnel within 1 hour per
+    step, as a fold of forward as-of joins (`ops/temporal.py:funnel`) —
+    one keyed window per stage, no per-user event collection."""
+    from cypher_guard_spark.ops import relational, temporal
+
+    ev = relational.load(spark, sf_dir, "events")
+    return temporal.funnel(
+        ev, steps=["view", "click", "purchase"], within_s=3600
+    )
+
+
 def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join over the events table: each click attributed to the most
     recent strictly-earlier purchase by the same user (backward, strict).
@@ -1735,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal joins (asof / range — primitives Spark lacks)
         "events_asof_purchase": q_events_asof_purchase,
         "events_purchase_window": q_events_purchase_window,
+        "events_funnel": q_events_funnel,
         # dedup
         "doc_exact_dedup": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
         "doc_ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -2027,6 +2040,32 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                                         ORDER BY r.ts DESC, r.p_event_id DESC) AS rn
               FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts < l.ts
             ) WHERE rn = 1
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS step_1_ts
+              FROM events WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT s1.user_id, s1.step_1_ts, min(e.ts) AS step_2_ts
+              FROM s1 LEFT JOIN events e
+                ON e.user_id = s1.user_id AND e.event_type = 'click'
+               AND e.ts > s1.step_1_ts
+               AND e.ts <= s1.step_1_ts + INTERVAL 3600 SECONDS
+              GROUP BY s1.user_id, s1.step_1_ts),
+            s3 AS (
+              SELECT s2.user_id, s2.step_1_ts, s2.step_2_ts,
+                     min(e.ts) AS step_3_ts
+              FROM s2 LEFT JOIN events e
+                ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+               AND e.ts > s2.step_2_ts
+               AND e.ts <= s2.step_2_ts + INTERVAL 3600 SECONDS
+              GROUP BY s2.user_id, s2.step_1_ts, s2.step_2_ts)
+            SELECT user_id,
+                   CASE WHEN step_3_ts IS NOT NULL THEN 3
+                        WHEN step_2_ts IS NOT NULL THEN 2
+                        ELSE 1 END AS completed_step,
+                   step_1_ts, step_2_ts, step_3_ts
+            FROM s3
         """,
         "events_purchase_window": """
             SELECT v.event_id AS view_event_id, p.event_id AS purchase_event_id,

@@ -13,10 +13,15 @@ path, no cartesian products):
 
 - ``range_join``: left rows falling inside right-side ``[lo, hi)``
   intervals, implemented by time-bucketing both sides and equi-joining on
-  (key, bucket) — the inequality predicate becomes a post-join filter on
-  an already-tiny candidate set instead of a broadcast-nested-loop join.
+  (key, bucket) — the inequality predicate becomes a residual join
+  condition on an already-tiny candidate set instead of a
+  broadcast-nested-loop join.
 
-Neither operator exists in the reference (it has no data plane); they are
+- ``funnel``: ordered multi-step conversion analysis (view -> click ->
+  purchase within a gap budget) as a left fold of forward as-of joins —
+  k-1 keyed windows for a k-step funnel, no per-user event collection.
+
+None of these exist in the reference (it has no data plane); they are
 part of the training-data/KG pipeline surface this engine adds (event
 attribution, session enrichment, interval containment at corpus scale).
 """
@@ -28,7 +33,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "funnel"]
 
 
 def _as_list(on: str | Sequence[str]) -> list[str]:
@@ -92,7 +97,9 @@ def asof_join(
     # must sort BEFORE same-timestamp right rows (so the running window
     # cannot see them); non-strict sorts right rows first.
     left_side, right_side = (0, 1) if strict else (1, 0)
-    r = right.select(
+    # a null-timestamp right row must never match: it would sort at the
+    # scan's start and its payload would propagate to EVERY later row
+    r = right.where(F.col(right_ts).isNotNull()).select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__t"),
         F.lit(right_side).alias("__side"),
@@ -108,12 +115,24 @@ def asof_join(
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
+    # nulls-FIRST in both scan directions: a null-timestamp LEFT row (e.g.
+    # an upstream asof miss in a funnel fold) sorts before every right row
+    # and therefore matches nothing, instead of landing at the desc scan's
+    # end and swallowing the last payload
     if direction == "backward":
-        order = [F.col("__t").asc(), F.col("__side").asc(), F.col("__payload").asc()]
+        order = [
+            F.col("__t").asc_nulls_first(),
+            F.col("__side").asc(),
+            F.col("__payload").asc(),
+        ]
     else:
         # forward scan = reverse time; struct DESC makes ties pick the
         # SMALLEST payload, mirroring backward's largest-wins.
-        order = [F.col("__t").desc(), F.col("__side").asc(), F.col("__payload").desc()]
+        order = [
+            F.col("__t").desc_nulls_first(),
+            F.col("__side").asc(),
+            F.col("__payload").desc(),
+        ]
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
@@ -175,12 +194,75 @@ def range_join(
     l = left.withColumn("__bucket", lb).alias("__rj_l")  # noqa: E741
     r = r.alias("__rj_r")
     cond = [F.col(f"__rj_l.{c}") == F.col(f"__rj_r.{c}") for c in ["__bucket", *keys]]
-    joined = l.join(r, cond, how).where(
+    # the residual containment predicate lives IN the join condition (not
+    # a post-join filter) so how='left' keeps unmatched left rows instead
+    # of dropping them on a null comparison
+    cond.append(
         (_micros(F.col(f"__rj_l.{left_ts}")) >= _micros(F.col(f"__rj_r.{right_lo}")))
         & (_micros(F.col(f"__rj_l.{left_ts}")) < _micros(F.col(f"__rj_r.{right_hi}")))
     )
+    joined = l.join(r, cond, how)
     right_keep = [c for c in right.columns if c not in keys]
     return joined.select(
         *[F.col(f"__rj_l.{c}") for c in left.columns],
         *[F.col(f"__rj_r.{c}") for c in right_keep],
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    within_s: float,
+    on: str | Sequence[str] = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(key..., completed_step, step_ts...) — classic funnel analysis:
+    for each key (user), the earliest event chain e1 < e2 < ... < ek
+    matching `steps` in order with each consecutive gap <= ``within_s``;
+    `completed_step` is the deepest step reached (1-based), with the
+    chain's timestamps attached (null past the completion point).
+
+    Greedy-earliest is exact here: taking the EARLIEST completion of
+    each prefix can only extend the reachable suffix (gaps are measured
+    between consecutive steps), so the operator is a left fold of
+    ``asof_join`` — step k's completion times forward-asof-joined to
+    step k+1's events (strict, tolerance = within_s). Cost: one keyed
+    window per funnel stage (the asof exchange), each carrying (key,
+    ts) pairs only — k-1 shuffles for a k-step funnel, no self-joins,
+    no per-user event collection anywhere.
+    """
+    keys = _as_list(on)
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(*keys)
+        .agg(F.min(ts_col).alias("step_1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.where(F.col(type_col) == step).select(
+            *keys, F.col(ts_col).alias("__nts")
+        )
+        cur = asof_join(
+            cur.withColumn("__t", F.col(f"step_{i-1}_ts")),
+            nxt,
+            on=keys,
+            left_ts="__t",
+            right_ts="__nts",
+            strict=True,
+            direction="forward",
+            tolerance_s=within_s,
+            prefix=f"__m{i}_",
+        ).withColumnRenamed(f"__m{i}___nts", f"step_{i}_ts").drop("__t")
+    step_cols = [f"step_{i}_ts" for i in range(1, len(steps) + 1)]
+    return cur.select(*keys, _deepest_step(step_cols).alias("completed_step"), *step_cols)
+
+
+def _deepest_step(step_cols: list[str]) -> Column:
+    """Deepest non-null step index (nulls propagate forward by
+    construction: a missed step nulls every later asof match)."""
+    expr = F.lit(0)
+    for i, c in enumerate(step_cols, start=1):
+        expr = F.when(F.col(c).isNotNull(), F.lit(i)).otherwise(expr)
+    return expr

@@ -195,3 +195,87 @@ def test_range_join_plan_is_equi_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from pyspark.sql import functions as F
+
+    ldf = spark.createDataFrame(
+        [(1, 1, _t(5)), (2, 1, _t(500)), (3, 9, _t(5))],
+        "lid int, key int, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(7, 1, _t(0), _t(10))], "rid int, key int, lo timestamp, hi timestamp"
+    )
+    out = temporal.range_join(
+        ldf, rdf, on="key", left_ts="ts", right_lo="lo", right_hi="hi",
+        bucket_s=60, how="left",
+    )
+    rows = {r["lid"]: r["rid"] for r in out.collect()}
+    # matched row keeps its interval; out-of-window and foreign-key left
+    # rows survive exactly once with a null right side
+    assert rows == {1: 7, 2: None, 3: None}
+    assert out.count() == 3
+
+
+def test_asof_join_composite_key(spark):
+    left = [(i, i % 2, i % 3, _t(i * 3 + 1)) for i in range(30)]
+    right = [(j % 2, j % 3, _t(j * 2), 100 + j) for j in range(40)]
+    ldf = spark.createDataFrame(left, "lid int, k1 int, k2 int, ts timestamp")
+    rdf = spark.createDataFrame(right, "k1 int, k2 int, ts timestamp, rid int")
+    got = {
+        r["lid"]: (None if r["asof_ts"] is None else (r["asof_ts"], r["asof_rid"]))
+        for r in temporal.asof_join(
+            ldf, rdf, on=["k1", "k2"], right_cols=["rid"]
+        ).collect()
+    }
+    want = {}
+    for lid, k1, k2, lts in left:
+        cands = [
+            (rts, rid)
+            for rk1, rk2, rts, rid in right
+            if (rk1, rk2) == (k1, k2) and rts < lts
+        ]
+        want[lid] = max(cands) if cands else None
+    assert got == want
+
+
+def test_funnel_matches_bruteforce(spark):
+    """Greedy-earliest funnel fold vs an exhaustive twin, including users
+    stuck at every depth and gap-budget expiries between stages."""
+    rng = random.Random(31)
+    types = ["view", "click", "purchase"]
+    rows = []
+    for i in range(240):
+        rows.append(
+            (i, rng.randint(1, 12), rng.choice(types), _t(rng.randint(0, 400)))
+        )
+    ev = spark.createDataFrame(
+        rows, "event_id int, user_id int, event_type string, ts timestamp"
+    )
+    within = 60.0
+    got = {
+        r["user_id"]: (
+            r["completed_step"], r["step_1_ts"], r["step_2_ts"], r["step_3_ts"]
+        )
+        for r in temporal.funnel(ev, steps=types, within_s=within).collect()
+    }
+    want = {}
+    for uid in {r[1] for r in rows}:
+        evs = [(ts, et) for _i, u, et, ts in rows if u == uid]
+        s1 = min((ts for ts, et in evs if et == "view"), default=None)
+        if s1 is None:
+            continue  # no step-1 -> user absent from the funnel
+        def nxt(after, et):
+            c = [
+                ts for ts, t in evs
+                if t == et and ts > after
+                and (ts - after).total_seconds() <= within
+            ]
+            return min(c, default=None)
+        s2 = nxt(s1, "click")
+        s3 = nxt(s2, "purchase") if s2 is not None else None
+        depth = 3 if s3 else (2 if s2 else 1)
+        want[uid] = (depth, s1, s2, s3)
+    assert got == want
+    assert {d for d, *_ in want.values()} == {1, 2, 3}  # all depths hit
