@@ -1748,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": q_events_asof_purchase,
         "events_purchase_window": q_events_purchase_window,
         "events_funnel": q_events_funnel,
+        "events_retention": relational.events_retention,
         # dedup
         "doc_exact_dedup": lambda s, d: dedup.exact_duplicates(_docs(s, d)),
         "doc_ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
@@ -2040,6 +2041,18 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                                         ORDER BY r.ts DESC, r.p_event_id DESC) AS rn
               FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts < l.ts
             ) WHERE rn = 1
+        """,
+        "events_retention": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     floor(epoch(ts) / 604800)::BIGINT AS p
+              FROM events),
+            coh AS (SELECT user_id, min(p) AS cohort_p FROM act GROUP BY user_id)
+            SELECT coh.cohort_p AS cohort_period,
+                   act.p - coh.cohort_p AS period_offset,
+                   count(DISTINCT act.user_id) AS n_users
+            FROM act JOIN coh USING (user_id)
+            GROUP BY 1, 2
         """,
         "events_funnel": """
             WITH s1 AS (

@@ -183,3 +183,34 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def events_retention(
+    spark: SparkSession, sf_dir: str, period_s: int = 7 * 86400
+) -> DataFrame:
+    """(cohort_period, period_offset, n_users) — classic cohort
+    retention: users are cohorted by the period of their FIRST event
+    (floor(epoch/period)), and each (cohort, offset) cell counts the
+    distinct users of that cohort active `offset` periods later.
+
+    Scale posture: the first-event cohort is one partial-agg min per
+    user; the activity grid is a distinct over (user, period) BEFORE the
+    cohort join (shrinking the join input to user-period granularity);
+    the final count is a partial agg on the tiny (cohort, offset) key.
+    Two keyed shuffles + one join on user_id — no windows, no event-level
+    joins. All arithmetic is integer, so the oracle is exact.
+    """
+    e = load(spark, sf_dir, "events")
+    period = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(period_s)
+    ).cast("long")
+    activity = e.select("user_id", period.alias("p")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("p").alias("cohort_p"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_p").alias("cohort_period"),
+            (F.col("p") - F.col("cohort_p")).alias("period_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -279,3 +279,46 @@ def test_funnel_matches_bruteforce(spark):
         want[uid] = (depth, s1, s2, s3)
     assert got == want
     assert {d for d, *_ in want.values()} == {1, 2, 3}  # all depths hit
+
+
+def test_events_retention_cohort_grid(spark, tmp_path):
+    """Cohort/offset grid on crafted events with several cohorts, gaps
+    (churn weeks), and returning users — vs an exhaustive twin."""
+    from cypher_guard_spark.ops.relational import events_retention
+
+    week = 7 * 86400
+    base = datetime(2024, 1, 4)  # epoch-aligned enough; twin uses same rule
+    rows, eid = [], 0
+    plan = {
+        1: [0, 1, 2], 2: [0, 2], 3: [0], 4: [1, 2, 3], 5: [1, 3, 3],
+    }
+    for uid, weeks in plan.items():
+        for wk in weeks:
+            rows.append((eid, uid, "view", base + timedelta(seconds=wk * week)))
+            eid += 1
+    src = tmp_path / "events.parquet"
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    ).write.parquet(str(src))
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in events_retention(spark, str(tmp_path), period_s=week).collect()
+    }
+    # twin
+    from collections import defaultdict
+
+    per_user = defaultdict(set)
+    for _e, uid, _t, ts in rows:
+        per_user[uid].add(int(ts.timestamp()) // week)
+    want = defaultdict(set)
+    for uid, ps in per_user.items():
+        c = min(ps)
+        for p in ps:
+            want[(c, p - c)].add(uid)
+    assert got == {k: len(v) for k, v in want.items()}
+    # offset-0 cell of each cohort counts the whole cohort
+    cohorts = defaultdict(set)
+    for uid, ps in per_user.items():
+        cohorts[min(ps)].add(uid)
+    for c, users in cohorts.items():
+        assert got[(c, 0)] == len(users)
