@@ -440,3 +440,29 @@ def test_personalized_pagerank_seed_mass_and_twin(spark):
     # seeds outside the graph contribute nothing; all-foreign seeds -> empty
     foreign = spark.createDataFrame([("zz",)], "entity string")
     assert pagerank(spark, e, iters=1, seeds=foreign).count() == 0
+
+
+def test_new_kernels_plan_shapes(spark):
+    """No cartesian/broadcast-nested-loop anywhere in the new kernels'
+    plans: triangle wedge+closing joins, RA's blocked self-join, and the
+    k-core peel round are all equi-joins."""
+    import contextlib
+    import io
+
+    from cypher_guard_spark.pipeline.graph_algo import (
+        link_prediction_ra,
+        triangle_count,
+    )
+
+    e = spark.createDataFrame(_rand_edges(1), "src string, dst string")
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        return buf.getvalue()
+
+    for df in (triangle_count(e), link_prediction_ra(e, min_shared=1, k=10)):
+        p = plan(df)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "TakeOrderedAndProject" in plan(link_prediction_ra(e, min_shared=1, k=10))
