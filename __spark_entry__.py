@@ -818,6 +818,19 @@ def _kg_link_prediction_values(min_shared: int = 2, k: int = 100) -> str:
     )
 
 
+def q_corpus_curated_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE composition: the full curation recipe piped straight into
+    the seeded training-shard export — raw corpus to trainer-ready
+    (shard, pos) assignment as ONE lazy plan; the curated survivor set
+    flows into the shard hash/window without materializing anywhere."""
+    from cypher_guard_spark.ops import sample
+
+    cur = q_corpus_curated(spark, sf_dir)
+    return sample.shuffle_shards(cur, 8, seed=0).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase conversion funnel within 1 hour per
     step, as a fold of forward as-of joins (`ops/temporal.py:funnel`) —
@@ -1853,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), exact=True
         ),
         "corpus_curated": q_corpus_curated,
+        "corpus_curated_shards": q_corpus_curated_shards,
         # similarity search
         "emb_knn_bruteforce": lambda s, d: similarity.brute_force_topk(
             _emb(s, d), _emb(s, d).where(F.col("vec_id") < 5), k=10
@@ -1944,6 +1958,40 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "list_transform(generate_series(1, greatest(len(W) - 2, 0)),"
         " i -> W[i] || ' ' || W[i+1] || ' ' || W[i+2])"
     ).replace("W", "regexp_split_to_array(lower(trim(text)), '\\s+')")
+
+    # hoisted: reused verbatim by corpus_curated and (as a CTE) by the
+    # composed corpus_curated_shards capstone
+    curated_sql = f"""
+            WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+            feat AS (
+              SELECT doc_id, text,
+                     len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+                     round(least(len(regexp_split_to_array(lower(trim(text)), '\\s+')) / 32.0, 1.0) *
+                           (1.0 - round((length(lower(trim(text))) -
+                            length(regexp_replace(lower(trim(text)), '[^\\w\\s]', '', 'g'))) /
+                            greatest(length(lower(trim(text))), 1), 6)), 6) AS quality,
+                     round(1.0 - len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) /
+                           greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6) AS dupr,
+                     {lang_case} AS lang_pred
+              FROM corpus),
+            filtered AS (
+              SELECT doc_id, text, n_tokens, quality FROM feat
+              WHERE lang_pred = 'en' AND quality >= 0.8 AND dupr <= 0.6),
+            survivors AS (
+              SELECT min(doc_id) AS doc_id FROM filtered
+              GROUP BY md5(lower(trim(text)))),
+            bench AS (
+              SELECT DISTINCT unnest({shingles}) AS g
+              FROM documents WHERE doc_id % 97 = 0),
+            dirty AS (
+              SELECT DISTINCT s.doc_id
+              FROM (SELECT f.doc_id, unnest({shingles}) AS g
+                    FROM filtered f JOIN survivors USING (doc_id)) s
+              JOIN bench USING (g))
+            SELECT f.doc_id, f.n_tokens, f.quality
+            FROM filtered f JOIN survivors USING (doc_id)
+            WHERE f.doc_id NOT IN (SELECT doc_id FROM dirty)
+    """
 
     return {
         "q1_pricing_summary": """
@@ -2450,36 +2498,15 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
               FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
             ) WHERE sim >= 0.15
         """,
-        "corpus_curated": f"""
-            WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
-            feat AS (
-              SELECT doc_id, text,
-                     len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
-                     round(least(len(regexp_split_to_array(lower(trim(text)), '\\s+')) / 32.0, 1.0) *
-                           (1.0 - round((length(lower(trim(text))) -
-                            length(regexp_replace(lower(trim(text)), '[^\\w\\s]', '', 'g'))) /
-                            greatest(length(lower(trim(text))), 1), 6)), 6) AS quality,
-                     round(1.0 - len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) /
-                           greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6) AS dupr,
-                     {lang_case} AS lang_pred
-              FROM corpus),
-            filtered AS (
-              SELECT doc_id, text, n_tokens, quality FROM feat
-              WHERE lang_pred = 'en' AND quality >= 0.8 AND dupr <= 0.6),
-            survivors AS (
-              SELECT min(doc_id) AS doc_id FROM filtered
-              GROUP BY md5(lower(trim(text)))),
-            bench AS (
-              SELECT DISTINCT unnest({shingles}) AS g
-              FROM documents WHERE doc_id % 97 = 0),
-            dirty AS (
-              SELECT DISTINCT s.doc_id
-              FROM (SELECT f.doc_id, unnest({shingles}) AS g
-                    FROM filtered f JOIN survivors USING (doc_id)) s
-              JOIN bench USING (g))
-            SELECT f.doc_id, f.n_tokens, f.quality
-            FROM filtered f JOIN survivors USING (doc_id)
-            WHERE f.doc_id NOT IN (SELECT doc_id FROM dirty)
+        "corpus_curated": curated_sql,
+        "corpus_curated_shards": f"""
+            WITH cur AS ({curated_sql}),
+            v AS (SELECT * FROM {_doc_training_shards_values()})
+            SELECT c.doc_id, v.shard,
+                   (row_number() OVER (PARTITION BY v.shard
+                                       ORDER BY v.h, c.doc_id) - 1)::BIGINT
+                     AS pos
+            FROM cur c JOIN v USING (doc_id)
         """,
         "doc_line_dedup": """
             WITH docs2 AS (
