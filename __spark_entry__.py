@@ -768,6 +768,41 @@ def _kg_ppr_values(iters: int = 3, damping: float = 0.85) -> str:
     )
 
 
+def q_kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GraphSAGE-style neighborhood sample (k=3 per
+    canonical entity, hash-ordered — `pipeline/graph_algo.py:
+    sample_neighbors`): the per-epoch fan-out a GNN trainer reads."""
+    from cypher_guard_spark.pipeline.graph_algo import sample_neighbors
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return sample_neighbors(
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        k=3,
+        seed=0,
+    )
+
+
+def _kg_neighbor_sample_values(k: int = 3, seed: int = 0) -> str:
+    """Pure-Python twin: per entity, the k neighbors with the smallest
+    (xxhash64(entity, nbr, seed), nbr), ranked."""
+    from cypher_guard_spark.oracle import spark_xxhash64
+
+    adj = _kg_und_adj()
+    rows = []
+    for ent, nbrs in adj.items():
+        ranked = sorted(
+            (spark_xxhash64(ent, nb, seed, int_widths=("s", "s", "int")), nb)
+            for nb in nbrs
+        )[:k]
+        for i, (_h, nb) in enumerate(ranked, start=1):
+            rows.append(f"({_sql_quote(ent)}, {_sql_quote(nb)}, {i})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(entity, nbr, rank)"
+    )
+
+
 def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 missing-edge candidates on the canonical entity graph by
     the Resource Allocation index (`pipeline/graph_algo.py:
@@ -1913,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "kg_link_prediction": q_kg_link_prediction,
         "kg_ppr": q_kg_ppr,
+        "kg_neighbor_sample": q_kg_neighbor_sample,
         "kg_media_links": q_kg_media_links,
     }
 
@@ -2595,6 +2631,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_kcore": _kg_kcore_values(),
         "kg_link_prediction": _kg_link_prediction_values(),
         "kg_ppr": _kg_ppr_values(),
+        "kg_neighbor_sample": _kg_neighbor_sample_values(),
         "kg_media_links": _kg_media_links_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),

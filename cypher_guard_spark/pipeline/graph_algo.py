@@ -506,6 +506,54 @@ def k_core(
     )
 
 
+def sample_neighbors(
+    edges: DataFrame,
+    k: int,
+    seed: int = 0,
+    src: str = "src",
+    dst: str = "dst",
+    n_salts: int = 8,
+) -> DataFrame:
+    """(entity, nbr, rank) — at most k neighbors per vertex of the
+    undirected distinct graph, chosen by deterministic hash order: the
+    GraphSAGE-style neighborhood fan-out a GNN training pipeline samples
+    per epoch (a different ``seed`` per epoch gives independent draws;
+    retry-safe and engine-portable because the draw is
+    xxhash64(entity, nbr, seed), never rand()).
+
+    Scale posture: per-vertex top-k is the classic hub trap (a 10^8-degree
+    vertex would sort one task), so this runs the SAME salted two-phase
+    top-k as `ops/sample.balanced_sample`: local top-k within (entity,
+    salt) — the salt partial-aggregates a hub's adjacency across tasks —
+    then top-k of the <= n_salts*k survivors. Exact by the pigeonhole
+    argument: each of a vertex's k globally-smallest hashes survives its
+    own salt's local round. Two keyed windows over id-only rows.
+    """
+    adj = (
+        edges.select(F.col(src).alias("entity"), F.col(dst).alias("nbr"))
+        .unionByName(
+            edges.select(F.col(dst).alias("entity"), F.col(src).alias("nbr"))
+        )
+        .where(F.col("entity") != F.col("nbr"))
+        .distinct()
+    )
+    h = F.xxhash64("entity", "nbr", F.lit(int(seed)))
+    salted = adj.withColumn("__h", h).withColumn(
+        "__salt", F.pmod(F.col("__h"), F.lit(n_salts))
+    )
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy("entity", "__salt").orderBy("__h", "nbr")
+    w_final = Window.partitionBy("entity").orderBy("__h", "nbr")
+    return (
+        salted.withColumn("__r", F.row_number().over(w_local))
+        .where(F.col("__r") <= k)
+        .withColumn("rank", F.row_number().over(w_final))
+        .where(F.col("rank") <= k)
+        .select("entity", "nbr", "rank")
+    )
+
+
 def _pagerank_round(
     e: DataFrame,
     verts: DataFrame,

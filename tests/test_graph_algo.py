@@ -466,3 +466,45 @@ def test_new_kernels_plan_shapes(spark):
         p = plan(df)
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "TakeOrderedAndProject" in plan(link_prediction_ra(e, min_shared=1, k=10))
+
+
+def test_sample_neighbors_salted_topk_is_exact(spark):
+    """The salted two-phase top-k must equal the naive single-window rule
+    (k smallest (hash, nbr) per entity) for every salt count; degree < k
+    vertices keep their whole neighborhood; seeds draw independently."""
+    from cypher_guard_spark.oracle import spark_xxhash64
+    from cypher_guard_spark.pipeline.graph_algo import sample_neighbors
+
+    edges = _rand_edges(seed=21, n_verts=20, n_edges=120)
+    e = spark.createDataFrame(edges, "src string, dst string")
+    adj = {}
+    for a, b in _und(edges):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def twin(k, seed):
+        out = {}
+        for ent, nbrs in adj.items():
+            ranked = sorted(
+                (spark_xxhash64(ent, nb, seed, int_widths=("s", "s", "int")), nb)
+                for nb in nbrs
+            )[:k]
+            out.update({(ent, nb): i for i, (_h, nb) in enumerate(ranked, 1)})
+        return out
+
+    for n_salts in (1, 4, 16):
+        got = {
+            (r["entity"], r["nbr"]): r["rank"]
+            for r in sample_neighbors(e, k=3, seed=5, n_salts=n_salts).collect()
+        }
+        assert got == twin(3, 5), n_salts
+    low_degree = [v for v, nbrs in adj.items() if len(nbrs) < 3]
+    assert low_degree == [] or all(
+        (v, nb) in twin(3, 5) for v in low_degree for nb in adj[v]
+    )
+    assert twin(3, 5) != twin(3, 6)  # independent epoch draws
+    got6 = {
+        (r["entity"], r["nbr"]): r["rank"]
+        for r in sample_neighbors(e, k=3, seed=6).collect()
+    }
+    assert got6 == twin(3, 6)
