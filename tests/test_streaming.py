@@ -431,3 +431,51 @@ def test_stream_sessionize_native_session_windows(spark, tmp_path):
         assert r["n_events"] == len(evs)
         assert r["total_value"] == sum(e[2] for e in evs)
         assert r["session_end_exclusive"] == evs[-1][1] + dt.timedelta(minutes=30)
+
+
+def test_stream_stream_interval_attribution(spark, tmp_path):
+    """Stream-stream interval join: purchases match views buffered from
+    EARLIER microbatches (views in file 1, purchases in file 2), the
+    window bounds hold strictly, and the pair set equals the batch twin."""
+    from cypher_guard_spark.streaming.attribution_stream import (
+        stream_click_attribution,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    schema = "event_id long, user_id long, ts timestamp"
+    views = [
+        (1, 1, t0), (2, 1, t0 + dt.timedelta(minutes=25)),
+        (3, 2, t0), (4, 3, t0 + dt.timedelta(minutes=5)),
+    ]
+    purchases = [
+        (100, 1, t0 + dt.timedelta(minutes=30)),   # matches views 1 (edge) + 2
+        (101, 2, t0 + dt.timedelta(minutes=45)),   # view 3 is outside 30min
+        (102, 3, t0 + dt.timedelta(minutes=5)),    # same instant: excluded (<)
+    ]
+    vdir, pdir = tmp_path / "v", tmp_path / "p"
+    spark.createDataFrame(views, schema).coalesce(1).write.parquet(str(vdir))
+    spark.createDataFrame(purchases, schema).coalesce(1).write.parquet(str(pdir))
+    vs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(vdir))
+    ps = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(pdir))
+    out = stream_click_attribution(vs, ps, window_s=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_attrib")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["view_event_id"], r["purchase_event_id"])
+        for r in spark.sql("SELECT * FROM t_attrib").collect()
+    }
+    want = {
+        (ve, pe)
+        for ve, vu, vt in views
+        for pe, pu, pt in purchases
+        if vu == pu and pt - dt.timedelta(seconds=1800) <= vt < pt
+    }
+    assert got == want
+    assert (1, 100) in got and (2, 100) in got  # edge-inclusive lower bound
+    assert (4, 102) not in got  # strict upper bound: same-instant excluded
