@@ -768,6 +768,66 @@ def _kg_ppr_values(iters: int = 3, damping: float = 0.85) -> str:
     )
 
 
+def q_kg_entity_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonicalization MAP itself as a gated output: (label, surface,
+    canonical) from the distributed blocking -> CC -> election path
+    (driver fast path disabled), vs the pure-Python twin — gating the
+    intermediate the canonical-triples query consumes."""
+    from cypher_guard_spark.pipeline import synthesize_documents
+    from cypher_guard_spark.pipeline.canonicalize import build_entity_map
+    from cypher_guard_spark.pipeline.mentions import (
+        extract_triples_raw,
+        link_scores,
+        mentions_from_triples,
+    )
+
+    docs = synthesize_documents(spark, _KG_DOCS)
+    tr = extract_triples_raw(docs)
+    return build_entity_map(
+        spark,
+        link_scores(mentions_from_triples(tr)),
+        driver_smallmap_max_surfaces=0,
+    ).select("label", "surface", "canonical")
+
+
+def _kg_entity_map_values() -> str:
+    """VALUES twin: the same mention counts fed to _driver_entity_map
+    (itself equality-locked against the distributed path)."""
+    import re
+
+    from cypher_guard_spark.pipeline.canonicalize import _driver_entity_map
+    from cypher_guard_spark.pipeline.synth import _render_doc
+
+    pats = [
+        (re.compile(r"^(.+) works for (.+)\.$"), "Person", "Company"),
+        (re.compile(r"^(.+) knows (.+)\.$"), "Person", "Person"),
+        (re.compile(r"^(.+) is located in (.+)\.$"), "Company", "Location"),
+    ]
+    counts: dict = {}
+    for i in range(_KG_DOCS):
+        _doc_id, spans = _render_doc(i)
+        for span in spans:
+            if span["kind"] != "text":
+                continue
+            for pat, sl, ol in pats:
+                m = pat.match(span["text"])
+                if m:
+                    counts[(sl, m.group(1))] = counts.get((sl, m.group(1)), 0) + 1
+                    counts[(ol, m.group(2))] = counts.get((ol, m.group(2)), 0) + 1
+                    break
+    rows = [
+        f"({_sql_quote(l)}, {_sql_quote(s)}, {_sql_quote(c)})"
+        for l, s, c in _driver_entity_map(
+            [(l, s, n) for (l, s), n in counts.items()], 16, 8, 0.6
+        )
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(label, surface, canonical)"
+    )
+
+
 def q_kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GraphSAGE-style neighborhood sample (k=3 per
     canonical entity, hash-ordered — `pipeline/graph_algo.py:
@@ -1443,6 +1503,19 @@ def _emb_projected_values(out_dim: int = 8, seed: int = 0) -> str:
     )
 
 
+def _doc_hash_values() -> str:
+    """VALUES (doc_id, h) with h = pmod(xxhash64(doc_id), 2^20) from the
+    twin — the per-row draw weighted_sample compares to its threshold."""
+    from cypher_guard_spark.ops.sample import SAMPLE_DENOM
+    from cypher_guard_spark.oracle import spark_xxhash64
+
+    rows = [
+        f"({doc_id}, {spark_xxhash64(doc_id, int_widths=('long',)) % SAMPLE_DENOM})"
+        for doc_id, _text in _oracle_documents()
+    ]
+    return "(VALUES " + ", ".join(rows) + ") AS hs(doc_id, h)"
+
+
 def _py_length_stratum(text: str, bucket_tokens: int = 16, n_buckets: int = 4) -> int:
     return min(len(_py_tokens(text)) // bucket_tokens, n_buckets - 1)
 
@@ -1852,6 +1925,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_balanced_sample": lambda s, d: sample.balanced_sample(
             _docs(s, d), sample.length_bucket(), k=25
         ).select("doc_id", "stratum", "rnk"),
+        # continuous importance sampling: keep-probability = the quality
+        # score itself (quality-weighted corpus thinning)
+        "doc_weighted_sample": lambda s, d: sample.weighted_sample(
+            text.quality_scores(_docs(s, d)), weight=F.col("quality")
+        ),
         "doc_training_shards": lambda s, d: sample.shuffle_shards(
             _docs(s, d), 8, seed=0
         ).select("doc_id", "shard", "pos"),
@@ -1949,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_prediction": q_kg_link_prediction,
         "kg_ppr": q_kg_ppr,
         "kg_neighbor_sample": q_kg_neighbor_sample,
+        "kg_entity_map": q_kg_entity_map,
         "kg_media_links": q_kg_media_links,
     }
 
@@ -2571,6 +2650,30 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    coalesce(r.text_clean, '') AS text_clean
             FROM docs2 d LEFT JOIN reb r USING (doc_id)
         """,
+        "doc_weighted_sample": f"""
+            WITH t AS (
+              SELECT doc_id, lower(trim(text)) AS txt,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     round((length(txt) - length(regexp_replace(txt, '[^\\w\\s]', '', 'g'))) /
+                           greatest(length(txt), 1), 6) AS punct_ratio,
+                     round(len(list_filter(toks, x -> list_contains(
+                           ['the','a','of','and','to','in','is'], x))) /
+                           greatest(len(toks), 1), 6) AS stopword_ratio,
+                     round(least(len(toks) / 32.0, 1.0) *
+                           (1.0 - round((length(txt) - length(regexp_replace(txt, '[^\\w\\s]', '', 'g'))) /
+                           greatest(length(txt), 1), 6)), 6) AS quality
+              FROM t),
+            hs AS (SELECT * FROM {_doc_hash_values()})
+            SELECT q.doc_id, q.n_tokens, q.punct_ratio, q.stopword_ratio,
+                   q.quality,
+                   round(q.quality * 1048576)::BIGINT AS keep_threshold
+            FROM q JOIN hs USING (doc_id)
+            WHERE hs.h < round(q.quality * 1048576)::BIGINT
+        """,
         "doc_training_shards": f"""
             WITH v AS (SELECT * FROM {_doc_training_shards_values()})
             SELECT doc_id, shard,
@@ -2632,6 +2735,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_link_prediction": _kg_link_prediction_values(),
         "kg_ppr": _kg_ppr_values(),
         "kg_neighbor_sample": _kg_neighbor_sample_values(),
+        "kg_entity_map": _kg_entity_map_values(),
         "kg_media_links": _kg_media_links_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),

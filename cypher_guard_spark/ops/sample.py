@@ -303,3 +303,22 @@ def write_training_shards(
     writes whole shards."""
     sharded = shuffle_shards(df, n_shards, seed=seed, key_col=key_col)
     sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Rows kept with probability = `weight` (a Column in [0,1] — e.g. a
+    quality score), decided by pmod(xxhash64(key), 2^20) < round(w * 2^20):
+    continuous importance sampling (DCLM/quality-weighted style), the
+    generalization of `stratified_sample` from per-stratum rates to a
+    per-ROW rate. Deterministic, retry-safe, map-only — the keep
+    predicate evaluates at the scan, so at 100 TB this prunes before
+    anything wide. Output adds the integer `keep_threshold` actually
+    used, so the decision is auditable and the oracle exact (the
+    threshold is integer arithmetic; no float comparison at the cut)."""
+    thr = F.round(weight * SAMPLE_DENOM).cast("long")
+    h = F.pmod(F.xxhash64(F.col(key_col)), F.lit(SAMPLE_DENOM))
+    return df.withColumn("keep_threshold", thr).where(h < F.col("keep_threshold"))
