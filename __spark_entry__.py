@@ -828,6 +828,65 @@ def _kg_entity_map_values() -> str:
     )
 
 
+def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the canonical entity graph through the
+    DISTRIBUTED min-propagation kernel (driver union-find fast path
+    disabled) — gating the third major iterative kernel directly: comp =
+    min xxhash64 id over the component, entity-granular."""
+    from cypher_guard_spark.pipeline.canonicalize import connected_components
+
+    canon = q_kg_canonical_triples(spark, sf_dir).localCheckpoint(eager=False)
+    ends = canon.select(F.col("subj").alias("entity")).unionByName(
+        canon.select(F.col("obj").alias("entity"))
+    ).distinct()
+    verts = ends.select(F.lit("E").alias("label"), F.col("entity").alias("surface"))
+    und = (
+        canon.select(
+            F.least("subj", "obj").alias("a"), F.greatest("subj", "obj").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = und.select(F.lit("E").alias("label"), "a", "b")
+    cc = connected_components(
+        spark, verts, edges, driver_smallgraph_max_edges=0
+    )
+    return cc.select(F.col("surface").alias("entity"), F.col("comp"))
+
+
+def _kg_components_values() -> str:
+    """Union-find twin with the same min-xxhash64("E", entity) comp ids."""
+    from cypher_guard_spark.oracle import spark_xxhash64
+
+    adj = _kg_und_adj()
+    ents = sorted(
+        {v for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples() for v in (s, o)}
+    )
+    parent = {v: v for v in ents}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, nbrs in adj.items():
+        for b in nbrs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    comps: dict = {}
+    for v in ents:
+        comps.setdefault(find(v), []).append(v)
+    rows = []
+    for members in comps.values():
+        cid = min(spark_xxhash64("E", m) for m in members)
+        rows.extend(f"({_sql_quote(m)}, {cid})" for m in members)
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(entity, comp)"
+    )
+
+
 def q_kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GraphSAGE-style neighborhood sample (k=3 per
     canonical entity, hash-ordered — `pipeline/graph_algo.py:
@@ -2028,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": q_kg_ppr,
         "kg_neighbor_sample": q_kg_neighbor_sample,
         "kg_entity_map": q_kg_entity_map,
+        "kg_components": q_kg_components,
         "kg_media_links": q_kg_media_links,
     }
 
@@ -2736,6 +2796,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_ppr": _kg_ppr_values(),
         "kg_neighbor_sample": _kg_neighbor_sample_values(),
         "kg_entity_map": _kg_entity_map_values(),
+        "kg_components": _kg_components_values(),
         "kg_media_links": _kg_media_links_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),
