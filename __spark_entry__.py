@@ -2015,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_counts": lambda s, d: text.pii_counts(_docs(s, d)),
         "doc_repetition_scores": lambda s, d: text.repetition_scores(_docs(s, d), n=2),
         "doc_tfidf_keywords": lambda s, d: text.tfidf_keywords(_docs(s, d), k=5),
+        "doc_bigram_cohesion": lambda s, d: text.bigram_cohesion(_docs(s, d)),
         "doc_rarity_scores": lambda s, d: text.rarity_scores(
             _docs(s, d), rare_max_df=2
         ),
@@ -2570,6 +2571,33 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                   GROUP BY source)
             SELECT source, n_docs, n_tokens, n_unique_texts, n_unique_tokens
             FROM d JOIN t USING (source)
+        """,
+        "doc_bigram_cohesion": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            pos AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     unnest(range(0, len(toks))) AS ord
+              FROM t),
+            pairs AS (
+              SELECT p1.doc_id, p1.tok AS w1, p2.tok AS w2
+              FROM pos p1 JOIN pos p2
+                ON p1.doc_id = p2.doc_id AND p2.ord = p1.ord + 1),
+            bg AS (
+              SELECT doc_id, w1, w2, count(*) AS tf
+              FROM pairs GROUP BY 1, 2, 3),
+            c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM bg GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+            agg AS (
+              SELECT b.doc_id, sum(b.tf)::BIGINT AS n_bigrams,
+                     sum(b.tf * c12.c12) AS num, sum(b.tf * c1.c1) AS den
+              FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+              GROUP BY 1)
+            SELECT doc_id, n_bigrams,
+                   round(num / greatest(den, 1), 6) AS cohesion
+            FROM agg
         """,
         "corpus_quality_floor": """
             WITH t AS (

@@ -777,3 +777,87 @@ def clean_text(
     if not keep_empty:
         out = out.where(F.col("n_lines_kept") > 0)
     return out
+
+
+def doc_bigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, w1, w2, tf) — per-document bigram frequencies over the
+    standard tokenizer (map-only explode + one doc-local partial agg)."""
+    base = df.select("doc_id", tokens(F.col(text_col)).alias("__t"))
+    t = F.col("__t")
+    sz = F.size(t)
+    bg = F.when(
+        sz >= 2,
+        F.transform(
+            F.sequence(F.lit(0), sz - 2),
+            lambda i: F.struct(
+                F.get(t, i).alias("w1"), F.get(t, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        base.select("doc_id", F.explode(bg).alias("b"))
+        .groupBy("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def train_bigram_lm(df: DataFrame, path: str, text_col: str = "text") -> None:
+    """Materialize the corpus bigram model as an at-rest table:
+    (w1, w2, c12, c1) with c12 = corpus occurrences of the bigram and
+    c1 = corpus occurrences of w1 as a bigram head — the count form of
+    P(w2|w1) = c12/c1, stored as exact integers so every downstream
+    consumer derives identical probabilities. Train ONCE, score many —
+    the same shared-artifact pattern as `write_ivf_index` /
+    `quantize_embeddings(ranges=)`. Two partial-agg shuffles + one
+    vocabulary-sized join; rows are (token-pair, counts), never text."""
+    bg = doc_bigrams(df, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c12.join(c1, "w1").select("w1", "w2", "c12", "c1").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def bigram_cohesion(
+    df: DataFrame,
+    text_col: str = "text",
+    lm: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_bigrams, cohesion) — the tf-weighted mean corpus
+    conditional-frequency of the document's transitions:
+    cohesion = sum_b tf_b*c12_b / sum_b tf_b*c1_b. Fluent, templated
+    text scores high (its word transitions are corpus-typical);
+    shuffled/gibberish text scores low — the bigram-LM counterpart of
+    `rarity_scores`' unigram proxy, and the exact-arithmetic stand-in
+    for a KenLM perplexity bucket (the KenLM scorer drops in at the same
+    join point). Integer numerator and denominator, one
+    correctly-rounded division — the oracle is exact, where a mean of
+    log-probabilities would be FP-order-dependent.
+
+    ``lm`` — a (w1, w2, c12, c1) table from `train_bigram_lm` — scores
+    against a PRE-TRAINED model (train once, score many streams/shards);
+    None trains on `df` itself in-plan. Same shuffle shape as
+    rarity_scores: vocab partial aggs + a vocabulary-keyed join + one
+    per-doc integer re-aggregation.
+    """
+    bg = doc_bigrams(df, text_col)
+    if lm is None:
+        c12 = bg.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+        c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        lm = c12.join(c1, "w1")
+    joined = bg.join(lm.select("w1", "w2", "c12", "c1"), ["w1", "w2"], "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.coalesce("c12", F.lit(0))).alias("__num"),
+            F.sum(F.col("tf") * F.coalesce("c1", F.lit(0))).alias("__den"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("__num") / F.greatest(F.col("__den"), F.lit(1)), 6
+            ).alias("cohesion"),
+        )
+    )

@@ -1139,3 +1139,39 @@ def test_ingest_new_batch_against_digest_index(spark, docs, tmp_path):
     n2 = ingest_new_batch(spark, batch, path, update_index=True)
     assert {r["doc_id"] for r in n2.select("doc_id").collect()} == want
     assert ingest_new_batch(spark, batch, path).count() == 0
+
+
+def test_bigram_lm_at_rest_matches_inplan_and_ranks_fluency(spark, docs, tmp_path):
+    """Train-once/score-many: scoring against the stored (w1,w2,c12,c1)
+    table must be bit-identical to the in-plan training path, and a
+    corpus-typical transition doc must outscore a shuffled-gibberish doc
+    under the same model."""
+    from cypher_guard_spark.ops.text import bigram_cohesion, train_bigram_lm
+
+    path = str(tmp_path / "bigram_lm")
+    train_bigram_lm(docs, path)
+    lm = spark.read.parquet(path)
+    stored = {
+        r["doc_id"]: (r["n_bigrams"], r["cohesion"])
+        for r in bigram_cohesion(docs, lm=lm).collect()
+    }
+    inplan = {
+        r["doc_id"]: (r["n_bigrams"], r["cohesion"])
+        for r in bigram_cohesion(docs).collect()
+    }
+    assert stored == inplan and stored
+    # model transfer: score NEW docs against the corpus model — one made
+    # of the corpus's most common bigram repeated, one of unseen tokens
+    top = (
+        lm.orderBy(F.col("c12").desc(), "w1", "w2").limit(1).collect()[0]
+    )
+    fluent = f"{top['w1']} {top['w2']} " * 5
+    probe = spark.createDataFrame(
+        [(900001, fluent), (900002, "zzq qqz zqz qzz zzq virp")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["cohesion"]
+        for r in bigram_cohesion(probe, lm=lm).collect()
+    }
+    assert got[900001] > got[900002] == 0.0
