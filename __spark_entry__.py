@@ -1998,6 +1998,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": lambda s, d: sample.token_budget_mixture(
             _docs(s, d), _MIXTURE_WEIGHTS, _MIXTURE_TOTAL
         ),
+        # sliding context-window chunking (RAG ingestion / long-doc
+        # pretraining split); 48-token windows every 32 tokens so the
+        # synthetic corpus median (~50-70 tokens) exercises multi-chunk,
+        # tail-shorter-than-window, and single-chunk docs at once
+        "doc_chunks": lambda s, d: sample.chunk_documents(
+            _docs(s, d), chunk_tokens=48, stride=32
+        ),
         # text analysis
         # the synthetic corpus is single-line and unpunctuated, so the
         # driver instantiation gates on word count (require_punct=False,
@@ -2761,6 +2768,23 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    round(q.quality * 1048576)::BIGINT AS keep_threshold
             FROM q JOIN hs USING (doc_id)
             WHERE hs.h < round(q.quality * 1048576)::BIGINT
+        """,
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            c AS (
+              SELECT doc_id, toks, n,
+                     unnest(range(0, CASE WHEN n <= 48 THEN 1
+                                   ELSE ((n - 48 + 31) // 32) + 1 END)) AS i
+              FROM n)
+            SELECT doc_id, i::INT AS chunk_id, (i * 32)::INT AS start_tok,
+                   least(48, n - i * 32)::INT AS n_tokens,
+                   array_to_string(toks[(i * 32 + 1):(i * 32 + 48)], ' ')
+                     AS chunk_text
+            FROM c
         """,
         "doc_training_shards": f"""
             WITH v AS (SELECT * FROM {_doc_training_shards_values()})

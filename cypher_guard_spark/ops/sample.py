@@ -322,3 +322,60 @@ def weighted_sample(
     thr = F.round(weight * SAMPLE_DENOM).cast("long")
     h = F.pmod(F.xxhash64(F.col(key_col)), F.lit(SAMPLE_DENOM))
     return df.withColumn("keep_threshold", thr).where(h < F.col("keep_threshold"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    stride: int = 192,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, start_tok, n_tokens, chunk_text) — sliding
+    token-window chunking: document `doc_id` is split into windows of
+    `chunk_tokens` tokens starting every `stride` tokens (overlap =
+    chunk_tokens - stride), the context-window splitting step that both
+    RAG ingestion and long-document pretraining run before packing.
+    The final window may be shorter (it covers the tail); a document
+    shorter than one window emits exactly one chunk, so no text is ever
+    dropped and every doc_id survives into the chunk table.
+
+    MAP-ONLY with ZERO exchanges: tokenize -> per-row sequence of chunk
+    indices -> explode -> slice/rejoin, all JVM built-ins riding the
+    first scan. Row amplification is ~n_tokens/stride per doc — the
+    explode happens after any pushed filters, and downstream shuffles
+    see chunk-sized rows, never whole documents. Chunk boundaries are a
+    pure function of the token array, so retried tasks reproduce them
+    bit-for-bit and the DuckDB oracle is exact.
+    """
+    if not (1 <= stride <= chunk_tokens):
+        raise ValueError("need 1 <= stride <= chunk_tokens")
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(key_col), toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    # n <= chunk -> 1 window; else 1 + ceil((n - chunk)/stride) windows
+    n_chunks = (
+        F.when(n <= chunk_tokens, F.lit(1))
+        .otherwise(
+            F.floor((n - chunk_tokens + (stride - 1)) / stride).cast("int") + 1
+        )
+        .cast("int")
+    )
+    exploded = base.select(
+        key_col,
+        "_toks",
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    return exploded.select(
+        key_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.cast("int").alias("start_tok"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - start)
+        .cast("int")
+        .alias("n_tokens"),
+        F.array_join(F.slice(F.col("_toks"), start + 1, chunk_tokens), " ").alias(
+            "chunk_text"
+        ),
+    )

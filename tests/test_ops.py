@@ -1175,3 +1175,62 @@ def test_bigram_lm_at_rest_matches_inplan_and_ranks_fluency(spark, docs, tmp_pat
         for r in bigram_cohesion(probe, lm=lm).collect()
     }
     assert got[900001] > got[900002] == 0.0
+
+
+def test_chunk_documents_brute_force_twin(spark):
+    """Chunk boundaries, counts, and rejoined text match a pure-Python
+    sliding-window twin across the edge grid: shorter-than-window,
+    exactly-one-window, exact-multiple tail, ragged tail, empty text."""
+    from cypher_guard_spark.ops.sample import chunk_documents
+
+    texts = {
+        1: "a b c",                                   # n < chunk
+        2: " ".join(f"t{i}" for i in range(8)),       # n == chunk
+        3: " ".join(f"t{i}" for i in range(16)),      # tail ends exactly
+        4: " ".join(f"t{i}" for i in range(19)),      # ragged tail
+        5: "",                                        # split('') -> ['']
+        6: "solo",
+    }
+    chunk, stride = 8, 4
+    df = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(
+            df, chunk_tokens=chunk, stride=stride
+        ).collect()
+    }
+
+    expected = {}
+    for doc_id, text in texts.items():
+        toks = text.strip().lower().split() or [""]
+        n = len(toks)
+        n_chunks = 1 if n <= chunk else -(-(n - chunk) // stride) + 1
+        for i in range(n_chunks):
+            s = i * stride
+            expected[(doc_id, i)] = (
+                s, min(chunk, n - s), " ".join(toks[s : s + chunk])
+            )
+    assert set(got) == set(expected)
+    for key, (start, ntok, ctext) in expected.items():
+        r = got[key]
+        assert (r["start_tok"], r["n_tokens"], r["chunk_text"]) == (
+            start, ntok, ctext
+        ), key
+    # every doc survives, overlap = chunk - stride tokens between
+    # consecutive windows of the same doc
+    assert {k[0] for k in got} == set(texts)
+    t4 = [got[(4, i)]["chunk_text"].split() for i in range(3)]
+    assert t4[0][stride:] == t4[1][: chunk - stride]
+
+
+def test_chunk_documents_map_only_plan(spark, docs):
+    """Tokenize -> explode -> slice rides the scan: zero exchanges."""
+    from cypher_guard_spark.ops.sample import chunk_documents
+
+    plan = (
+        chunk_documents(docs, chunk_tokens=48, stride=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
