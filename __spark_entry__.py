@@ -634,6 +634,41 @@ def _kg_triangles_values() -> str:
     )
 
 
+def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per canonical entity
+    (`pipeline/graph_algo.py:clustering_coefficient`): 2T(v)/(deg(v)·
+    (deg(v)-1)) over the undirected distinct graph — the per-vertex
+    community-tightness score on top of the triangle kernel."""
+    from cypher_guard_spark.pipeline.graph_algo import clustering_coefficient
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return clustering_coefficient(
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+
+
+def _kg_clustering_values() -> str:
+    """Pure-Python twin of clustering_coefficient: per-vertex wedge count
+    closed over the undirected adjacency, cc rounded HALF_UP at 1e-6 to
+    match Spark's `round(double, 6)` (BigDecimal.valueOf semantics)."""
+    adj = _kg_und_adj()
+    rows = []
+    for v, nbrs in adj.items():
+        t = 0
+        for a in nbrs:
+            for b in nbrs:
+                if a < b and b in adj.get(a, ()):
+                    t += 1
+        deg = len(nbrs)
+        cc = _round6(2.0 * t / (deg * (deg - 1))) if deg >= 2 else 0.0
+        rows.append(f"({_sql_quote(v)}, {deg}, {t}, {cc!r}::DOUBLE)")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(entity, deg, n_triangles, cc)"
+    )
+
+
 def q_kg_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distance from the graph's hub (max-degree canonical entity,
     ties to the smallest name) over the undirected canonical graph —
@@ -1905,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relational,
         sample,
         similarity,
+        temporal,
         text,
     )
 
@@ -1926,6 +1962,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": relational.events_sessionized,
         # temporal joins (asof / range — primitives Spark lacks)
         "events_asof_purchase": q_events_asof_purchase,
+        # first-order Markov transition counts over each user's
+        # time-ordered event sequence (next-event prediction / funnel
+        # discovery input) — one keyed window exchange, then a tiny
+        # |types|^2-key partial agg
+        "events_transitions": lambda s, d: temporal.event_transitions(
+            relational.load(s, d, "events")
+        ),
         "events_purchase_window": q_events_purchase_window,
         "events_funnel": q_events_funnel,
         "events_retention": relational.events_retention,
@@ -2040,6 +2083,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_collocations": lambda s, d: text.collocations(
             _docs(s, d), window=5, min_count=5, k=50
         ),
+        # frequency-ranked vocabulary (tokenizer-training prerequisite):
+        # ids are the 0-based rank under the (count DESC, token ASC) total
+        # order so they are engine/run-stable; the rank window runs over
+        # the vocab_size survivor set only, never the corpus
+        "corpus_vocab": lambda s, d: text.build_vocab(
+            _docs(s, d), vocab_size=200, min_count=2
+        ),
         # exact=True is the oracle gate's opt-in; the default (fast) mode
         # is the approx-sketch plan that survives 10^12 rows
         "corpus_length_quantiles": lambda s, d: text.length_quantiles(
@@ -2089,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_similarity": q_kg_entity_similarity,
         "kg_communities": q_kg_communities,
         "kg_triangles": q_kg_triangles,
+        "kg_clustering": q_kg_clustering,
         "kg_bfs_depths": q_kg_bfs_depths,
         "kg_kcore": q_kg_kcore,
         "kg_link_prediction": q_kg_link_prediction,
@@ -2256,6 +2307,34 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_session
                 FROM events)
             ) GROUP BY user_id ORDER BY user_id
+        """,
+        "events_transitions": """
+            SELECT from_type, to_type, count(*) AS n_transitions
+            FROM (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS to_type
+              FROM events)
+            WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        """,
+        "corpus_vocab": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+              FROM documents),
+            counts AS (
+              SELECT token, count(*) AS n_occurrences,
+                     count(DISTINCT doc_id) AS n_docs
+              FROM tok GROUP BY token
+              HAVING count(*) >= 2)
+            SELECT token,
+                   row_number() OVER (ORDER BY n_occurrences DESC, token ASC) - 1
+                     AS token_id,
+                   n_occurrences, n_docs
+            FROM counts
+            ORDER BY n_occurrences DESC, token ASC
+            LIMIT 200
         """,
         "events_asof_purchase": """
             WITH l AS (SELECT event_id, user_id, ts FROM events
@@ -2842,6 +2921,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_entity_similarity": _kg_entity_similarity_values(),
         "kg_communities": _kg_communities_values(),
         "kg_triangles": _kg_triangles_values(),
+        "kg_clustering": _kg_clustering_values(),
         "kg_bfs_depths": _kg_bfs_depths_values(),
         "kg_kcore": _kg_kcore_values(),
         "kg_link_prediction": _kg_link_prediction_values(),

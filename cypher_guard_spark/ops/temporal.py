@@ -33,7 +33,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "funnel"]
+__all__ = ["asof_join", "range_join", "funnel", "event_transitions"]
 
 
 def _as_list(on: str | Sequence[str]) -> list[str]:
@@ -266,3 +266,33 @@ def _deepest_step(step_cols: list[str]) -> Column:
     for i, c in enumerate(step_cols, start=1):
         expr = F.when(F.col(c).isNotNull(), F.lit(i)).otherwise(expr)
     return expr
+
+
+def event_transitions(
+    df: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(from_type, to_type, n_transitions) — first-order Markov transition
+    counts over each key's time-ordered event sequence (the "what happens
+    after a click" matrix behind next-event prediction and funnel
+    discovery). A key's last event has no successor and emits nothing.
+
+    Scale posture: one keyed exchange (the lead window partitions by the
+    key — per-task state is one user's events) followed by one partial-
+    aggregating count on the (from, to) pair, whose key space is
+    |event_types|^2, i.e. tiny however large the corpus. Order within a
+    key is (ts, tie_col) so retries and engines agree on ties; the output
+    is pure integer counts — exact in any engine/partitioning.
+    """
+    keys = _as_list(key)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col(tie_col).asc())
+    return (
+        df.select(*keys, ts_col, tie_col, F.col(type_col).alias("from_type"))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )

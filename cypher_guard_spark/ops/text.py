@@ -861,3 +861,50 @@ def bigram_cohesion(
             ).alias("cohesion"),
         )
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    min_count: int = 1,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(token, token_id, n_occurrences, n_docs) — frequency-ranked
+    vocabulary construction, the tokenizer-training prerequisite every
+    text pipeline runs once per corpus (word-level here; the BPE merge
+    loop would iterate on exactly this table).
+
+    token_id is the 0-based rank under the TOTAL order (n_occurrences
+    DESC, token ASC), so ids are deterministic across engines and runs —
+    ties never reorder. Scale posture: explode -> one partial-aggregating
+    shuffle on the token key (count + distinct-doc count; the doc-count
+    grain is (token, doc) which count(distinct) handles with a second
+    partial agg, never a per-token sort), then top-`vocab_size` via
+    TakeOrderedAndProject, then the id-assigning window runs over the
+    SURVIVOR set only — vocab_size rows (~10^5 for real tokenizers)
+    regardless of corpus size, so the single-partition rank window is a
+    driver-bounded constant, not a corpus-sized sort.
+    """
+    tok = df.select(
+        F.col(key_col).alias("_doc"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    counts = (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("_doc").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(vocab_size)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.select(
+        "token",
+        (F.row_number().over(w) - 1).alias("token_id"),
+        "n_occurrences",
+        "n_docs",
+    ).select("token", "token_id", "n_occurrences", "n_docs")

@@ -591,3 +591,44 @@ def _pagerank_round(
             "rank"
         ),
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(entity, deg, n_triangles, cc) — local clustering coefficient
+    cc = 2*T(v) / (deg(v) * (deg(v)-1)) over the undirected distinct
+    graph (degree < 2 reports 0.0): the per-vertex community-tightness
+    score that complements the global triangle report.
+
+    Reuses `triangle_count`'s degree-ordered oriented kernel for T(v)
+    (hub-safe: oriented out-degree O(sqrt(m))) and joins the exact
+    undirected degree on the entity key — one extra keyed agg + join over
+    the triangle plan, integer inputs with one correctly-rounded division
+    at the end, so the oracle is exact."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("entity"))
+        .unionByName(und.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangle_count(edges, src=src, dst=dst)
+    cc = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            2 * F.col("n_triangles") / (F.col("deg") * (F.col("deg") - 1)), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return tri.join(deg, "entity").select(
+        "entity", "deg", "n_triangles", cc.alias("cc")
+    )

@@ -508,3 +508,53 @@ def test_sample_neighbors_salted_topk_is_exact(spark):
         for r in sample_neighbors(e, k=3, seed=6).collect()
     }
     assert got6 == twin(3, 6)
+
+
+def test_clustering_coefficient_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from cypher_guard_spark.pipeline.graph_algo import clustering_coefficient
+
+    edges = _rand_edges(7)
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["entity"]: (r["deg"], r["n_triangles"], r["cc"])
+        for r in clustering_coefficient(e).collect()
+    }
+    und = _und(edges)
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert set(got) == set(adj)
+    for v, nbrs in adj.items():
+        t = sum(
+            1
+            for a, b in combinations(sorted(nbrs), 2)
+            if (min(a, b), max(a, b)) in und
+        )
+        deg = len(nbrs)
+        want_cc = 2 * t / (deg * (deg - 1)) if deg >= 2 else 0.0
+        assert got[v][0] == deg and got[v][1] == t, v
+        # spark rounds HALF_UP at 1e-6; compare to the unrounded value
+        assert abs(got[v][2] - want_cc) <= 5.1e-7, v
+
+
+def test_clustering_coefficient_edge_cases(spark):
+    from cypher_guard_spark.pipeline.graph_algo import clustering_coefficient
+
+    # triangle + pendant: a,b,c fully connected (cc=1), d degree-1 (cc=0);
+    # duplicate/reversed edges and self-loops must not change anything
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+             ("a", "a"), ("c", "d")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["entity"]: (r["deg"], r["n_triangles"], r["cc"])
+        for r in clustering_coefficient(e).collect()
+    }
+    assert got == {
+        "a": (2, 1, 1.0),
+        "b": (2, 1, 1.0),
+        "c": (3, 1, round(2 / 6, 6)),
+        "d": (1, 0, 0.0),
+    }

@@ -1234,3 +1234,23 @@ def test_chunk_documents_map_only_plan(spark, docs):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_build_vocab_rank_ties_and_mincount(spark):
+    from cypher_guard_spark.ops.text import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "b a a c c"), (2, "a b b z"), (3, "c a")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["token"]: (r["token_id"], r["n_occurrences"], r["n_docs"])
+        for r in build_vocab(docs, vocab_size=3, min_count=2).collect()
+    }
+    # a=4x/3docs; b=3x/2docs; c=3x/2docs (count tie -> token ASC); z cut
+    assert out == {"a": (0, 4, 3), "b": (1, 3, 2), "c": (2, 3, 2)}
+    top2 = {
+        r["token"]: r["token_id"]
+        for r in build_vocab(docs, vocab_size=2, min_count=1).collect()
+    }
+    assert top2 == {"a": 0, "b": 1}

@@ -322,3 +322,42 @@ def test_events_retention_cohort_grid(spark, tmp_path):
         cohorts[min(ps)].add(uid)
     for c, users in cohorts.items():
         assert got[(c, 0)] == len(users)
+
+
+def test_event_transitions_matches_bruteforce(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    from cypher_guard_spark.ops.temporal import event_transitions
+
+    rng = random.Random(11)
+    rows = [
+        (eid, rng.randrange(12), _t(rng.randrange(40)), rng.choice("abcd"))
+        for eid in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, ts timestamp, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in event_transitions(df).collect()
+    }
+    seqs = defaultdict(list)
+    for eid, uid, ts, et in rows:
+        seqs[uid].append((ts, eid, et))
+    want: Counter = Counter()
+    for evs in seqs.values():
+        evs.sort()  # (ts, event_id) — the operator's tie rule
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)
+
+
+def test_event_transitions_singletons_emit_nothing(spark):
+    from cypher_guard_spark.ops.temporal import event_transitions
+
+    df = spark.createDataFrame(
+        [(1, 1, _t(0), "x"), (2, 2, _t(1), "y")],
+        "event_id int, user_id int, ts timestamp, event_type string",
+    )
+    assert event_transitions(df).count() == 0
