@@ -1316,6 +1316,88 @@ def _py_tokens(text: str) -> list[str]:
     return re.split(r"\s+", text.strip(" ").lower(), flags=re.ASCII)
 
 
+def _py_bpe_train(
+    num_merges: int = 24, min_pair_count: int = 2
+) -> list[tuple[int, str, str, int]]:
+    """Independent serial BPE trainer (Counter over the word-frequency
+    table, no Spark code shared with ops/bpe.py's fold/groupBy machinery):
+    the ground truth for `corpus_bpe_merges`. Tie order mirrors the
+    engine's total order (count DESC, left ASC, right ASC)."""
+    from collections import Counter
+
+    words: Counter = Counter()
+    for _, text in _oracle_documents():
+        for w in _py_tokens(text):
+            words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += words[w]
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, left, right, cnt))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def _corpus_bpe_merges_values() -> str:
+    rows = [
+        f"({rank}, {_sql_quote(left)}, {_sql_quote(right)}, {cnt})"
+        for rank, left, right, cnt in _py_bpe_train()
+    ]
+    if not rows:
+        return (
+            'SELECT CAST(NULL AS INT) AS merge_rank, \'\' AS "left",'
+            ' \'\' AS "right", CAST(NULL AS BIGINT) AS pair_count WHERE 1=0'
+        )
+    # left/right are reserved words in DuckDB — quote the aliases
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ') AS t(merge_rank, "left", "right", pair_count)'
+    )
+
+
+def _doc_bpe_tokens_values() -> str:
+    """Twin of `doc_bpe_tokens`: re-train with the independent trainer,
+    then encode each document serially with the shared per-word kernel
+    (ops.bpe.bpe_word — the kernel itself is pytest-locked; this oracle
+    verifies the distributed train->encode composition against the serial
+    path)."""
+    from cypher_guard_spark.ops.bpe import bpe_word
+
+    ranks = {(l, r): rank for rank, l, r, _ in _py_bpe_train()}
+    memo: dict[str, int] = {}
+    rows = []
+    for doc_id, text in _oracle_documents():
+        ws = _py_tokens(text)
+        n_sub = 0
+        for w in ws:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = len(bpe_word(w, ranks))
+            n_sub += got
+        rows.append(f"({doc_id}, {len(ws)}, {n_sub})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, n_words, n_subwords)"
+    )
+
+
 def _sorted_fold_sum(values) -> float:
     """Sequential left-fold over VALUE-SORTED doubles — the exact twin of
     the engine's `aggregate(array_sort(collect_list(x)), 0.0, +)` trainer
@@ -1944,6 +2026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text,
     )
 
+    from cypher_guard_spark.ops import bpe
+
     def _docs(spark, sf_dir):
         return relational.load(spark, sf_dir, "documents")
 
@@ -2090,6 +2174,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": lambda s, d: text.build_vocab(
             _docs(s, d), vocab_size=200, min_count=2
         ),
+        # real BPE trainer: corpus scanned ONCE (word-frequency agg),
+        # merge loop runs over the vocabulary-sized word table — exact
+        # integer counts + total tie order so the merge sequence is a
+        # pure function of the corpus (independent Counter-twin oracle)
+        "corpus_bpe_merges": lambda s, d: bpe.train_bpe(
+            _docs(s, d), num_merges=24, min_pair_count=2
+        ),
+        # encode with the trained merges (min-rank-first GPT-2 loop in an
+        # Arrow-batched kernel, distinct-word memo per batch, map-only
+        # plan) — oracle re-trains with the independent twin and encodes
+        # serially, verifying the full train->encode composition
+        "doc_bpe_tokens": lambda s, d: bpe.bpe_encode(
+            _docs(s, d), bpe.train_bpe(_docs(s, d), num_merges=24)
+        ).select("doc_id", "n_words", "n_subwords"),
         # exact=True is the oracle gate's opt-in; the default (fast) mode
         # is the approx-sketch plan that survives 10^12 rows
         "corpus_length_quantiles": lambda s, d: text.length_quantiles(
@@ -2336,6 +2434,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             ORDER BY n_occurrences DESC, token ASC
             LIMIT 200
         """,
+        "corpus_bpe_merges": _corpus_bpe_merges_values(),
+        "doc_bpe_tokens": _doc_bpe_tokens_values(),
         "events_asof_purchase": """
             WITH l AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'click'),
