@@ -533,6 +533,60 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hubs/authorities over the DIRECTED canonical triple
+    graph (`pipeline/graph_algo.py:hits`) — subj->obj direction carries
+    meaning in a KG (who asserts vs who is referenced), so hub and auth
+    scores separate the two roles where PageRank conflates them. Exact
+    mode is the oracle gate's opt-in (value-sorted folds, 6dp rounding
+    per max-normalized half-update); production default is the
+    partial-agg mode."""
+    from cypher_guard_spark.pipeline.graph_algo import hits
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return hits(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        iters=3,
+        exact=True,
+    )
+
+
+def _kg_hits_values(iters: int = 3) -> str:
+    """Serial twin of hits(exact=True) over the canonical-triple edge set:
+    distinct directed edges sans self-loops, sorted-fold sums,
+    max-normalize + round 6dp per half-update."""
+    from collections import defaultdict
+
+    es = {
+        (s, o)
+        for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples()
+        if s != o
+    }
+    verts = sorted({v for e in es for v in e})
+    into, outof = defaultdict(list), defaultdict(list)
+    for s, d in es:
+        into[d].append(s)
+        outof[s].append(d)
+
+    def half(scores, arriving):
+        sums = {v: _sorted_fold_sum(scores[u] for u in arriving.get(v, ())) for v in verts}
+        m = max(sums.values())
+        return {v: _round6(x / m) for v, x in sums.items()}
+
+    hub = {v: 1.0 for v in verts}
+    for _ in range(iters):
+        auth = half(hub, into)
+        hub = half(auth, outof)
+    rows = [
+        f"({_sql_quote(v)}, {hub[v]!r}::DOUBLE, {auth[v]!r}::DOUBLE)"
+        for v in verts
+    ]
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(entity, hub, auth)"
+    )
+
+
 def q_kg_entity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-neighbor Jaccard over the canonical entity graph — the
     entity-resolution QA view (near-identical neighbor sets = candidate
@@ -2104,6 +2158,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             min_docs=2,
         ),
+        # span-granular duplication diagnostic (Lee et al. ExactSubstr at
+        # n-gram granularity): fraction of each doc's tokens covered by a
+        # cross-doc duplicated n-gram — digest-only frequency shuffle,
+        # broadcast semi-join, integer interval-union fold per doc
+        "doc_dup_ngram_coverage": lambda s, d: dedup.dup_ngram_coverage(
+            _docs(s, d), n=5, min_docs=2
+        ),
         # deterministic sampling (training-data curation)
         "doc_stratified_sample": lambda s, d: sample.stratified_sample(
             _docs(s, d), sample.length_bucket(), _SAMPLE_FRACTIONS
@@ -2234,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": q_kg_canonical_triples,
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "kg_hits": q_kg_hits,
         "kg_entity_similarity": q_kg_entity_similarity,
         "kg_communities": q_kg_communities,
         "kg_triangles": q_kg_triangles,
@@ -2948,6 +3010,36 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             FROM q JOIN hs USING (doc_id)
             WHERE hs.h < round(q.quality * 1048576)::BIGINT
         """,
+        "doc_dup_ngram_coverage": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+            grams AS (
+              SELECT doc_id, i - 1 AS strt,
+                     array_to_string(toks[i:(i + 4)], ' ') AS gram
+              FROM base, LATERAL unnest(
+                generate_series(1, greatest(n_tokens - 4, 0))) AS gs(i)),
+            dup AS (
+              SELECT gram FROM grams
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (
+              SELECT g.doc_id, g.strt,
+                     lead(g.strt) OVER (PARTITION BY g.doc_id
+                                        ORDER BY g.strt) AS nxt
+              FROM grams g JOIN dup USING (gram)),
+            cov AS (
+              SELECT doc_id,
+                     sum(CASE WHEN nxt IS NULL THEN 5
+                         ELSE least(5, nxt - strt) END)::BIGINT AS n_covered
+              FROM hits GROUP BY doc_id)
+            SELECT b.doc_id, b.n_tokens,
+                   coalesce(c.n_covered, 0)::BIGINT AS n_covered,
+                   round(coalesce(c.n_covered, 0) / greatest(b.n_tokens, 1), 6)
+                     AS coverage
+            FROM base b LEFT JOIN cov c USING (doc_id)
+        """,
         "doc_chunks": """
             WITH t AS (
               SELECT doc_id,
@@ -3018,6 +3110,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_canonical_triples": _kg_canonical_triples_values(),
         "kg_entity_degrees": _kg_entity_degrees_values(),
         "kg_pagerank": _kg_pagerank_values(),
+        "kg_hits": _kg_hits_values(),
         "kg_entity_similarity": _kg_entity_similarity_values(),
         "kg_communities": _kg_communities_values(),
         "kg_triangles": _kg_triangles_values(),

@@ -672,3 +672,73 @@ def ingest_new_batch(
             .parquet(index_path)
         )
     return novel.drop("digest")
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_covered, coverage) — per-document fraction of
+    tokens covered by an n-gram that also appears in >= `min_docs` DISTINCT
+    documents: the span-granular duplication diagnostic behind
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — their suffix-array ExactSubstr match,
+    here at fixed n-gram granularity, which is the shuffle-friendly form).
+    Exact duplicates score 1.0; a doc quoting one shared paragraph scores
+    the paragraph's token share. coverage is the tunable threshold axis
+    (drop/trim docs above x% duplicated span mass).
+
+    Scale posture: the frequency shuffle carries (md5(gram), doc_id) pairs
+    only — never gram text; the duplicated-gram set is boilerplate-sized
+    so the semi-join back onto the gram stream broadcasts under AQE; the
+    per-doc union-length fold runs on SORTED START OFFSETS inside one
+    doc-keyed partial agg (collect_list bounded by tokens-per-doc, the
+    same per-doc grain as chunking). Interval-union arithmetic is all
+    integers — union(sorted starts s, width n) = n + sum(min(n, gap)) —
+    so the oracle is exact; the one division is rounded half-up at 6dp.
+    """
+    # NOT array_distinct: posexplode's index IS the token start offset, so
+    # within-doc repeats must keep their positions for the interval union
+    base = df.select(
+        "doc_id",
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        word_shingles(text_col, n).alias("sh"),
+    )
+    grams = base.select(
+        "doc_id", F.posexplode("sh").alias("start", "gram")
+    ).select("doc_id", "start", F.md5("gram").alias("gk"))
+    dup = (
+        grams.groupBy("gk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gk")
+    )
+    covered = F.expr(
+        f"CASE WHEN size(ss) = 1 THEN {n} "
+        # sequence(1, 0) counts DOWN in Spark — the size guard keeps it out
+        f"ELSE aggregate(sequence(1, size(ss) - 1), CAST({n} AS BIGINT), "
+        f"(acc, i) -> acc + least(CAST({n} AS BIGINT), "
+        f"CAST(ss[i] - ss[i - 1] AS BIGINT))) END"
+    )
+    cov = (
+        grams.join(dup, "gk", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("start")).alias("ss"))
+        .select("doc_id", covered.alias("n_covered"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_covered"), F.lit(0)).cast("long").alias("n_covered"),
+            F.round(
+                F.coalesce(F.col("n_covered"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -632,3 +632,92 @@ def clustering_coefficient(
     return tri.join(deg, "entity").select(
         "entity", "deg", "n_triangles", cc.alias("cc")
     )
+
+
+def _hits_half_round(
+    edges: DataFrame,
+    verts: DataFrame,
+    scores: DataFrame,
+    from_col: str,
+    to_col: str,
+    out_name: str,
+    exact: bool,
+) -> DataFrame:
+    """One HITS half-update: out(v) = sum of `scores.s` over edges arriving
+    at v via (from_col -> to_col), max-normalized and rounded to 6dp.
+    Exact mode uses the value-sorted sequential fold (engine-portable
+    doubles, same contract as the PageRank trainer); default is the
+    hub-safe partial-agg sum."""
+    contribs = edges.join(
+        scores.withColumnRenamed("entity", from_col).withColumnRenamed(
+            scores.columns[1], "c"
+        ),
+        from_col,
+    ).select(F.col(to_col).alias("entity"), "c")
+    if exact:
+        sums = contribs.groupBy("entity").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("c")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("s")
+        )
+    else:
+        sums = contribs.groupBy("entity").agg(F.sum("c").alias("s"))
+    filled = verts.join(sums, "entity", "left").select(
+        "entity", F.coalesce("s", F.lit(0.0)).alias("s")
+    )
+    m = filled.agg(F.max("s")).collect()[0][0]
+    return filled.select(
+        "entity", F.round(F.col("s") / F.lit(m), 6).alias(out_name)
+    )
+
+
+def hits(
+    spark: SparkSession,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    exact: bool = False,
+) -> DataFrame:
+    """(entity, hub, auth) — Kleinberg's HITS over the DISTINCT directed
+    edge set (multi-edges collapse, self-loops dropped), `iters`
+    synchronous rounds from all-ones. Per round: auth(v) = sum of hub over
+    in-neighbors, then hub(u) = sum of the NEW auth over out-neighbors —
+    each half-update max-normalized (driver scalar: one cheap agg job,
+    same class as PageRank's vertex count) and rounded to 6dp so the
+    doubles are a pure function of the edge set in any partitioning.
+
+    Same exact/fast contract as pagerank(): ``exact=True`` (the oracle
+    gate's opt-in) folds value-sorted contribution lists — bounded by
+    degree, executor-hostile on a 10^8-degree hub — while the default is
+    the partial-agg sum that survives hubs. Per-round lineage is truncated
+    with lazy localCheckpoints like every other iterative kernel here.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    verts = (
+        e.select(F.col("src").alias("entity"))
+        .unionByName(e.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if verts.count() == 0:
+        return spark.createDataFrame(
+            [], "entity string, hub double, auth double"
+        )
+    hub = verts.select("entity", F.lit(1.0).alias("hub"))
+    auth = verts.select("entity", F.lit(1.0).alias("auth"))
+    for _ in range(iters):
+        auth = _hits_half_round(
+            e, verts, hub, "src", "dst", "auth", exact
+        ).localCheckpoint(eager=False)
+        hub = _hits_half_round(
+            e, verts, auth, "dst", "src", "hub", exact
+        ).localCheckpoint(eager=False)
+    return hub.join(auth, "entity").select("entity", "hub", "auth")

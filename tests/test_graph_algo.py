@@ -558,3 +558,78 @@ def test_clustering_coefficient_edge_cases(spark):
         "c": (3, 1, round(2 / 6, 6)),
         "d": (1, 0, 0.0),
     }
+
+
+def _py_hits(edges, iters=3):
+    """Serial twin of hits(exact=True): sorted-fold sums, max-normalize,
+    round half-up at 6dp per half-update."""
+    from collections import defaultdict
+
+    es = {(s, d) for s, d in edges if s != d}
+    verts = sorted({v for e in es for v in e})
+    hub = {v: 1.0 for v in verts}
+    auth = {v: 1.0 for v in verts}
+
+    def _r6(x):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    def half(scores, arriving):  # arriving: v -> list of contributing nbrs
+        sums = {}
+        for v in verts:
+            acc = 0.0
+            for c in sorted(scores[u] for u in arriving.get(v, ())):
+                acc += c
+            sums[v] = acc
+        m = max(sums.values())
+        return {v: _r6(s / m) for v, s in sums.items()}
+
+    into = defaultdict(list)
+    outof = defaultdict(list)
+    for s, d in es:
+        into[d].append(s)
+        outof[s].append(d)
+    for _ in range(iters):
+        auth = half(hub, into)
+        hub = half(auth, outof)
+    return {v: (hub[v], auth[v]) for v in verts}
+
+
+def test_hits_exact_matches_twin(spark):
+    from cypher_guard_spark.pipeline.graph_algo import hits
+
+    edges = _rand_edges(13) + [("a", "a")]  # self-loop must be dropped
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["entity"]: (r["hub"], r["auth"])
+        for r in hits(spark, e, iters=3, exact=True).collect()
+    }
+    assert got == _py_hits(edges, iters=3)
+
+
+def test_hits_fast_mode_close_and_structure(spark):
+    from cypher_guard_spark.pipeline.graph_algo import hits
+
+    # star: h -> s1..s4; hub 'h' has max hub score, spokes max auth
+    edges = [("h", f"s{i}") for i in range(4)] + [("s0", "h")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    for exact in (True, False):
+        got = {
+            r["entity"]: (r["hub"], r["auth"])
+            for r in hits(spark, e, iters=3, exact=exact).collect()
+        }
+        assert got["h"][0] == 1.0  # max-normalized top hub
+        assert max(got[f"s{i}"][1] for i in range(4)) == 1.0
+        twin = _py_hits(edges, iters=3)
+        for v, (h, a) in twin.items():
+            assert abs(got[v][0] - h) < 1e-9 and abs(got[v][1] - a) < 1e-9
+
+
+def test_hits_empty(spark):
+    from cypher_guard_spark.pipeline.graph_algo import hits
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert hits(spark, e).count() == 0

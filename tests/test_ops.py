@@ -1254,3 +1254,54 @@ def test_build_vocab_rank_ties_and_mincount(spark):
         for r in build_vocab(docs, vocab_size=2, min_count=1).collect()
     }
     assert top2 == {"a": 0, "b": 1}
+
+
+def test_dup_ngram_coverage_matches_bruteforce(spark):
+    import random
+    import re
+
+    from cypher_guard_spark.ops.dedup import dup_ngram_coverage
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    shared = "x1 x2 x3 x4 x5 x6 x7"  # 7-token block planted in several docs
+    rows = []
+    for i in range(24):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(0, 14))]
+        if i % 3 == 0:
+            at = rng.randrange(0, len(toks) + 1)
+            toks = toks[:at] + shared.split() + toks[at:]
+        rows.append((i, " ".join(toks)))
+    rows.append((100, rows[0][1]))  # exact duplicate of doc 0
+    rows.append((101, ""))  # empty text
+    n, min_docs = 5, 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_covered"], r["coverage"])
+        for r in dup_ngram_coverage(df, n=n, min_docs=min_docs).collect()
+    }
+
+    def toks_of(t):
+        return re.split(r"\s+", t.strip(" ").lower(), flags=re.ASCII)
+
+    grams = {}
+    for doc_id, text in rows:
+        ts = toks_of(text)
+        for s in range(max(len(ts) - n + 1, 0)):
+            grams.setdefault(" ".join(ts[s : s + n]), set()).add(doc_id)
+    dup = {g for g, ds in grams.items() if len(ds) >= min_docs}
+    assert len(got) == len(rows)
+    for doc_id, text in rows:
+        ts = toks_of(text)
+        covered = set()
+        for s in range(max(len(ts) - n + 1, 0)):
+            if " ".join(ts[s : s + n]) in dup:
+                covered.update(range(s, s + n))
+        want_cov = round(len(covered) / max(len(ts), 1), 6)
+        assert got[doc_id][0] == len(ts), doc_id
+        assert got[doc_id][1] == len(covered), doc_id
+        assert abs(got[doc_id][2] - want_cov) <= 5.1e-7, doc_id
+    # the exact-duplicate pair is fully covered when long enough
+    if len(toks_of(rows[0][1])) >= n:
+        assert got[100][2] == 1.0
+    assert got[101] == (1, 0, 0.0)
