@@ -587,6 +587,92 @@ def _kg_hits_values(iters: int = 3) -> str:
     )
 
 
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the directed canonical graph
+    (`pipeline/graph_algo.py:random_walks`) — the node2vec/DeepWalk
+    embedding-training input; hash-min draws so the walk set is a pure
+    function of (edge set, seed)."""
+    from cypher_guard_spark.pipeline.graph_algo import random_walks
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return random_walks(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        length=4,
+        walks_per_node=2,
+        seed=7,
+    )
+
+
+def _kg_random_walks_values(
+    length: int = 4, walks_per_node: int = 2, seed: int = 7
+) -> str:
+    """Pure-Python twin of random_walks over the canonical edge set:
+    distinct directed adjacency sans self-loops, hash-min next-step draw,
+    truncation at out-degree-0 vertices."""
+    from cypher_guard_spark.oracle import spark_xxhash64
+
+    adj: dict = {}
+    for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        if s != o:
+            adj.setdefault(s, set()).add(o)
+    rows = []
+    for start in adj:
+        for rep in range(walks_per_node):
+            cur = start
+            rows.append(f"({_sql_quote(start)}, {rep}, 0, {_sql_quote(cur)})")
+            for t in range(1, length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = min(
+                    nbrs,
+                    key=lambda nb: (spark_xxhash64(start, rep, t, nb, seed), nb),
+                )
+                rows.append(
+                    f"({_sql_quote(start)}, {rep}, {t}, {_sql_quote(cur)})"
+                )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(start, rep, step, vertex)"
+    )
+
+
+def q_kg_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta between two crawl 'days' of the canonical graph
+    (`pipeline/graph_store.py:triple_diff`): even-doc snapshot vs odd-doc
+    snapshot, both canonicalized against the SAME entity map (the
+    incremental-run shape — new batches canonicalize against the existing
+    map). Exact set arithmetic; one shared canonical chain, truncated
+    once, filtered twice by doc parity."""
+    from cypher_guard_spark.pipeline.graph_store import triple_diff
+
+    canon = q_kg_canonical_triples(spark, sf_dir).localCheckpoint(eager=False)
+    parity = F.expr("CAST(substr(doc_id, 5) AS INT) % 2")  # doc_id='doc-NNN'
+    return triple_diff(canon.where(parity == 0), canon.where(parity == 1))
+
+
+def _kg_triple_diff_values() -> str:
+    """Set-arithmetic twin over the canonical-triples twin, split by doc
+    parity."""
+    old, new = set(), set()
+    for d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        (old if int(d.split("-")[1]) % 2 == 0 else new).add((s, _r, o))
+    rows = [
+        f"({_sql_quote(s)}, {_sql_quote(p)}, {_sql_quote(o)}, 'added')"
+        for s, p, o in new - old
+    ] + [
+        f"({_sql_quote(s)}, {_sql_quote(p)}, {_sql_quote(o)}, 'removed')"
+        for s, p, o in old - new
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(subj, pred, obj, status)"
+    )
+
+
 def q_kg_entity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-neighbor Jaccard over the canonical entity graph — the
     entity-resolution QA view (near-identical neighbor sets = candidate
@@ -2296,6 +2382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_hits": q_kg_hits,
+        "kg_random_walks": q_kg_random_walks,
+        "kg_triple_diff": q_kg_triple_diff,
         "kg_entity_similarity": q_kg_entity_similarity,
         "kg_communities": q_kg_communities,
         "kg_triangles": q_kg_triangles,
@@ -3111,6 +3199,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_entity_degrees": _kg_entity_degrees_values(),
         "kg_pagerank": _kg_pagerank_values(),
         "kg_hits": _kg_hits_values(),
+        "kg_random_walks": _kg_random_walks_values(),
+        "kg_triple_diff": _kg_triple_diff_values(),
         "kg_entity_similarity": _kg_entity_similarity_values(),
         "kg_communities": _kg_communities_values(),
         "kg_triangles": _kg_triangles_values(),

@@ -721,3 +721,78 @@ def hits(
             e, verts, auth, "dst", "src", "hub", exact
         ).localCheckpoint(eager=False)
     return hub.join(auth, "entity").select("entity", "hub", "auth")
+
+
+def random_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    length: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(start, rep, step, vertex) — `walks_per_node` deterministic random
+    walks of up to `length` steps from EVERY vertex with out-edges, over
+    the distinct directed graph sans self-loops (the node2vec/DeepWalk
+    corpus-generation step that feeds skip-gram embedding training; emit
+    exploded steps, not arrays, so the output is scalar-hashable and
+    re-shards freely).
+
+    Randomness is the hash-min draw: step t of walk (start, rep) moves to
+    argmin over out-neighbors of xxhash64(start, rep, t, nbr, seed) — a
+    uniform draw over the neighbor set that is deterministic, retry-safe,
+    engine-portable (exact pure-Python twin), independent per (walk,
+    step, seed), and NEVER rand(). Crucially it is also HUB-SAFE: the
+    draw is a partial-aggregating min over (walk key), so a 10^8-degree
+    hub's candidate rows combine map-side instead of requiring a
+    per-vertex alias table or a single-task neighbor sort. A walk whose
+    current vertex has no out-neighbor simply stops (truncated path, the
+    standard convention). Per step: one adjacency equi-join + one
+    partial-agg min; lineage truncated per round like every iterative
+    kernel here; total output rows <= verts * walks_per_node * (length+1).
+    """
+    adj = (
+        edges.select(F.col(src).alias("cur"), F.col(dst).alias("nbr"))
+        .where(F.col("cur") != F.col("nbr"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    verts = adj.select(F.col("cur").alias("start")).distinct()
+    reps = F.explode(
+        F.array(*[F.lit(r) for r in range(walks_per_node)])
+    ).alias("rep")
+    frontier = verts.select("start", reps).select(
+        "start", "rep", F.col("start").alias("cur")
+    )
+    out = frontier.select(
+        "start", "rep", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+    )
+    for t in range(1, length + 1):
+        drawn = (
+            frontier.join(adj, "cur")
+            .select(
+                "start",
+                "rep",
+                "nbr",
+                F.xxhash64(
+                    F.col("start"),
+                    F.col("rep"),
+                    F.lit(t),
+                    F.col("nbr"),
+                    F.lit(seed),
+                ).alias("h"),
+            )
+            .groupBy("start", "rep")
+            .agg(F.min(F.struct("h", "nbr"))["nbr"].alias("cur"))
+        )
+        frontier = drawn.localCheckpoint(eager=False)
+        out = out.unionByName(
+            frontier.select(
+                "start",
+                "rep",
+                F.lit(t).alias("step"),
+                F.col("cur").alias("vertex"),
+            )
+        )
+    return out

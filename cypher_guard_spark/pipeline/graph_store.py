@@ -96,3 +96,33 @@ def entity_neighborhood(spark: SparkSession, db: str = "kg") -> DataFrame:
     return edges.join(nodes, "subj").select(
         "subj", "pred", "obj", "label", "n_surfaces"
     )
+
+
+def triple_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: tuple[str, ...] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """(*keys, status) with status in ('added', 'removed') — the
+    incremental-maintenance delta between two KG snapshots (what a new
+    crawl run added and what disappeared): `added` = in `new` only,
+    `removed` = in `old` only; unchanged triples are not emitted.
+
+    Both sides are deduped to distinct key tuples (a snapshot's identity
+    is its triple SET), then one full-outer equi-join on the triple key
+    surfaces the asymmetric rows. Scale posture: two partial-agg distincts
+    + one keyed join — all on (subj, pred, obj) id tuples, never payloads;
+    AQE broadcasts when one snapshot is a small delta, and if both sides
+    are written bucketed on subj (write_graph_tables) the join's subj
+    prefix co-locates. Output is exact set arithmetic — the oracle is
+    trivially exact."""
+    ks = list(keys)
+    o = old.select(*ks).distinct().withColumn("_o", F.lit(1))
+    n = new.select(*ks).distinct().withColumn("_n", F.lit(1))
+    j = o.join(n, ks, "full_outer")
+    return j.where(F.col("_o").isNull() | F.col("_n").isNull()).select(
+        *ks,
+        F.when(F.col("_o").isNull(), F.lit("added"))
+        .otherwise(F.lit("removed"))
+        .alias("status"),
+    )

@@ -633,3 +633,76 @@ def test_hits_empty(spark):
 
     e = spark.createDataFrame([], "src string, dst string")
     assert hits(spark, e).count() == 0
+
+
+def _py_walks(edges, length, walks_per_node, seed):
+    from cypher_guard_spark.oracle import spark_xxhash64
+
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    rows = set()
+    for start in adj:
+        for rep in range(walks_per_node):
+            cur = start
+            rows.add((start, rep, 0, cur))
+            for t in range(1, length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = min(
+                    nbrs,
+                    key=lambda nb: (
+                        spark_xxhash64(start, rep, t, nb, seed),
+                        nb,
+                    ),
+                )
+                rows.add((start, rep, t, cur))
+    return rows
+
+
+def test_random_walks_match_hash_twin(spark):
+    from cypher_guard_spark.pipeline.graph_algo import random_walks
+
+    edges = _rand_edges(5, n_verts=20, n_edges=50) + [
+        ("zz", "sink"),  # 'sink' has no out-edge: walks through it truncate
+        ("x", "x"),  # self-loop dropped
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["start"], r["rep"], r["step"], r["vertex"])
+        for r in random_walks(
+            spark, e, length=4, walks_per_node=2, seed=9
+        ).collect()
+    }
+    assert got == _py_walks(edges, 4, 2, 9)
+    # every step-t row extends a step-(t-1) row along a real edge
+    es = {(s, d) for s, d in edges if s != d}
+    pos = {(s, r, t): v for s, r, t, v in got}
+    for (s, r, t), v in pos.items():
+        if t > 0:
+            assert (pos[(s, r, t - 1)], v) in es
+
+
+def test_random_walks_seed_and_rep_independence(spark):
+    from cypher_guard_spark.pipeline.graph_algo import random_walks
+
+    edges = _rand_edges(8, n_verts=12, n_edges=60)
+    e = spark.createDataFrame(edges, "src string, dst string")
+    a = random_walks(spark, e, length=3, walks_per_node=2, seed=1).collect()
+    b = random_walks(spark, e, length=3, walks_per_node=2, seed=2).collect()
+    pa = {(r["start"], r["rep"], r["step"]): r["vertex"] for r in a}
+    pb = {(r["start"], r["rep"], r["step"]): r["vertex"] for r in b}
+    # different seeds / different reps give different walks somewhere
+    assert pa != pb
+    assert any(
+        pa[(s, 0, t)] != pa.get((s, 1, t))
+        for (s, rep, t) in pa
+        if rep == 0 and (s, 1, t) in pa
+    )
+    # determinism: same seed re-run is identical
+    c = random_walks(spark, e, length=3, walks_per_node=2, seed=1).collect()
+    assert {(r["start"], r["rep"], r["step"], r["vertex"]) for r in c} == {
+        (r["start"], r["rep"], r["step"], r["vertex"]) for r in a
+    }

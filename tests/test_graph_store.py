@@ -96,3 +96,32 @@ def test_bucketed_join_matches_unbucketed(spark, graph):
     }
     got = {tuple(r) for r in entity_neighborhood(spark, db="kgtest").collect()}
     assert got == expected
+
+
+def test_triple_diff_set_arithmetic(spark):
+    from cypher_guard_spark.pipeline.graph_store import triple_diff
+
+    old = spark.createDataFrame(
+        [("a", "K", "b"), ("a", "K", "b"), ("b", "K", "c"), ("x", "W", "y")],
+        "subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [("a", "K", "b"), ("b", "K", "c"), ("n", "K", "m"), ("n", "K", "m")],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["status"])
+        for r in triple_diff(old, new).collect()
+    }
+    # duplicates collapse; unchanged triples absent; both directions emitted
+    assert got == {("n", "K", "m", "added"), ("x", "W", "y", "removed")}
+    # identical snapshots -> empty delta
+    assert triple_diff(old, old).count() == 0
+    # same subject different pred/obj are distinct triples
+    got2 = {
+        r["status"]
+        for r in triple_diff(
+            old, old.withColumn("pred", F.lit("Z"))
+        ).collect()
+    }
+    assert got2 == {"added", "removed"}
