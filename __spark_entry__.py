@@ -673,6 +673,149 @@ def _kg_triple_diff_values() -> str:
     )
 
 
+def q_kg_entity_map_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sticky incremental canonicalization
+    (`pipeline/canonicalize.py:update_entity_map`): the even-doc 'history'
+    builds an entity map (distributed path forced), then the odd-doc
+    batch's mention stats update it — existing assignments frozen, novel
+    surfaces LSH-blocked against history + batch, components anchored to
+    old canonicals where one exists."""
+    from cypher_guard_spark.pipeline import synthesize_documents
+    from cypher_guard_spark.pipeline.canonicalize import (
+        build_entity_map,
+        update_entity_map,
+    )
+    from cypher_guard_spark.pipeline.mentions import (
+        extract_triples_raw,
+        link_scores,
+        mentions_from_triples,
+    )
+
+    docs = synthesize_documents(spark, _KG_DOCS)
+    parity = F.expr("CAST(substr(doc_id, 5) AS INT) % 2")
+    tr = extract_triples_raw(docs).localCheckpoint(eager=False)
+    old_map = build_entity_map(
+        spark,
+        link_scores(mentions_from_triples(tr.where(parity == 0))),
+        driver_smallmap_max_surfaces=0,
+    )
+    new_stats = link_scores(mentions_from_triples(tr.where(parity == 1)))
+    return update_entity_map(spark, old_map, new_stats)
+
+
+def _kg_entity_map_update_values() -> str:
+    """Pure-Python twin of q_kg_entity_map_update: even-doc history map
+    via the `_driver_entity_map` twin, then the incremental rules —
+    novel-vs-all LSH with the parity-locked hash twins, within-batch
+    abbreviation pairs (novel abbrevs only), union-find, min-old-canonical
+    anchor / (n_mentions, surface) election."""
+    import re
+
+    from cypher_guard_spark.oracle import spark_hash, spark_xxhash64
+    from cypher_guard_spark.pipeline.canonicalize import (
+        _driver_entity_map,
+        _driver_union_find,
+    )
+
+    triples = _py_kg_raw_triples()
+    even = [t for t in triples if int(t[0].split("-")[1]) % 2 == 0]
+    odd = [t for t in triples if int(t[0].split("-")[1]) % 2 == 1]
+    old_counts = _py_mention_counts(even)
+    old_map = {
+        (l, s): c
+        for l, s, c in _driver_entity_map(
+            [(l, s, n) for (l, s), n in old_counts.items()], 16, 8, 0.6
+        )
+    }
+    new_counts = _py_mention_counts(odd)
+    novel = {
+        (l, s): n for (l, s), n in new_counts.items() if (l, s) not in old_map
+    }
+    is_abbrev = re.compile(r"[A-Z]\. ")
+
+    def grams(s: str) -> list[str]:
+        low = s.lower()
+        return list(
+            dict.fromkeys(low[i : i + 3] for i in range(max(len(low) - 2, 1)))
+        )
+
+    def band_keys(l: str, s: str):
+        g = grams(s)
+        return [
+            (
+                l,
+                b,
+                spark_xxhash64(
+                    *[
+                        min(spark_hash(x, b * 2 + r) for x in g)
+                        for r in range(2)
+                    ]
+                ),
+            )
+            for b in range(8)
+        ]
+
+    buckets: dict = {}
+    for l, s in set(old_map) | set(novel):
+        if is_abbrev.match(s):
+            continue
+        for k in band_keys(l, s):
+            buckets.setdefault(k, set()).add(s)
+    pairs = set()
+    for l, s in novel:
+        if is_abbrev.match(s):
+            continue
+        gs = set(grams(s))
+        for k in band_keys(l, s):
+            for t in buckets.get(k, ()):
+                if t == s:
+                    continue
+                gt = set(grams(t))
+                if len(gs & gt) / len(gs | gt) >= 0.6:
+                    pairs.add((l, min(s, t), max(s, t)))
+    fulls: dict = {}
+    for (l, s), n in new_counts.items():
+        if l == "Person" and not is_abbrev.match(s):
+            fulls.setdefault((l, s.split(" ")[-1], s[:1]), []).append((n, s))
+    for (l, s), _n in new_counts.items():
+        if l == "Person" and is_abbrev.match(s) and (l, s) in novel:
+            cands = fulls.get((l, s.split(" ")[-1], s[:1]))
+            if cands:
+                pairs.add((l, s, max(cands)[1]))
+    mapping = _driver_union_find(
+        [{"label": l, "a": a, "b": b} for l, a, b in pairs]
+    )
+    groups: dict = {}
+    for (l, s), comp in mapping.items():
+        groups.setdefault((l, comp), []).append(s)
+    out = [(l, s, c, "existing") for (l, s), c in old_map.items()]
+    for (l, s), _n in novel.items():
+        comp = mapping.get((l, s))
+        if comp is None:
+            out.append((l, s, s, "new_entity"))
+            continue
+        members = groups[(l, comp)]
+        old_members = [m for m in members if (l, m) in old_map]
+        if old_members:
+            out.append(
+                (l, s, min(old_map[(l, m)] for m in old_members), "linked")
+            )
+        else:
+            rep = max(
+                (novel[(l, m)], m) for m in members if (l, m) in novel
+            )[1]
+            out.append((l, s, rep, "new_entity"))
+    rows = [
+        f"({_sql_quote(l)}, {_sql_quote(s)}, {_sql_quote(c)}, {_sql_quote(st)})"
+        for l, s, c, st in out
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(label, surface, canonical, status)"
+    )
+
+
 def q_kg_entity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-neighbor Jaccard over the canonical entity graph — the
     entity-resolution QA view (near-identical neighbor sets = candidate
@@ -1305,16 +1448,11 @@ def _kg_pagerank_values(iters: int = 3, damping: float = 0.85) -> str:
     return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(entity, rank)"
 
 
-def _py_kg_canonical_triples() -> list:
-    """Pure-Python twin of the whole canonicalization pipeline: the same
-    render → regex extraction as `_kg_triples_raw_values`, mention counts
-    per (label, surface), the `_driver_entity_map` twin (itself equality-
-    locked against the distributed path by tests/test_pipeline.py), and
-    the subj/obj map application. Returns
-    [(doc_id, subj, pred, obj, subj_label, obj_label)]."""
+def _py_kg_raw_triples() -> list:
+    """Regex-extraction twin over the synthesized corpus (same render as
+    `_kg_triples_raw_values`): [(doc_id, subj, pred, obj, sl, ol)]."""
     import re
 
-    from cypher_guard_spark.pipeline.canonicalize import _driver_entity_map
     from cypher_guard_spark.pipeline.synth import _render_doc
 
     pats = [
@@ -1338,6 +1476,29 @@ def _py_kg_canonical_triples() -> list:
                 if m:
                     triples.append((doc_id, m.group(1), rel, m.group(2), sl, ol))
                     break
+    return triples
+
+
+def _py_mention_counts(triples) -> dict:
+    """{(label, surface): n_mentions} — one count per triple endpoint,
+    the link_scores twin."""
+    counts: dict = {}
+    for _d, s, _r, o, sl, ol in triples:
+        counts[(sl, s)] = counts.get((sl, s), 0) + 1
+        counts[(ol, o)] = counts.get((ol, o), 0) + 1
+    return counts
+
+
+def _py_kg_canonical_triples() -> list:
+    """Pure-Python twin of the whole canonicalization pipeline: the same
+    render → regex extraction as `_kg_triples_raw_values`, mention counts
+    per (label, surface), the `_driver_entity_map` twin (itself equality-
+    locked against the distributed path by tests/test_pipeline.py), and
+    the subj/obj map application. Returns
+    [(doc_id, subj, pred, obj, subj_label, obj_label)]."""
+    from cypher_guard_spark.pipeline.canonicalize import _driver_entity_map
+
+    triples = _py_kg_raw_triples()
     counts: dict = {}
     for _d, s, _r, o, sl, ol in triples:
         counts[(sl, s)] = counts.get((sl, s), 0) + 1
@@ -2394,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": q_kg_ppr,
         "kg_neighbor_sample": q_kg_neighbor_sample,
         "kg_entity_map": q_kg_entity_map,
+        "kg_entity_map_update": q_kg_entity_map_update,
         "kg_components": q_kg_components,
         "kg_media_links": q_kg_media_links,
     }
@@ -3211,6 +3373,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_ppr": _kg_ppr_values(),
         "kg_neighbor_sample": _kg_neighbor_sample_values(),
         "kg_entity_map": _kg_entity_map_values(),
+        "kg_entity_map_update": _kg_entity_map_update_values(),
         "kg_components": _kg_components_values(),
         "kg_media_links": _kg_media_links_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),

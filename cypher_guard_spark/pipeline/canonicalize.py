@@ -477,3 +477,158 @@ def canonicalize_triples(triples_raw: DataFrame, entity_map: DataFrame) -> DataF
             "conf",
         )
     )
+
+
+def _banded_surfaces(
+    surfaces: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(label, surface, band, band_hash) LSH keys — the same one-expression
+    banding as minhash_candidate_pairs (shingle array bound once),
+    abbreviation forms excluded for the same chaining reason."""
+    rows_per_band = num_hashes // bands
+    sh = surface_shingles(surfaces.where(~F.col("surface").rlike(r"^[A-Z]\. ")))
+    band_struct = (
+        "named_struct('band', b, 'band_hash', xxhash64("
+        + ", ".join(
+            f"array_min(transform(shingles, x -> hash(x, b * {rows_per_band} + {r})))"
+            for r in range(rows_per_band)
+        )
+        + "))"
+    )
+    bands_expr = F.expr(
+        f"transform(array(shingles), shingles -> transform(sequence(0, {bands - 1}), "
+        f"b -> {band_struct}))[0]"
+    )
+    return sh.select(
+        "surface", "label", F.explode(bands_expr).alias("bb")
+    ).select("surface", "label", "bb.band", "bb.band_hash")
+
+
+def update_entity_map(
+    spark: SparkSession,
+    old_map: DataFrame,
+    new_link_stats: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """STICKY incremental canonicalization — the operator an always-on KG
+    pipeline actually runs per crawl batch, instead of re-canonicalizing
+    10^12 documents' vocabulary from scratch: existing (label, surface) ->
+    canonical assignments are FROZEN (downstream triples and MERGE batches
+    reference those ids; churn would invalidate the graph at rest), and
+    only the batch's NOVEL surfaces are blocked, clustered, and assigned.
+
+    Returns the full updated map (label, surface, canonical, status):
+    - 'existing'   — row carried over from old_map, unchanged by contract;
+    - 'linked'     — novel surface whose candidate-pair component contains
+                     >=1 old surface: adopts the MIN canonical among the
+                     component's old members (deterministic anchor; a
+                     production map would carry mention counts to weight
+                     this — the rule is a pure function of the inputs
+                     either way);
+    - 'new_entity' — component of only-novel surfaces: rep elected by
+                     (n_mentions, surface) max, exactly like
+                     build_entity_map.
+
+    Old-old pairs are deliberately NOT re-derived — stickiness means a new
+    batch can never re-merge or split existing entities (run the full
+    build_entity_map for a compaction epoch when drift accumulates).
+
+    Scale posture: the LSH band join is NOVEL x (NOVEL + OLD) — the
+    one-sided incremental shape; the historical side's band keys are
+    recomputed here from the map (at rest you would materialize them once,
+    `write_ivf_index`-style) but the JOIN only shuffles band keys, and
+    only novel-involved candidates survive, so pair volume scales with
+    the batch, not the history. Jaccard verification re-joins the
+    one-copy shingle tables exactly like the batch builder; CC runs on
+    the novel-involved pair graph only (driver union-find fast path
+    applies); abbreviation resolution runs within the new batch's stats
+    (old surfaces carry no counts for the popularity prior — documented
+    incremental limitation).
+    """
+    old = old_map.select("label", "surface", "canonical")
+    novel = (
+        new_link_stats.select("label", "surface", "n_mentions")
+        .join(old, ["label", "surface"], "leftanti")
+        .localCheckpoint(eager=False)
+    )
+    all_surf = (
+        old.select("label", "surface")
+        .unionByName(novel.select("label", "surface"))
+        .dropDuplicates()
+    )
+    nb = _banded_surfaces(
+        novel.select("label", "surface"), num_hashes, bands
+    )
+    ab = _banded_surfaces(all_surf, num_hashes, bands)
+    cand = (
+        nb.alias("l")
+        .join(
+            ab.alias("r"),
+            on=[
+                F.col("l.label") == F.col("r.label"),
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.surface") != F.col("r.surface"),
+            ],
+        )
+        .select(
+            F.col("l.label").alias("label"),
+            F.least("l.surface", "r.surface").alias("a"),
+            F.greatest("l.surface", "r.surface").alias("b"),
+        )
+        .dropDuplicates(["label", "a", "b"])
+    )
+    sh = surface_shingles(all_surf).select("label", "surface", "shingles")
+    ver = cand.join(
+        sh.select("label", F.col("surface").alias("a"), F.col("shingles").alias("sa")),
+        ["label", "a"],
+    ).join(
+        sh.select("label", F.col("surface").alias("b"), F.col("shingles").alias("sb")),
+        ["label", "b"],
+    )
+    sim = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    mh_pairs = ver.where(sim >= jaccard_threshold).select("label", "a", "b")
+    # abbreviation pairs within the new batch, novel-involved only
+    ab_pairs = (
+        abbreviation_pairs(new_link_stats)
+        .join(novel.select("label", F.col("surface").alias("a")), ["label", "a"], "leftsemi")
+        .select("label", "a", "b")
+    )
+    edges = mh_pairs.unionByName(ab_pairs).dropDuplicates()
+    # vertices: novel surfaces + any old surface an edge touches
+    touched_old = (
+        edges.select("label", F.col("a").alias("surface"))
+        .unionByName(edges.select("label", F.col("b").alias("surface")))
+        .dropDuplicates()
+        .join(novel.select("label", "surface"), ["label", "surface"], "leftanti")
+    )
+    verts = novel.select("label", "surface").unionByName(touched_old)
+    comps = connected_components(spark, verts, edges).localCheckpoint(
+        eager=False
+    )
+    old_in_comp = comps.join(old, ["label", "surface"]).groupBy(
+        "label", "comp"
+    ).agg(F.min("canonical").alias("anchor"))
+    novel_comp = comps.join(novel, ["label", "surface"])
+    new_reps = novel_comp.groupBy("label", "comp").agg(
+        F.max_by(
+            "surface", F.struct(F.col("n_mentions"), F.col("surface"))
+        ).alias("rep")
+    )
+    assigned = (
+        novel_comp.join(old_in_comp, ["label", "comp"], "left")
+        .join(new_reps, ["label", "comp"])
+        .select(
+            "label",
+            "surface",
+            F.coalesce("anchor", "rep").alias("canonical"),
+            F.when(F.col("anchor").isNotNull(), F.lit("linked"))
+            .otherwise(F.lit("new_entity"))
+            .alias("status"),
+        )
+    )
+    return old.select(
+        "label", "surface", "canonical", F.lit("existing").alias("status")
+    ).unionByName(assigned)

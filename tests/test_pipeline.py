@@ -342,3 +342,91 @@ def test_salted_link_scoring_spreads_hub_surface(spark):
     assert (got.avg_score - want.avg_score).abs().max() < 1e-9
     hub_stat = got[got.surface == "Hub Corp"]
     assert int(hub_stat.n_mentions.iloc[0]) == hub_rows
+
+
+def test_update_entity_map_incremental_rules(spark):
+    from cypher_guard_spark.pipeline.canonicalize import update_entity_map
+
+    old = spark.createDataFrame(
+        [
+            ("Company", "tech corp", "tech corp"),
+            ("Company", "techh corp", "tech corp"),
+            ("Person", "Mary Jones", "Mary Jones"),
+        ],
+        "label string, surface string, canonical string",
+    )
+    new_stats = spark.createDataFrame(
+        [
+            ("Company", "tech corp inc", 5),   # variant of an old entity
+            ("Company", "zeta zeta systems", 3),  # novel cluster
+            ("Company", "zeta zeta system", 1),
+            ("Person", "M. Jones", 2),         # abbrev of an old full
+            ("Person", "Mary Jones", 4),       # already known
+            ("Company", "tech corp", 7),       # already known
+        ],
+        "label string, surface string, n_mentions long",
+    )
+    out = update_entity_map(spark, old, new_stats)
+    got = {
+        (r["label"], r["surface"]): (r["canonical"], r["status"])
+        for r in out.collect()
+    }
+    assert got[("Company", "tech corp")] == ("tech corp", "existing")
+    assert got[("Company", "techh corp")] == ("tech corp", "existing")
+    assert got[("Person", "Mary Jones")] == ("Mary Jones", "existing")
+    assert got[("Company", "tech corp inc")] == ("tech corp", "linked")
+    assert got[("Person", "M. Jones")] == ("Mary Jones", "linked")
+    assert got[("Company", "zeta zeta systems")] == (
+        "zeta zeta systems",
+        "new_entity",
+    )
+    assert got[("Company", "zeta zeta system")] == (
+        "zeta zeta systems",
+        "new_entity",
+    )
+    assert len(got) == 7
+
+    # idempotence: feeding the updated map the same stats changes nothing
+    again = update_entity_map(
+        spark, out.select("label", "surface", "canonical"), new_stats
+    )
+    got2 = {
+        (r["label"], r["surface"]): (r["canonical"], r["status"])
+        for r in again.collect()
+    }
+    assert set(got2) == set(got)
+    assert all(s == "existing" for _c, s in got2.values())
+    assert {k: c for k, (c, _s) in got2.items()} == {
+        k: c for k, (c, _s) in got.items()
+    }
+
+
+def test_update_entity_map_stickiness_and_empty_batch(spark):
+    from cypher_guard_spark.pipeline.canonicalize import update_entity_map
+
+    # stickiness: old assignment survives even when the new batch's counts
+    # would elect a different rep in a from-scratch build
+    old = spark.createDataFrame(
+        [("Company", "acme gmbh", "acme gmbh")],
+        "label string, surface string, canonical string",
+    )
+    new_stats = spark.createDataFrame(
+        [("Company", "acme gmbhh", 10_000)],
+        "label string, surface string, n_mentions long",
+    )
+    got = {
+        (r["label"], r["surface"]): (r["canonical"], r["status"])
+        for r in update_entity_map(spark, old, new_stats).collect()
+    }
+    assert got[("Company", "acme gmbh")] == ("acme gmbh", "existing")
+    # the heavier novel variant ADOPTS the frozen canonical
+    assert got[("Company", "acme gmbhh")] == ("acme gmbh", "linked")
+
+    # empty batch: the map passes through as all-existing
+    empty = spark.createDataFrame(
+        [], "label string, surface string, n_mentions long"
+    )
+    got3 = update_entity_map(spark, old, empty).collect()
+    assert [(r["surface"], r["status"]) for r in got3] == [
+        ("acme gmbh", "existing")
+    ]
