@@ -2126,6 +2126,77 @@ def _py_lloyd_assign(vecs: dict, n_centroids: int, iters: int):
     return centers, assign
 
 
+def _py_pq_codebooks(m: int = 4, k: int = 16, iters: int = 2) -> tuple:
+    """{s: (centers, assign)} per subspace — the product-quantization twin:
+    slice every embedding into m subvectors and run the shared Lloyd twin
+    per slice (the engine trains all m in one tagged loop; the math per
+    subspace is identical)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        str(Path(_oracle_sf_dir()) / "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    vecs = dict(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+    dim = len(next(iter(vecs.values())))
+    d_m = dim // m
+    out = {}
+    for s in range(m):
+        sub = {
+            vid: [float(x) for x in v[s * d_m : (s + 1) * d_m]]
+            for vid, v in vecs.items()
+        }
+        out[s] = _py_lloyd_assign(sub, k, iters)
+    return out, vecs, d_m
+
+
+def _emb_pq_codebooks_values(m: int = 4, k: int = 16, iters: int = 2) -> str:
+    books, _vecs, _dm = _py_pq_codebooks(m, k, iters)
+    rows = []
+    for s, (centers, _assign) in books.items():
+        for cid, center in centers.items():
+            for d, x in enumerate(center):
+                rows.append(f"({s}, {cid}, {d}, {x!r}::DOUBLE)")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(subspace, centroid_id, dim, cx)"
+    )
+
+
+def _emb_pq_topk_values(
+    m: int = 4, k_codes: int = 16, iters: int = 2, k: int = 5
+) -> str:
+    """ADC twin: LUT per (query, subspace, code) with the _dist2 fold
+    order, approx distance summed in subspace order, one final 6dp
+    rounding, (adist, neighbor) rank order."""
+    books, vecs, d_m = _py_pq_codebooks(m, k_codes, iters)
+    rows = []
+    for qid in sorted(v for v in vecs if v < 5):
+        qv = [float(x) for x in vecs[qid]]
+        scored = []
+        for vid in vecs:
+            acc = 0.0
+            for s in range(m):
+                centers, assign = books[s]
+                c = centers[assign[vid]]
+                sacc = 0.0
+                for i, cx in enumerate(c):
+                    dd = qv[s * d_m + i] - cx
+                    sacc += dd * dd
+                acc += sacc
+            scored.append((_round6(acc), vid))
+        for rank, (d, vid) in enumerate(sorted(scored)[:k], start=1):
+            rows.append(f"({qid}, {vid}, {rank}, {d!r}::DOUBLE)")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(query_id, neighbor_id, rank, adist)"
+    )
+
+
 def _emb_semdedup_values(
     n_clusters: int = 8, threshold: float = 0.3, iters: int = 2
 ) -> str:
@@ -2515,6 +2586,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=5, n_centroids=8, nprobe=2
         ),
         "emb_label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
+        # product quantization: all m codebooks train in ONE tagged Lloyd
+        # loop; encode is a map-only literal argmin; ADC top-k scans the
+        # codes table with driver-baked per-query LUTs
+        "emb_pq_codebooks": lambda s, d: similarity.train_pq(
+            _emb(s, d), m=4, k=16, iters=2
+        ).select(
+            "subspace", "centroid_id", F.posexplode("center").alias("dim", "cx")
+        ),
+        "emb_pq_topk": lambda s, d: similarity.pq_topk(
+            _emb(s, d),
+            similarity.train_pq(_emb(s, d), m=4, k=16, iters=2),
+            _emb(s, d)
+            .where(F.col("vec_id") < 5)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"),
+            ),
+            k=5,
+        ),
         "emb_cosine_near_dups": lambda s, d: dedup.embedding_near_duplicates(
             _emb(s, d), threshold=0.15
         ),
@@ -3350,6 +3440,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "media_resize": _media_resize_values(),
         "emb_ivf_topk": _emb_ivf_values(),
         "emb_semantic_dups": _emb_semdedup_values(),
+        "emb_pq_codebooks": _emb_pq_codebooks_values(),
+        "emb_pq_topk": _emb_pq_topk_values(),
         "emb_curation": _emb_curation_sql(),
         "emb_projected": _emb_projected_values(),
         "guard_verdicts": _guard_verdicts_values(),

@@ -562,3 +562,305 @@ def project_embeddings(
     return df.select(
         F.col(id_col), F.explode(F.array(*cols)).alias("p")
     ).select(id_col, "p.dim", "p.value")
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    train_fraction: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """(subspace, centroid_id, center) — product-quantization codebooks:
+    the vector is cut into `m` contiguous subvectors and each subspace gets
+    its own k-centroid Lloyd codebook (Jégou et al. 2011), compressing a
+    d×4-byte float vector to m code bytes (m=8,k=256 is the classic 8-byte
+    PQ; here m/k are dials).
+
+    ALL m codebooks train in ONE Lloyd loop: the subspace split is a
+    map-side explode tagging rows with s (m× the trainer sample, still
+    sample-sized), assignment is the same plan-baked literal argmin as
+    `_assign` dispatched per-subspace via a when-chain (m·k literal
+    centers in one expression, each distance subtree appearing once), and
+    the update is the kmeans sorted-fold mean keyed by (s, centroid_id,
+    dim) — so per iteration the cluster pays one partial-agg shuffle
+    TOTAL, not one per subspace, and the driver-serial round count does
+    not grow with m. Same determinism contract as kmeans_centroids
+    (fixed smallest-id init, (6dp L2², cid) assignment key, value-sorted
+    fold means): the codebooks are a pure function of the trainer input.
+    """
+    spark = embeddings.sparkSession
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), _to_double(vec_col).alias("v")
+    )
+    if train_fraction < 1.0:
+        vecs = vecs.sample(fraction=train_fraction, seed=seed)
+    if dim is None:
+        dim = len(vecs.select("v").first()["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_m = dim // m
+    sub = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("v", s * d_m + 1, d_m).alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
+    ).alias("sub")
+    subs = vecs.select("vid", sub).select(
+        "vid", F.col("sub.s").alias("s"), F.col("sub.sv").alias("v")
+    ).localCheckpoint(eager=False)
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy("vid")
+    codebooks = (
+        vecs.orderBy("vid")
+        .limit(k)
+        .withColumn("centroid_id", F.row_number().over(w) - 1)
+        .select("centroid_id", "v")
+        .select(
+            "centroid_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.transform(
+                                F.slice("v", s * d_m + 1, d_m),
+                                lambda x: F.round(x, 6),
+                            ).alias("center"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("sub"),
+        )
+        .select("sub.s", "centroid_id", "sub.center")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        assigned = subs.select(
+            "s", "v", _pq_assign_expr(codebooks, m).alias("centroid_id")
+        )
+        means = (
+            assigned.select(
+                "s", "centroid_id", F.posexplode("v").alias("dim", "x")
+            )
+            .groupBy("s", "centroid_id", "dim")
+            .agg(F.array_sort(F.collect_list("x")).alias("xs"))
+            .select(
+                "s",
+                "centroid_id",
+                "dim",
+                F.round(
+                    F.aggregate("xs", F.lit(0.0), lambda a, x: a + x)
+                    / F.size("xs"),
+                    6,
+                ).alias("cx"),
+            )
+            .groupBy("s", "centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+                    lambda st: st.getField("cx"),
+                ).alias("center")
+            )
+        )
+        codebooks = (
+            codebooks.select(
+                "s", "centroid_id", F.col("center").alias("old_center")
+            )
+            .join(means, ["s", "centroid_id"], "left")
+            .select(
+                "s",
+                "centroid_id",
+                F.coalesce("center", "old_center").alias("center"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return codebooks.select(
+        F.col("s").alias("subspace"), "centroid_id", "center"
+    )
+
+
+def _collect_codebooks(codebooks: DataFrame) -> dict:
+    """{s: [(cid, center), ...] sorted by cid} — m·k rows, driver-safe."""
+    out: dict = {}
+    for r in codebooks.collect():
+        out.setdefault(int(r["subspace"]), []).append(
+            (int(r["centroid_id"]), [float(x) for x in r["center"]])
+        )
+    return {s: sorted(v) for s, v in out.items()}
+
+
+def _pq_assign_expr(codebooks, m: int):
+    """Per-subspace literal argmin over `v` (a subvector column), selected
+    by the `s` column via a when-chain. codebooks: DataFrame or the
+    _collect_codebooks dict."""
+    if not isinstance(codebooks, dict):
+        cb = {}
+        for r in codebooks.collect():
+            cb.setdefault(int(r["s"] if "s" in r else r["subspace"]), []).append(
+                (int(r["centroid_id"]), [float(x) for x in r["center"]])
+            )
+        codebooks = {s: sorted(v) for s, v in cb.items()}
+    expr = F.lit(None).cast("int")
+    for s in range(m - 1, -1, -1):
+        keys = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _dist2(
+                            F.col("v"),
+                            F.array(*[F.lit(x) for x in center]),
+                        ),
+                        6,
+                    ).alias("rdist"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, center in codebooks[s]
+            ]
+        )
+        expr = F.when(
+            F.col("s") == s, F.array_min(keys).getField("cid")
+        ).otherwise(expr)
+    return expr
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, subspace, code) — PQ-encode every vector against trained
+    codebooks: m·k literal centers baked into ONE map-only expression
+    (zero exchanges — the same plan shape as the literal-centroid IVF
+    assignment), exploded to scalar rows. The codes table is the at-rest
+    compressed index ADC search scans instead of the float vectors."""
+    cb = _collect_codebooks(codebooks)
+    m = len(cb)
+    d_m = len(cb[0][0][1])
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("fv")
+    )
+    sub = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("fv", s * d_m + 1, d_m).alias("v"),
+                )
+                for s in range(m)
+            ]
+        )
+    ).alias("sub")
+    return (
+        vecs.select("vec_id", sub)
+        .select("vec_id", F.col("sub.s").alias("s"), F.col("sub.v").alias("v"))
+        .select(
+            "vec_id",
+            F.col("s").alias("subspace"),
+            _pq_assign_expr(cb, m).alias("code"),
+        )
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, adist) — asymmetric-distance (ADC)
+    top-k over the PQ-encoded corpus: for each query, the m·k lookup table
+    dist²(q_s, codebook[s][c]) is computed DRIVER-SIDE (m·k doubles per
+    query — queries are broadcast-sized by contract) and baked into the
+    plan as literal arrays; each corpus row's approximate distance is then
+    m array lookups + a fixed-order sum — a map-only scan of the CODES
+    table, never the float vectors (the whole point of PQ at 10^12 rows:
+    the scan reads m bytes/vector instead of 4d). Top-k per query via the
+    (adist asc, neighbor asc) rank window. Exact twin: lookups are exact,
+    the sum runs in subspace order, one final 6dp rounding."""
+    from pyspark.sql import Window
+
+    cb = _collect_codebooks(codebooks)
+    m = len(cb)
+    codes = (
+        pq_encode(embeddings, codebooks, id_col, vec_col)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+                lambda st: st.getField("code"),
+            ).alias("codes")
+        )
+    )
+    d_m = len(cb[0][0][1])
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    per_query = []
+    for qr in qrows:
+        qv = [float(x) for x in qr[query_vec_col]]
+        lut = F.array(
+            *[
+                F.array(
+                    *[
+                        F.lit(_py_sub_dist2(qv, s * d_m, center))
+                        for _cid, center in cb[s]
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+        per_query.append(
+            F.struct(F.lit(qr[query_id_col]).alias("query_id"), lut.alias("lut"))
+        )
+    q = F.explode(F.array(*per_query)).alias("q")
+    scored = codes.select("vec_id", "codes", q).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q.lut"),
+                    F.col("codes"),
+                    lambda l, c: F.element_at(l, c + 1),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("adist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )
+
+
+def _py_sub_dist2(qv: list, offset: int, center: list) -> float:
+    """Driver-side LUT entry: dist²(q subvector at `offset`, center) — the
+    same sequential fold order as _dist2 so the literal matches what the
+    engine would compute."""
+    acc = 0.0
+    for i, c in enumerate(center):
+        d = qv[offset + i] - c
+        acc += d * d
+    return acc

@@ -1,0 +1,118 @@
+"""Product quantization: codebook-twin equality (per-subspace Lloyd),
+encode parity, ADC top-k vs a serial twin, and the map-only encode plan."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from cypher_guard_spark.ops.similarity import pq_encode, pq_topk, train_pq
+
+M, K, ITERS, DIM = 4, 8, 2, 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = random.Random(3)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(DIM)])
+        for i in range(60)
+    ]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        dict(rows),
+    )
+
+
+def _twin_codebooks(vecs: dict):
+    d_m = DIM // M
+    out = {}
+    for s in range(M):
+        sub = {vid: v[s * d_m : (s + 1) * d_m] for vid, v in vecs.items()}
+        centers, assign = entry._py_lloyd_assign(sub, K, ITERS)
+        out[s] = (centers, assign)
+    return out
+
+
+def test_train_pq_matches_per_subspace_lloyd_twin(spark, emb):
+    df, vecs = emb
+    got = {
+        (r["subspace"], r["centroid_id"]): list(r["center"])
+        for r in train_pq(df, m=M, k=K, iters=ITERS).collect()
+    }
+    twin = _twin_codebooks(vecs)
+    assert len(got) == M * K
+    for s in range(M):
+        centers, _ = twin[s]
+        for cid, center in centers.items():
+            assert got[(s, cid)] == center, (s, cid)
+
+
+def test_pq_encode_matches_twin_assignment(spark, emb):
+    df, vecs = emb
+    cb = train_pq(df, m=M, k=K, iters=ITERS)
+    got = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in pq_encode(df, cb).collect()
+    }
+    twin = _twin_codebooks(vecs)
+    assert len(got) == len(vecs) * M
+    for s in range(M):
+        _, assign = twin[s]
+        for vid, code in assign.items():
+            assert got[(vid, s)] == code, (vid, s)
+
+
+def test_pq_topk_matches_adc_twin(spark, emb):
+    df, vecs = emb
+    cb = train_pq(df, m=M, k=K, iters=ITERS)
+    queries = spark.createDataFrame(
+        [(100, vecs[7]), (200, [0.0] * DIM)],
+        "query_id long, qvec array<double>",
+    )
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adist"])
+        for r in pq_topk(df, cb, queries, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    twin = _twin_codebooks(vecs)
+    d_m = DIM // M
+
+    def adist(qv, vid):
+        acc = 0.0
+        for s in range(M):
+            centers, assign = twin[s]
+            c = centers[assign[vid]]
+            acc += entry._py_dist2(qv[s * d_m : (s + 1) * d_m], c)
+        return entry._round6(acc)
+
+    want = []
+    for qid, qv in [(100, vecs[7]), (200, [0.0] * DIM)]:
+        ranked = sorted((adist(qv, vid), vid) for vid in vecs)[:5]
+        want.extend(
+            (qid, i + 1, vid, d) for i, (d, vid) in enumerate(ranked)
+        )
+    assert got == want
+    # the self-query's own vector ranks first (its cell distance is minimal)
+    assert got[0][2] == 7 or got[0][3] <= adist(vecs[7], 7)
+
+
+def test_pq_encode_plan_map_only(spark, emb):
+    df, vecs = emb
+    cb = train_pq(df, m=M, k=K, iters=1)
+    enc = pq_encode(df, cb)
+    plan = enc._sc._jvm.PythonSQLUtils.explainString(
+        enc._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange (" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_train_pq_rejects_bad_m(spark, emb):
+    df, _ = emb
+    with pytest.raises(ValueError):
+        train_pq(df, m=5, k=4, iters=1)
