@@ -2426,6 +2426,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             relational.load(s, d, "events")
         ),
         "events_purchase_window": q_events_purchase_window,
+        # event-rate anomaly report: z-scores from explicit integer-sum
+        # moments (never stddev_samp's order-dependent streaming merge);
+        # one corpus-sized partial-agg shuffle, grid-sized stats join
+        "events_rate_anomalies": lambda s, d: temporal.rate_anomalies(
+            relational.load(s, d, "events"), z_threshold=2.0
+        ),
         "events_funnel": q_events_funnel,
         "events_retention": relational.events_retention,
         # dedup
@@ -2838,6 +2844,24 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         """,
         "corpus_bpe_merges": _corpus_bpe_merges_values(),
         "doc_bpe_tokens": _doc_bpe_tokens_values(),
+        "events_rate_anomalies": """
+            WITH counts AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2),
+            stats AS (
+              SELECT event_type, count(*)::DOUBLE AS nb,
+                     sum(n_events)::DOUBLE AS sx,
+                     sum(n_events * n_events)::DOUBLE AS sxx
+              FROM counts GROUP BY event_type)
+            SELECT c.event_type, c.bucket_ts, c.n_events,
+                   round((c.n_events - sx / nb)
+                         / sqrt((sxx - sx * sx / nb) / (nb - 1)), 6) AS z
+            FROM counts c JOIN stats s USING (event_type)
+            WHERE nb >= 2 AND (sxx - sx * sx / nb) / (nb - 1) > 0
+              AND abs((c.n_events - sx / nb)
+                      / sqrt((sxx - sx * sx / nb) / (nb - 1))) >= 2.0
+        """,
         "events_asof_purchase": """
             WITH l AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'click'),

@@ -296,3 +296,55 @@ def event_transitions(
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+def rate_anomalies(
+    df: DataFrame,
+    by: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """(event_type, bucket_ts, n_events, z) — event-rate anomaly report:
+    buckets whose count deviates from the group's mean by >= z_threshold
+    standard deviations (the pipeline-health view that catches a crawler
+    stall or a bot flood per source/type).
+
+    Determinism contract: mean and variance are computed EXPLICITLY from
+    integer sums — var = (Σx² - (Σx)²/n) / (n-1) — instead of
+    stddev_samp, whose streaming merge is partition-order-dependent in
+    the last ulp; integer sums are exact in a double until 2^53, so z is
+    a pure function of the counts, rounded once at 6dp. Groups with n < 2
+    buckets or zero variance emit nothing.
+
+    Scale posture: one partial-agg shuffle to (by, bucket) counts — the
+    only corpus-sized exchange; the per-group moment agg and the
+    mean/variance broadcast-join run on the bucket-grid-sized table.
+    """
+    counts = (
+        df.select(F.col(by), F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
+        .groupBy(by, "bucket_ts")
+        .agg(F.count("*").alias("n_events"))
+    )
+    stats = counts.groupBy(by).agg(
+        F.count("*").alias("nb"),
+        F.sum("n_events").alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
+    )
+    # cast the integer sums up front so both engines run the identical
+    # double-op sequence (a BIGINT*BIGINT intermediate would also overflow
+    # differently per engine)
+    sx, sxx, nb = (
+        F.col("sx").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("nb").cast("double"),
+    )
+    mean = sx / nb
+    var = (sxx - sx * sx / nb) / (nb - 1)
+    joined = counts.join(F.broadcast(stats), by).where(
+        (F.col("nb") >= 2) & (var > 0)
+    )
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return joined.where(F.abs(z) >= z_threshold).select(
+        by, "bucket_ts", "n_events", F.round(z, 6).alias("z")
+    )

@@ -361,3 +361,55 @@ def test_event_transitions_singletons_emit_nothing(spark):
         "event_id int, user_id int, ts timestamp, event_type string",
     )
     assert event_transitions(df).count() == 0
+
+
+def test_rate_anomalies_matches_bruteforce(spark):
+    import math
+    import random
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from cypher_guard_spark.ops.temporal import rate_anomalies
+
+    rng = random.Random(5)
+    base = datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # steady traffic + one planted flood hour + one dead type
+    for h in range(48):
+        for _ in range(8 + rng.randrange(0, 3)):
+            rows.append((eid, base + timedelta(hours=h, minutes=rng.randrange(60)), "click"))
+            eid += 1
+    for _ in range(200):  # flood in hour 10
+        rows.append((eid, base + timedelta(hours=10, minutes=rng.randrange(60)), "click"))
+        eid += 1
+    rows.append((eid, base, "singleton"))  # one bucket only: emits nothing
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {
+        (r["event_type"], r["bucket_ts"], r["n_events"]): r["z"]
+        for r in rate_anomalies(df, z_threshold=2.0).collect()
+    }
+    counts = Counter((et, ts.replace(minute=0, second=0, microsecond=0)) for _e, ts, et in rows)
+    per_type = {}
+    for (et, b), n in counts.items():
+        per_type.setdefault(et, []).append((b, n))
+    want = {}
+    for et, buckets in per_type.items():
+        nb = len(buckets)
+        if nb < 2:
+            continue
+        sx = float(sum(n for _b, n in buckets))
+        sxx = float(sum(n * n for _b, n in buckets))
+        var = (sxx - sx * sx / nb) / (nb - 1)
+        if var <= 0:
+            continue
+        for b, n in buckets:
+            z = (n - sx / nb) / math.sqrt(var)
+            if abs(z) >= 2.0:
+                want[(et, b, n)] = round(z, 6)
+    assert set(got) == set(want)
+    for k, z in want.items():
+        assert abs(got[k] - z) <= 1e-6, k
+    # the planted flood hour is flagged
+    assert any(b.hour == 10 and et == "click" for et, b, _n in got)
+    assert not any(et == "singleton" for et, _b, _n in got)
