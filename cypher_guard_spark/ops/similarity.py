@@ -811,6 +811,10 @@ def pq_topk(
     )
     d_m = len(cb[0][0][1])
     qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, adist double"
+        )
     per_query = []
     for qr in qrows:
         qv = [float(x) for x in qr[query_vec_col]]
