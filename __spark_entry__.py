@@ -385,12 +385,12 @@ def _emb_curation_sql() -> str:
     """
 
 
-def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pipeline's core output, driver-verified end-to-end: extraction →
-    mention stats → entity map → canonicalized (subj, pred, obj). The
-    entity map is FORCED through the distributed path
+def _kg_canonical_full(spark: SparkSession) -> DataFrame:
+    """Full canonicalized triple stream (labels + conf retained):
+    extraction → mention stats → entity map → canonicalize. The entity
+    map is FORCED through the distributed path
     (driver_smallmap_max_surfaces=0: minhash blocking → CC kernel →
-    election), so the CORRECTNESS gate compares the real distributed
+    election), so every downstream gate compares the real distributed
     implementation against the independent pure-Python twin — not the
     driver fast path against itself."""
     from cypher_guard_spark.pipeline import synthesize_documents
@@ -411,7 +411,13 @@ def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         link_scores(mentions_from_triples(tr)),
         driver_smallmap_max_surfaces=0,
     )
-    return canonicalize_triples(tr, em).select("doc_id", "subj", "pred", "obj")
+    return canonicalize_triples(tr, em)
+
+
+def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's core output, driver-verified end-to-end (see
+    `_kg_canonical_full`): canonicalized (doc_id, subj, pred, obj)."""
+    return _kg_canonical_full(spark).select("doc_id", "subj", "pred", "obj")
 
 
 def q_kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,6 +643,165 @@ def _kg_random_walks_values(
         + ", ".join(rows)
         + ") AS t(start, rep, step, vertex)"
     )
+
+
+def q_kg_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest distances from the hub entity (max-degree,
+    min-name tie — same seed rule as kg_bfs_depths) over the undirected
+    canonical graph, edge cost = round(1/evidence_count, 6) so strongly
+    attested links are closer (`pipeline/graph_algo.py:shortest_paths`,
+    multi-source Bellman-Ford; min-combine ⇒ bit-identical to the serial
+    twin with no exact/fast split)."""
+    from cypher_guard_spark.pipeline.graph_algo import shortest_paths
+
+    canon = q_kg_canonical_triples(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = (
+        canon.where(F.col("subj") != F.col("obj"))
+        .groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .agg(F.round(1.0 / F.count("*"), 6).alias("w"))
+    )
+    und = (
+        pairs.select(F.col("src").alias("entity"), F.col("dst").alias("nbr"))
+        .unionByName(
+            pairs.select(F.col("dst").alias("entity"), F.col("src").alias("nbr"))
+        )
+        .distinct()
+    )
+    hub = (
+        und.groupBy("entity")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("entity").asc())
+        .limit(1)
+        .select("entity")
+    )
+    return shortest_paths(
+        spark, pairs, hub, weight="w", max_rounds=8, directed=False
+    )
+
+
+def _kg_shortest_paths_values(max_rounds: int = 8) -> str:
+    """Serial twin: directed pair counts → w=round6(1/cnt), both
+    orientations relaxed, synchronous Bellman-Ford with per-round 6dp
+    rounding, hub seed by the kg_bfs_depths rule (over the DISTINCT
+    undirected adjacency — degree counts ignore weights)."""
+    from collections import defaultdict
+
+    cnt: dict = defaultdict(int)
+    for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        if s != o:
+            cnt[(s, o)] += 1
+    adj: dict = defaultdict(list)
+    und: dict = defaultdict(set)
+    for (a, b), c in cnt.items():
+        w = _round6(1.0 / c)
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+        und[a].add(b)
+        und[b].add(a)
+    hub = min(und, key=lambda v: (-len(und[v]), v))
+    dist = {hub: 0.0}
+    for _ in range(max_rounds):
+        new = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj[u]:
+                nd = _round6(d + w)
+                if v not in new or nd < new[v]:
+                    new[v] = nd
+        if new == dist:
+            break
+        dist = new
+    rows = [f"({_sql_quote(v)}, {d!r}::DOUBLE)" for v, d in dist.items()]
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(entity, dist)"
+    )
+
+
+def q_kg_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship-schema inference over the canonical triple stream
+    (`pipeline/schema_infer.py:infer_relationship_schema`): per observed
+    (pred, subj_label, obj_label) the evidence count, distinct endpoint
+    counts, fan maxima, and the mined cardinality class — the 'what does
+    this corpus' graph look like' report a from-scratch KG build runs
+    before anyone writes a DbSchema by hand."""
+    from cypher_guard_spark.pipeline.schema_infer import (
+        infer_relationship_schema,
+    )
+
+    canon = _kg_canonical_full(spark).localCheckpoint(eager=False)
+    return infer_relationship_schema(canon)
+
+
+def _kg_schema_infer_sql() -> str:
+    """Same aggregation over the canonical-triple twin VALUES."""
+    rows = [
+        f"({_sql_quote(s)}, {_sql_quote(r)}, {_sql_quote(o)},"
+        f" {_sql_quote(sl)}, {_sql_quote(ol)})"
+        for _d, s, r, o, sl, ol in _py_kg_canonical_triples()
+    ]
+    return f"""
+        WITH t AS (
+          SELECT * FROM (VALUES {', '.join(rows)})
+            AS t(subj, pred, obj, subj_label, obj_label)
+        ),
+        base AS (
+          SELECT pred, subj_label, obj_label,
+                 count(*) AS n_triples,
+                 count(DISTINCT subj) AS n_subj,
+                 count(DISTINCT obj) AS n_obj
+          FROM t GROUP BY 1, 2, 3
+        ),
+        omax AS (
+          SELECT pred, subj_label, obj_label, max(fan) AS max_out FROM (
+            SELECT pred, subj_label, obj_label, subj,
+                   count(DISTINCT obj) AS fan
+            FROM t GROUP BY 1, 2, 3, 4)
+          GROUP BY 1, 2, 3
+        ),
+        imax AS (
+          SELECT pred, subj_label, obj_label, max(fan) AS max_in FROM (
+            SELECT pred, subj_label, obj_label, obj,
+                   count(DISTINCT subj) AS fan
+            FROM t GROUP BY 1, 2, 3, 4)
+          GROUP BY 1, 2, 3
+        )
+        SELECT base.*, max_out, max_in,
+               CASE WHEN max_out = 1 AND max_in = 1 THEN '1:1'
+                    WHEN max_out = 1 THEN 'N:1'
+                    WHEN max_in = 1 THEN '1:N'
+                    ELSE 'N:M' END AS cardinality
+        FROM base
+        JOIN omax USING (pred, subj_label, obj_label)
+        JOIN imax USING (pred, subj_label, obj_label)
+    """
+
+
+def q_kg_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-consistency gate (`pipeline/schema_infer.py:schema_roundtrip`):
+    infer the DbSchema FROM the canonical triples, render one MERGE path
+    per distinct triple (codegen grammar), guard-validate every statement
+    against the INFERRED schema — per-pred (n_stmts, n_valid). The
+    oracle pins n_valid == n_stmts: extraction labels, inference,
+    codegen, and the vectorized parser/validator must all agree."""
+    from cypher_guard_spark.pipeline.schema_infer import schema_roundtrip
+
+    canon = _kg_canonical_full(spark)
+    return schema_roundtrip(spark, canon)
+
+
+def _kg_schema_roundtrip_sql() -> str:
+    """Twin: distinct canonical 5-tuples per pred, all statements valid."""
+    rows = [
+        f"({_sql_quote(s)}, {_sql_quote(r)}, {_sql_quote(o)},"
+        f" {_sql_quote(sl)}, {_sql_quote(ol)})"
+        for _d, s, r, o, sl, ol in _py_kg_canonical_triples()
+    ]
+    return f"""
+        SELECT pred, count(*) AS n_stmts, count(*) AS n_valid FROM (
+          SELECT DISTINCT subj, pred, obj, subj_label, obj_label
+          FROM (VALUES {', '.join(rows)})
+            AS t(subj, pred, obj, subj_label, obj_label)
+        ) GROUP BY pred
+    """
 
 
 def q_kg_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2640,6 +2805,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_hits": q_kg_hits,
         "kg_random_walks": q_kg_random_walks,
+        "kg_schema_infer": q_kg_schema_infer,
+        "kg_schema_roundtrip": q_kg_schema_roundtrip,
+        "kg_shortest_paths": q_kg_shortest_paths,
         "kg_triple_diff": q_kg_triple_diff,
         "kg_entity_similarity": q_kg_entity_similarity,
         "kg_communities": q_kg_communities,
@@ -3478,6 +3646,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_pagerank": _kg_pagerank_values(),
         "kg_hits": _kg_hits_values(),
         "kg_random_walks": _kg_random_walks_values(),
+        "kg_schema_infer": _kg_schema_infer_sql(),
+        "kg_schema_roundtrip": _kg_schema_roundtrip_sql(),
+        "kg_shortest_paths": _kg_shortest_paths_values(),
         "kg_triple_diff": _kg_triple_diff_values(),
         "kg_entity_similarity": _kg_entity_similarity_values(),
         "kg_communities": _kg_communities_values(),

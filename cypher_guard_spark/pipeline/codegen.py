@@ -23,8 +23,10 @@ def _clean(col):
 
 
 def _person_props(col):
+    # try_element_at: a single-token name has no last-name element and
+    # must render lastName: '' instead of raising under ANSI mode
     first = F.element_at(F.split(col, " ", 2), 1)
-    last = F.element_at(F.split(col, " ", 2), 2)
+    last = F.try_element_at(F.split(col, " ", 2), F.lit(2))
     return F.format_string(
         "{firstName: '%s', lastName: '%s'}", _clean(first), _clean(F.coalesce(last, F.lit("")))
     )
@@ -48,8 +50,11 @@ def node_statements(entity_map: DataFrame) -> DataFrame:
     return ents.select(stmt.alias("statement"))
 
 
-def relationship_statements(triples: DataFrame) -> DataFrame:
-    """One MERGE path per distinct canonical triple."""
+def relationship_statements(triples: DataFrame, keep_cols: tuple = ()) -> DataFrame:
+    """One MERGE path per distinct canonical triple. ``keep_cols`` rides
+    canonical-triple columns (e.g. ``pred``) alongside the rendered
+    statement — they're functions of the dedup key, so the distinct
+    cardinality is unchanged."""
     t = triples.select("subj", "pred", "obj", "subj_label", "obj_label").dropDuplicates()
     stmt = F.format_string(
         "MERGE (a:%s %s)-[:%s]->(b:%s %s)",
@@ -59,7 +64,7 @@ def relationship_statements(triples: DataFrame) -> DataFrame:
         F.col("obj_label"),
         _entity_props(F.col("obj_label"), F.col("obj")),
     )
-    return t.select(stmt.alias("statement"))
+    return t.select(*keep_cols, stmt.alias("statement"))
 
 
 def build_merge_batches(

@@ -796,3 +796,84 @@ def random_walks(
             )
         )
     return out
+
+
+def shortest_paths(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_rounds: int = 8,
+    directed: bool = False,
+) -> DataFrame:
+    """(entity, dist) — WEIGHTED shortest distance from the seed set
+    (multi-source Bellman-Ford), the weighted sibling of `bfs_depths`:
+    with per-edge costs (e.g. 1/evidence-count on a KG, so strongly
+    attested links are 'closer') hop count stops being the right metric.
+    Unreachable vertices are omitted; ``weight=None`` degrades to hop
+    count. Runs ``max_rounds`` synchronous relaxation rounds with early
+    exit on convergence — for non-negative weights the fixpoint is the
+    true shortest distance once rounds >= the longest shortest path's
+    edge count.
+
+    Determinism contract: candidate distances are built left-to-right
+    along the path (round k's dist + one edge weight) and rounded to 6dp
+    per round; the per-vertex combine is `min`, which is exactly
+    order-independent — so unlike the sum-based kernels (PageRank/HITS)
+    there is NO exact/fast mode split: the partial-aggregating min IS
+    bit-identical to the serial twin at any partitioning, and hubs
+    combine map-side.
+
+    Scale posture: per round ONE equi-join of the current distance table
+    against the adjacency (keyed on the relaxed vertex) + one
+    partial-agg min over (entity) — rows are (id, double) pairs only;
+    lineage truncated per round; convergence check is one driver-side
+    count of improved vertices (the same entity-scaled scalar class as
+    CC's). Negative weights are rejected up front: Bellman-Ford would
+    need V-1 rounds and cycle detection, and 1/evidence weights are
+    positive by construction.
+    """
+    w = (
+        F.round(F.col(weight).cast("double"), 6)
+        if weight
+        else F.lit(1.0)
+    ).alias("w")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w)
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), w)
+        )
+    adj = e.where(F.col("u") != F.col("v")).localCheckpoint(eager=False)
+    if weight and adj.where(F.col("w") < 0).take(1):
+        raise ValueError("shortest_paths requires non-negative weights")
+    dist = (
+        seeds.select("entity")
+        .distinct()
+        .select("entity", F.lit(0.0).alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_rounds):
+        cand = (
+            dist.join(adj, dist["entity"] == adj["u"])
+            .select(
+                F.col("v").alias("entity"),
+                F.round(F.col("dist") + F.col("w"), 6).alias("dist"),
+            )
+        )
+        new = (
+            dist.unionByName(cand)
+            .groupBy("entity")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        improved = (
+            new.join(dist.withColumnRenamed("dist", "old"), "entity", "left")
+            .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .count()
+        )
+        dist = new
+        if improved == 0:
+            break
+    return dist

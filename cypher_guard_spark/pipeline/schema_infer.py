@@ -1,0 +1,165 @@
+"""Schema inference: canonical triples → graph schema → guard validation.
+
+Closes the KG-construction loop the north star describes from the OTHER
+side: instead of validating MERGE batches against a hand-written DbSchema
+(`synth.pipeline_db_schema`, FIXTURES.md F2), the pipeline can INFER the
+relationship schema from the triples it just extracted — (subj_label,
+pred, obj_label) topology plus per-predicate cardinality classes — build
+a `guard.DbSchema` from it, and guard-validate the generated Cypher
+against its own inferred schema. On a real crawl this is the operator
+that discovers "what does this corpus' graph look like" before anyone
+writes a schema by hand, and the roundtrip is the self-consistency check
+that extraction, inference, codegen, and the vectorized validator agree.
+
+Reference parity note: the reference (neo4j-field/cypher-guard) only
+ever CONSUMES a DbSchema (src/lib.rs validate_cypher_with_schema); schema
+inference is data-plane functionality the reference has no equivalent
+for — the inferred object feeds the same DbSchema surface
+(guard/schema.py) its JSON fixtures do.
+
+Scale posture (10^12 triples): three partial-aggregating shuffles over
+id/label columns only (map-side combine on every one — counts and
+countDistinct over (pred, labels[, endpoint]) keys), then joins on the
+SCHEMA GRID (distinct (pred, subj_label, obj_label) combos — tens of
+rows for any real ontology), which AQE broadcasts. Nothing corpus-sized
+crosses the driver; `inferred_db_schema` collects only the grid.
+Cardinality is decided by max fan-out/fan-in over DISTINCT endpoint
+pairs, so duplicate observations of the same triple don't inflate a 1:1
+predicate into M:N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# The node property schema the MERGE materializer writes (codegen.py
+# _entity_props renders exactly these property maps per label); schema
+# inference reuses the mapping so the inferred DbSchema is consistent
+# with the statements codegen emits, by construction.
+ENTITY_PROPS: dict[str, list[str]] = {
+    "Person": ["firstName", "lastName"],
+    "Company": ["companyName"],
+    "Location": ["city"],
+}
+
+
+def infer_relationship_schema(triples: DataFrame) -> DataFrame:
+    """Canonical triples (subj, pred, obj, subj_label, obj_label) →
+    one row per observed (pred, subj_label, obj_label) with:
+
+    - ``n_triples``   raw observation count (duplicates included — the
+      evidence weight for this edge type),
+    - ``n_subj`` / ``n_obj``   distinct canonical endpoints,
+    - ``max_out``   max distinct objects any one subject links to,
+    - ``max_in``    max distinct subjects any one object is linked from,
+    - ``cardinality``   ``'1:1' | '1:N' | 'N:1' | 'N:M'`` — functional-
+      dependency classes mined from the distinct edge set (``max_out==1``
+      means subj→obj is functional, i.e. many-subjects-to-one-object
+      ⇒ N:1; symmetrically for ``max_in``).
+
+    Plan: groupBy (key) count/countDistinct for the base stats, two
+    two-level aggregations for the fan maxima, grid-sized joins.
+    """
+    key = ["pred", "subj_label", "obj_label"]
+    t = triples.select("subj", "pred", "obj", "subj_label", "obj_label")
+    base = t.groupBy(*key).agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+    )
+    # fan-out: distinct objs per (key, subj), then max over subjects
+    out_max = (
+        t.groupBy(*key, "subj")
+        .agg(F.countDistinct("obj").alias("fan"))
+        .groupBy(*key)
+        .agg(F.max("fan").alias("max_out"))
+    )
+    in_max = (
+        t.groupBy(*key, "obj")
+        .agg(F.countDistinct("subj").alias("fan"))
+        .groupBy(*key)
+        .agg(F.max("fan").alias("max_in"))
+    )
+    card = (
+        F.when((F.col("max_out") == 1) & (F.col("max_in") == 1), F.lit("1:1"))
+        .when(F.col("max_out") == 1, F.lit("N:1"))
+        .when(F.col("max_in") == 1, F.lit("1:N"))
+        .otherwise(F.lit("N:M"))
+    )
+    return (
+        base.join(out_max, key)
+        .join(in_max, key)
+        .withColumn("cardinality", card)
+    )
+
+
+def inferred_db_schema(inferred: DataFrame, entity_props: dict | None = None):
+    """Inferred relationship rows → a `guard.DbSchema` ready for the
+    vectorized validator. Collects only the schema grid (one row per
+    (pred, subj_label, obj_label) — ontology-sized, never corpus-sized).
+
+    Node properties come from ``entity_props`` (default: the codegen
+    materializer's conventions, `ENTITY_PROPS`), all STRING — the types
+    codegen writes. Relationship property lists are empty: the MERGE
+    statements codegen emits carry no rel props, and the guard treats an
+    absent rel_props entry as "no properties declared".
+    """
+    from ..guard import DbSchema
+
+    props = ENTITY_PROPS if entity_props is None else entity_props
+    grid = [
+        (r["subj_label"], r["pred"], r["obj_label"])
+        for r in inferred.select("subj_label", "pred", "obj_label").collect()
+    ]
+    labels = sorted({s for s, _p, _o in grid} | {o for _s, _p, o in grid})
+    return DbSchema.from_dict(
+        {
+            "node_props": {
+                lab: [
+                    {"name": p, "neo4j_type": "STRING"}
+                    for p in props.get(lab, [])
+                ]
+                for lab in labels
+            },
+            "rel_props": {},
+            "relationships": [
+                {"start": s, "end": e, "rel_type": p}
+                for s, p, e in sorted(grid, key=lambda g: (g[1], g[0], g[2]))
+            ],
+            "metadata": {"constraint": [], "index": []},
+        }
+    )
+
+
+def schema_roundtrip(spark, triples: DataFrame) -> DataFrame:
+    """Self-consistency gate: infer the schema FROM the triples, render
+    one MERGE path per distinct canonical triple (codegen grammar), and
+    guard-validate every statement against the INFERRED schema —
+    (pred, n_stmts, n_valid) per predicate. A correct pipeline returns
+    n_valid == n_stmts on every row; any disagreement between extraction
+    labels, inference, codegen's rendering, and the parser/validator
+    shows up as a deficit.
+
+    Scale: the validate pass is the corpus-sized work (Arrow-batched
+    pandas UDF, one pass over distinct statements); inference adds the
+    three grid aggregations above; the DbSchema broadcast is KB-sized.
+    """
+    from ..spark import validate_dataframe
+    from .codegen import relationship_statements
+
+    # the triple stream feeds four plan references (three inference
+    # aggregations + the statement render) and usually sits on the whole
+    # extraction→canonicalize DAG — truncate lineage once up front
+    triples = triples.select(
+        "subj", "pred", "obj", "subj_label", "obj_label"
+    ).localCheckpoint(eager=False)
+    schema = inferred_db_schema(infer_relationship_schema(triples))
+    # pred rides alongside the rendered statement (a function of the
+    # dedup key) so the verdicts aggregate per predicate
+    stmts = relationship_statements(triples, keep_cols=("pred",))
+    v = validate_dataframe(spark, stmts, schema, cypher_col="statement")
+    return v.groupBy("pred").agg(
+        F.count("*").alias("n_stmts"),
+        F.sum(F.col("is_valid").cast("int")).alias("n_valid"),
+    )

@@ -706,3 +706,108 @@ def test_random_walks_seed_and_rep_independence(spark):
     assert {(r["start"], r["rep"], r["step"], r["vertex"]) for r in c} == {
         (r["start"], r["rep"], r["step"], r["vertex"]) for r in a
     }
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths (weighted multi-source Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+def _sp_twin(edges, seeds, max_rounds=8, directed=False):
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    adj = defaultdict(list)
+    for u, v, w in edges:
+        if u == v:
+            continue
+        adj[u].append((v, r6(w)))
+        if not directed:
+            adj[v].append((u, r6(w)))
+    dist = {s: 0.0 for s in seeds}
+    for _ in range(max_rounds):
+        new = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj[u]:
+                nd = r6(d + w)
+                if v not in new or nd < new[v]:
+                    new[v] = nd
+        if new == dist:
+            break
+        dist = new
+    return dist
+
+
+WEIGHTED = [
+    # direct a->d is costly (5.0); the a->b->c->d chain is cheaper (1.5)
+    ("a", "d", 5.0),
+    ("a", "b", 0.5), ("b", "c", 0.5), ("c", "d", 0.5),
+    ("d", "e", 2.0),
+    ("x", "y", 1.0),  # island unreachable from a
+    ("b", "b", 9.0),  # self-loop dropped
+]
+
+
+def test_shortest_paths_matches_twin(spark):
+    from cypher_guard_spark.pipeline.graph_algo import shortest_paths
+
+    e = spark.createDataFrame(WEIGHTED, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([("a",)], ["entity"])
+    got = {
+        r["entity"]: r["dist"]
+        for r in shortest_paths(spark, e, seeds, weight="w").collect()
+    }
+    assert got == _sp_twin(WEIGHTED, {"a"})
+    assert got["d"] == 1.5  # took the cheap chain, not the direct edge
+    assert "x" not in got and "y" not in got  # unreachable omitted
+
+
+def test_shortest_paths_directed(spark):
+    from cypher_guard_spark.pipeline.graph_algo import shortest_paths
+
+    edges = [("a", "b", 1.0), ("c", "b", 1.0)]
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([("a",)], ["entity"])
+    got = {
+        r["entity"]: r["dist"]
+        for r in shortest_paths(
+            spark, e, seeds, weight="w", directed=True
+        ).collect()
+    }
+    assert got == {"a": 0.0, "b": 1.0}  # c->b not traversable from b
+
+
+def test_shortest_paths_unweighted_equals_bfs(spark):
+    from cypher_guard_spark.pipeline.graph_algo import bfs_depths, shortest_paths
+
+    e = spark.createDataFrame(
+        [(u, v) for u, v, _ in WEIGHTED], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["entity"])
+    sp = {
+        r["entity"]: r["dist"]
+        for r in shortest_paths(spark, e, seeds).collect()
+    }
+    bf = {
+        r["entity"]: float(r["depth"])
+        for r in bfs_depths(spark, e, seeds).collect()
+    }
+    assert sp == bf
+
+
+def test_shortest_paths_multi_source_and_negative_reject(spark):
+    from cypher_guard_spark.pipeline.graph_algo import shortest_paths
+
+    e = spark.createDataFrame(WEIGHTED, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([("a",), ("x",)], ["entity"])
+    got = {
+        r["entity"]: r["dist"]
+        for r in shortest_paths(spark, e, seeds, weight="w").collect()
+    }
+    assert got == _sp_twin(WEIGHTED, {"a", "x"})
+    assert got["y"] == 1.0
+    neg = spark.createDataFrame([("a", "b", -1.0)], ["src", "dst", "w"])
+    with pytest.raises(ValueError, match="non-negative"):
+        shortest_paths(spark, neg, seeds, weight="w")
