@@ -256,6 +256,51 @@ def _guard_error_codes_values() -> str:
 
 _KG_DOCS = 120
 
+# the BM25 demo query over the synthetic ops-vocabulary corpus
+_BM25_TERMS = ["broadcast", "shuffle", "join", "partition"]
+
+
+def _bm25_topk_sql(k1: float = 1.2, b: float = 0.75, topk: int = 20) -> str:
+    """DuckDB twin of ops.text.bm25_topk over `documents`: same rational
+    idf, same fixed-order term-score chain, same parenthesization (FP
+    identity depends on the op sequence, not just the formula)."""
+    terms = [t.lower() for t in _BM25_TERMS]
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    tf_cols = ", ".join(
+        f"len(list_filter({toks}, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum((tf_{i} > 0)::BIGINT) AS df_{i}" for i in range(len(terms))
+    )
+    # idf computed from BIGINTs then +0.5 — identical op order to the
+    # Python driver literal; term chain left-associated like the Spark col
+    term_exprs = [
+        f"(((n - df_{i} + 0.5) / (df_{i} + 0.5)) * (tf_{i}::DOUBLE * {k1 + 1.0!r})"
+        f" / (tf_{i}::DOUBLE + {k1!r} * (1.0 - {b!r} + {b!r} * dl::DOUBLE / avgdl)))"
+        for i in range(len(terms))
+    ]
+    score = " + ".join(term_exprs)
+    matched = " + ".join(f"(tf_{i} > 0)::INT" for i in range(len(terms)))
+    return f"""
+        WITH base AS (
+          SELECT doc_id, len({toks}) AS dl, {tf_cols} FROM documents
+        ),
+        stats AS (
+          SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl, {df_cols}
+          FROM base
+        ),
+        scored AS (
+          SELECT doc_id, ({matched}) AS n_matched,
+                 round({score}, 6) AS score
+          FROM base, stats
+        )
+        SELECT doc_id, n_matched, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM scored WHERE n_matched > 0
+        ORDER BY score DESC, doc_id LIMIT {topk}
+    """
+
 
 def q_kg_triples_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_guard_spark.pipeline import synthesize_documents
@@ -2699,6 +2744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_counts": lambda s, d: text.pii_counts(_docs(s, d)),
         "doc_repetition_scores": lambda s, d: text.repetition_scores(_docs(s, d), n=2),
         "doc_tfidf_keywords": lambda s, d: text.tfidf_keywords(_docs(s, d), k=5),
+        "doc_bm25_topk": lambda s, d: text.bm25_topk(
+            _docs(s, d), _BM25_TERMS, topk=20
+        ),
         "doc_bigram_cohesion": lambda s, d: text.bigram_cohesion(_docs(s, d)),
         "doc_rarity_scores": lambda s, d: text.rarity_scores(
             _docs(s, d), rare_max_df=2
@@ -3294,6 +3342,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             SELECT doc_id, token, tf, doc_freq, score, rnk
             FROM ranked WHERE rnk <= 5
         """,
+        "doc_bm25_topk": _bm25_topk_sql(),
         "doc_rarity_scores": """
             WITH t AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws

@@ -908,3 +908,98 @@ def build_vocab(
         "n_occurrences",
         "n_docs",
     ).select("token", "token_id", "n_occurrences", "n_docs")
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_matched, score, rnk) — the corpus' top-k documents for a
+    query term set under BM25 with the RATIONAL idf (same exact-arithmetic
+    substitution as tfidf_keywords: ``idf = (N - df + 0.5)/(df + 0.5)``
+    instead of its log — monotone-identical ranking, but built only from
+    correctly-rounded IEEE ops so the 6dp-rounded score is bit-identical
+    across Spark/DuckDB/Python; swap in ln() where cross-engine hashing
+    isn't a contract). This is the retrieval view over the curation
+    corpus — "which documents should a human audit for this topic" — and
+    the scoring half of a dedup-aware search index.
+
+    Two corpus passes, both MAP-ONLY on the corpus side:
+      1. stats pass — per-row (dl, per-term tf) computed row-locally
+         (the split is bound ONCE via the single-element-array lambda
+         trick, like doc_token_freqs), partial-aggregated to ONE row
+         (N, Σdl, per-term df) — map-side combine, a few dozen bytes to
+         the driver;
+      2. score pass — idf/avgdl baked back as PLAN LITERALS, the
+         document score a fixed-order chain over the query terms (FP
+         determinism: the sum order is the term-list order on both
+         engines), then global top-k via orderBy+limit —
+         TakeOrderedAndProject, per-partition heaps, no full sort
+         shuffle. Query terms are query-sized (10s), never corpus-sized;
+         zero-match documents are dropped before the top-k so the result
+         is support-only.
+    """
+    terms = [t.lower() for t in query_terms]
+    if not terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    tf_exprs = ", ".join(
+        "size(filter(ws, x -> x = '{}'))".format(t.replace("'", "''"))
+        for t in terms
+    )
+    row = F.expr(
+        f"transform(array(split(lower(trim({text_col})), '\\\\s+')), ws -> "
+        f"named_struct('dl', size(ws), 'tfs', array({tf_exprs})))[0]"
+    )
+    base = df.select("doc_id", row.alias("r")).select(
+        "doc_id", F.col("r.dl").alias("dl"), F.col("r.tfs").alias("tfs")
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(
+                (F.element_at("tfs", i + 1) > 0).cast("long")
+            ).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n_docs = stats["n"]
+    if n_docs == 0:
+        return df.sparkSession.createDataFrame(
+            [], "doc_id long, n_matched int, score double, rnk int"
+        )
+    avgdl = stats["sum_dl"] / n_docs  # exact same division the oracle runs
+    dl_d = F.col("dl").cast("double")
+    score = None
+    matched = None
+    for i in range(len(terms)):
+        dfreq = stats[f"df_{i}"]
+        idf = (n_docs - dfreq + 0.5) / (dfreq + 0.5)
+        tf = F.element_at("tfs", i + 1).cast("double")
+        term_score = (
+            F.lit(idf)
+            * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl_d / F.lit(avgdl)))
+        )
+        hit = (F.element_at("tfs", i + 1) > 0).cast("int")
+        score = term_score if score is None else score + term_score
+        matched = hit if matched is None else matched + hit
+    from pyspark.sql import Window
+
+    top = (
+        base.select(
+            "doc_id",
+            matched.alias("n_matched"),
+            F.round(score, 6).alias("score"),
+        )
+        .where(F.col("n_matched") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(topk)
+    )
+    # rank over the already-limited topk rows (window on <=topk rows)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w))

@@ -1305,3 +1305,92 @@ def test_dup_ngram_coverage_matches_bruteforce(spark):
     if len(toks_of(rows[0][1])) >= n:
         assert got[100][2] == 1.0
     assert got[101] == (1, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+
+def _py_bm25(texts, terms, k1=1.2, b=0.75, topk=20):
+    """Serial twin of text.bm25_topk: same rational idf, same fixed-order
+    term chain, same rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    toks = {d: t.lower().strip().split() for d, t in texts}
+    # python split() collapses whitespace like the \s+ regex; doc length
+    # parity is asserted separately by the token_stats oracle
+    n = len(texts)
+    dl = {d: len(ws) for d, ws in toks.items()}
+    avgdl = sum(dl.values()) / n
+    dfreq = [sum(1 for ws in toks.values() if t in ws) for t in terms]
+    out = []
+    for d, ws in toks.items():
+        score, matched = None, 0
+        for i, t in enumerate(terms):
+            tf = float(ws.count(t))
+            idf = (n - dfreq[i] + 0.5) / (dfreq[i] + 0.5)
+            ts = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl[d] / avgdl))
+            score = ts if score is None else score + ts
+            matched += tf > 0
+        if matched:
+            out.append((d, matched, r6(score)))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return [(d, m, s, i + 1) for i, (d, m, s) in enumerate(out[:topk])]
+
+
+BM25_TEXTS = [
+    (1, "spark shuffle join broadcast join join"),
+    (2, "broadcast broadcast hash"),
+    (3, "nothing relevant here at all"),
+    (4, "join"),
+    (5, "shuffle shuffle shuffle shuffle shuffle padding padding padding"),
+]
+
+
+def test_bm25_matches_twin(spark):
+    from cypher_guard_spark.ops.text import bm25_topk
+
+    df = spark.createDataFrame(BM25_TEXTS, ["doc_id", "text"])
+    terms = ["join", "shuffle", "broadcast"]
+    got = [
+        (r["doc_id"], r["n_matched"], r["score"], r["rnk"])
+        for r in bm25_topk(df, terms, topk=3)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == _py_bm25(BM25_TEXTS, terms, topk=3)
+    # doc 3 matches nothing -> excluded even when topk > matches
+    all_rows = bm25_topk(df, terms, topk=10).collect()
+    assert {r["doc_id"] for r in all_rows} == {1, 2, 4, 5}
+
+
+def test_bm25_guards_and_shape(spark):
+    from cypher_guard_spark.ops.text import bm25_topk
+
+    df = spark.createDataFrame(BM25_TEXTS, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_topk(df, [])
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_topk(empty, ["join"]).count() == 0
+    # case-insensitive query terms
+    up = bm25_topk(df, ["JOIN"], topk=5).collect()
+    assert {r["doc_id"] for r in up} == {1, 4}
+
+
+def test_bm25_score_pass_plan(spark):
+    """Score pass: no Python eval, top-k via TakeOrderedAndProject (per-
+    partition heaps), no corpus-wide sort Exchange before the limit."""
+    from cypher_guard_spark.ops.text import bm25_topk
+
+    df = spark.createDataFrame(BM25_TEXTS, ["doc_id", "text"])
+    plan = (
+        bm25_topk(df, ["join", "shuffle"], topk=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
