@@ -1970,6 +1970,70 @@ def _py_minhash_pairs(
     return out
 
 
+def _py_neardup_incremental(
+    n: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.3
+) -> list[tuple[int, int, float]]:
+    """Twin of ops.dedup.neardup_incremental with the even-doc corpus as
+    the frozen index and the odd docs as the arriving batch: candidates
+    are (new, old) band-bucket collisions ONLY (no in-batch pairs),
+    verified by exact shingle Jaccard."""
+    from collections import defaultdict
+
+    from cypher_guard_spark.oracle import spark_hash, spark_xxhash64
+
+    rows_per_band = num_hashes // bands
+    shingle_sets: dict[int, list[str]] = {}
+    band_keys: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, text in _oracle_documents():
+        toks = _py_tokens(text)
+        sh = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+            )
+        )
+        if not sh:
+            continue
+        shingle_sets[doc_id] = sh
+        mh = [min(spark_hash(s, k) for s in sh) for k in range(num_hashes)]
+        band_keys[doc_id] = [
+            (b, spark_xxhash64(*mh[b * rows_per_band : (b + 1) * rows_per_band]))
+            for b in range(bands)
+        ]
+    index: defaultdict[tuple[int, int], list[int]] = defaultdict(list)
+    for doc_id, keys in band_keys.items():
+        if doc_id % 2 == 0:
+            for k in keys:
+                index[k].append(doc_id)
+    out = []
+    for doc_id, keys in band_keys.items():
+        if doc_id % 2 == 0:
+            continue
+        olds = sorted({o for k in keys for o in index.get(k, ())})
+        for o in olds:
+            sa, sb = set(shingle_sets[doc_id]), set(shingle_sets[o])
+            sim = _round6(len(sa & sb) / len(sa | sb))
+            if sim >= threshold:
+                out.append((doc_id, o, sim))
+    return sorted(out)
+
+
+def _doc_neardup_incremental_values(threshold: float = 0.3) -> str:
+    rows = [
+        f"({a}, {b}, {sim!r}::DOUBLE)"
+        for a, b, sim in _py_neardup_incremental(threshold=threshold)
+    ]
+    if not rows:
+        return (
+            "SELECT * FROM (VALUES (NULL, NULL, NULL))"
+            " AS t(new_id, old_id, sim) WHERE FALSE"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(new_id, old_id, sim)"
+    )
+
+
 def _doc_minhash_values(
     n: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.3
 ) -> str:
@@ -2651,6 +2715,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "doc_minhash_near_dups": lambda s, d: dedup.minhash_near_duplicates(
             _docs(s, d), threshold=0.3
+        ),
+        "doc_neardup_incremental": lambda s, d: dedup.neardup_incremental(
+            _docs(s, d).where(F.col("doc_id") % 2 == 1),
+            dedup.band_rows(_docs(s, d).where(F.col("doc_id") % 2 == 0)),
+            _docs(s, d).where(F.col("doc_id") % 2 == 0),
+            threshold=0.3,
         ),
         "doc_simhash_near_dups": lambda s, d: dedup.simhash_near_duplicates(
             _docs(s, d), max_hamming=12
@@ -3713,6 +3783,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_components": _kg_components_values(),
         "kg_media_links": _kg_media_links_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
+        "doc_neardup_incremental": _doc_neardup_incremental_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),
         "doc_neardup_clusters": _doc_neardup_clusters_values(),
         "doc_neardup_survivors": _doc_neardup_survivors_sql(),

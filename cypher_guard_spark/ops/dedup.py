@@ -186,6 +186,47 @@ def ngram_jaccard_pairs(
     ).where(F.col("sim") >= threshold)
 
 
+def band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """(doc_id, band, bh) — each document's LSH band signatures; the
+    shared front half of batch near-dup (`minhash_near_duplicates`), the
+    at-rest index (`write_minhash_index`), and the incremental query
+    (`neardup_incremental`).
+
+    The whole banding pipeline is ONE expression with the shingle array
+    bound once (array-wrap lambda): per-column minhashes would let
+    CollapseProject inline the shingle computation into every one of the
+    `num_hashes` projections (measured ~2x wall on this operator). Band b
+    hashes its `rows_per_band` minhashes with xxhash64, matching the
+    pure-Python oracle's fold exactly (`hash(x, k)` with k an int
+    expression hashes k as a second argument, same as the literal form).
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        "doc_id", F.array_distinct(word_shingles(text_col, n)).alias("sh")
+    ).where(F.size("sh") > 0)
+    mh = lambda b, r: (  # noqa: E731
+        f"array_min(transform(sh, x -> hash(x, b * {rows_per_band} + {r})))"
+    )
+    band_struct = (
+        "named_struct('band', b, 'bh', xxhash64("
+        + ", ".join(mh("b", r) for r in range(rows_per_band))
+        + "))"
+    )
+    bands_expr = F.expr(
+        f"transform(array(sh), sh -> transform(sequence(0, {bands - 1}), "
+        f"b -> {band_struct}))[0]"
+    )
+    return base.select("doc_id", F.explode(bands_expr).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bh"
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -224,32 +265,7 @@ def minhash_near_duplicates(
     k near-identical docs, the k²/2 pairs are real output, and the split
     spreads their verification across tasks instead of serializing it.
     """
-    rows_per_band = num_hashes // bands
-    base = df.select(
-        "doc_id", F.array_distinct(word_shingles(text_col, n)).alias("sh")
-    ).where(F.size("sh") > 0)
-    # the whole banding pipeline is ONE expression with the shingle array
-    # bound once (array-wrap lambda): per-column minhashes would let
-    # CollapseProject inline the shingle computation into every one of the
-    # `num_hashes` projections (measured ~2x wall on this operator). Band b
-    # hashes its `rows_per_band` minhashes with xxhash64, matching the
-    # pure-Python oracle's fold exactly (`hash(x, k)` with k an int
-    # expression hashes k as a second argument, same as the literal form).
-    mh = lambda b, r: (  # noqa: E731
-        f"array_min(transform(sh, x -> hash(x, b * {rows_per_band} + {r})))"
-    )
-    band_struct = (
-        "named_struct('band', b, 'bh', xxhash64("
-        + ", ".join(mh("b", r) for r in range(rows_per_band))
-        + "))"
-    )
-    bands_expr = F.expr(
-        f"transform(array(sh), sh -> transform(sequence(0, {bands - 1}), "
-        f"b -> {band_struct}))[0]"
-    )
-    banded = base.select("doc_id", F.explode(bands_expr).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bh"
-    )
+    banded = band_rows(df, text_col, n, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -741,4 +757,112 @@ def dup_ngram_coverage(
                 6,
             ).alias("coverage"),
         )
+    )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the corpus's LSH band signatures as the at-rest
+    NEAR-dup index (`band_rows` at rest) — the fuzzy sibling of
+    `write_digest_index`. Rows are (doc_id, band, bh) — 20 bytes each,
+    never payloads; `bucket` (pmod of bh) partitions the store so
+    appends of a new crawl's bands land in stable directories. A 10^12-
+    doc corpus indexes once; every nightly batch then pays a band join
+    proportional to the BATCH, not the history."""
+    (
+        band_rows(df, text_col, n, num_hashes, bands)
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("bh"), F.lit(n_buckets)).cast("int")
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def neardup_incremental(
+    new_df: DataFrame,
+    index_bands: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """(new_id, old_id, sim) — new-batch documents that near-duplicate an
+    ALREADY-INDEXED corpus document: the incremental face of
+    `minhash_near_duplicates`, and the doc-level analogue of the sticky
+    entity-map update (`pipeline/canonicalize.py:update_entity_map`) —
+    history is frozen, the band join is NEW × INDEX (one-sided: pair
+    volume scales with the batch, never the history²).
+
+    ``index_bands`` is the at-rest (doc_id, band, bh) table
+    (`spark.read.parquet(index_path)` from `write_minhash_index`) or any
+    DataFrame of that shape; ``corpus_df`` supplies the indexed docs'
+    text for exact-Jaccard verification — read via a leftsemi on the
+    candidate ids, so the history scan prunes to O(candidates) rows
+    (parquet row-group pruning on doc_id where the corpus store sorts by
+    it). The batch side is re-shingled the same way. In-batch duplicates
+    are NOT reported here — run the batch through
+    `minhash_near_duplicates` for the within-batch pairs; composing both
+    is the full nightly dedup.
+    """
+    nb = band_rows(new_df, text_col, n, num_hashes, bands)
+    cand = (
+        nb.alias("n")
+        .join(
+            index_bands.alias("o"),
+            on=[
+                F.col("n.band") == F.col("o.band"),
+                F.col("n.bh") == F.col("o.bh"),
+                F.col("n.doc_id") != F.col("o.doc_id"),
+            ],
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("o.doc_id").alias("old_id"),
+        )
+        .dropDuplicates(["new_id", "old_id"])
+    )
+
+    def side_shingles(side: str, src: DataFrame) -> DataFrame:
+        ids = cand.select(F.col(side).alias("doc_id"))
+        sub = src.join(ids, "doc_id", "leftsemi")
+        return sub.select(
+            F.col("doc_id").alias(side),
+            F.array_distinct(word_shingles(text_col, n)).alias(f"s_{side}"),
+        )
+
+    ver = (
+        cand.join(side_shingles("new_id", new_df), "new_id")
+        .join(side_shingles("old_id", corpus_df), "old_id")
+    )
+    sim = F.round(
+        F.size(F.array_intersect("s_new_id", "s_old_id"))
+        / F.size(F.array_union("s_new_id", "s_old_id")),
+        6,
+    )
+    return ver.select("new_id", "old_id", sim.alias("sim")).where(
+        F.col("sim") >= threshold
+    )
+
+
+def neardup_against_index(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    corpus_df: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """`neardup_incremental` against the at-rest index at ``index_path``."""
+    return neardup_incremental(
+        new_df, spark.read.parquet(index_path), corpus_df, **kwargs
     )

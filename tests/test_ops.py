@@ -1394,3 +1394,73 @@ def test_bm25_score_pass_plan(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup against the at-rest MinHash index
+# ---------------------------------------------------------------------------
+
+NEARDUP_HISTORY = [
+    (10, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (12, "completely unrelated indexed text about spark shuffles and joins"),
+]
+NEARDUP_BATCH = [
+    # near-dup of doc 10 (one word changed)
+    (21, "the quick brown fox jumps over the lazy cat near the river bank"),
+    # novel
+    (23, "fresh never seen content with its own vocabulary and phrasing"),
+    # in-batch near-dups of each other, NOT of history: must not appear
+    (25, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (27, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+]
+
+
+def test_neardup_incremental_semantics(spark):
+    from cypher_guard_spark.ops.dedup import band_rows, neardup_incremental
+
+    hist = spark.createDataFrame(NEARDUP_HISTORY, ["doc_id", "text"])
+    batch = spark.createDataFrame(NEARDUP_BATCH, ["doc_id", "text"])
+    got = neardup_incremental(
+        batch, band_rows(hist), hist, threshold=0.3
+    ).collect()
+    pairs = {(r["new_id"], r["old_id"]) for r in got}
+    assert pairs == {(21, 10)}  # only the batch-vs-history near-dup
+    sim = {(r["new_id"], r["old_id"]): r["sim"] for r in got}[(21, 10)]
+    assert 0.3 <= sim < 1.0
+
+
+def test_neardup_at_rest_index_roundtrip(spark, tmp_path):
+    from cypher_guard_spark.ops.dedup import (
+        band_rows,
+        neardup_against_index,
+        neardup_incremental,
+        write_minhash_index,
+    )
+
+    hist = spark.createDataFrame(NEARDUP_HISTORY, ["doc_id", "text"])
+    batch = spark.createDataFrame(NEARDUP_BATCH, ["doc_id", "text"])
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(hist, path)
+    at_rest = neardup_against_index(spark, batch, path, hist, threshold=0.3)
+    in_mem = neardup_incremental(batch, band_rows(hist), hist, threshold=0.3)
+    assert sorted(map(tuple, at_rest.collect())) == sorted(
+        map(tuple, in_mem.collect())
+    )
+    # the store holds (doc_id, band, bh) partitioned by bucket — no text
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"doc_id", "band", "bh", "bucket"}
+
+
+def test_neardup_incremental_exact_dup_and_empty(spark):
+    from cypher_guard_spark.ops.dedup import band_rows, neardup_incremental
+
+    hist = spark.createDataFrame(NEARDUP_HISTORY, ["doc_id", "text"])
+    # exact duplicate of history -> sim 1.0
+    batch = spark.createDataFrame(
+        [(31, NEARDUP_HISTORY[0][1])], ["doc_id", "text"]
+    )
+    got = neardup_incremental(batch, band_rows(hist), hist).collect()
+    assert [(r["new_id"], r["old_id"], r["sim"]) for r in got] == [(31, 10, 1.0)]
+    # empty batch -> empty result
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert neardup_incremental(empty, band_rows(hist), hist).count() == 0
