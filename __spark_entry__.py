@@ -761,6 +761,56 @@ def _kg_shortest_paths_values(max_rounds: int = 8) -> str:
     )
 
 
+def q_kg_triple_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence fusion over the canonical triple stream
+    (`pipeline/graph_store.py:fuse_triples`, exact mode for the oracle):
+    one row per distinct fact with observation counts, provenance doc
+    range, and the noisy-OR fused confidence."""
+    from cypher_guard_spark.pipeline.graph_store import fuse_triples
+
+    canon = _kg_canonical_full(spark)
+    return fuse_triples(canon, exact=True)
+
+
+def _kg_triple_fusion_values() -> str:
+    """Serial twin: canonical mapping applied to the conf-carrying raw
+    triples, then per-fact sorted-fold noisy-OR."""
+    from collections import defaultdict
+
+    from cypher_guard_spark.pipeline.canonicalize import _driver_entity_map
+
+    raw = _py_kg_raw_triples_conf()
+    counts = _py_mention_counts([t[:6] for t in raw])
+    emap = {
+        (l, s): canon
+        for l, s, canon in _driver_entity_map(
+            [(l, s, n) for (l, s), n in counts.items()], 16, 8, 0.6
+        )
+    }
+    groups: dict = defaultdict(list)
+    for d, s, r, o, sl, ol, conf in raw:
+        key = (emap.get((sl, s), s), r, emap.get((ol, o), o))
+        groups[key].append((d, conf))
+    rows = []
+    for (s, r, o), obs in groups.items():
+        docs = [d for d, _c in obs]
+        prod = 1.0
+        for c in sorted(1.0 - c for _d, c in obs):
+            prod = prod * c
+        rows.append(
+            f"({_sql_quote(s)}, {_sql_quote(r)}, {_sql_quote(o)}, "
+            f"{len(obs)}, {len(set(docs))}, {_sql_quote(min(docs))}, "
+            f"{_sql_quote(max(docs))}, {max(c for _d, c in obs)!r}::DOUBLE, "
+            f"{_round6(1.0 - prod)!r}::DOUBLE)"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(subj, pred, obj, n_obs, n_docs, first_doc, last_doc,"
+        " max_conf, agg_conf)"
+    )
+
+
 def q_kg_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relationship-schema inference over the canonical triple stream
     (`pipeline/schema_infer.py:infer_relationship_schema`): per observed
@@ -1658,9 +1708,11 @@ def _kg_pagerank_values(iters: int = 3, damping: float = 0.85) -> str:
     return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(entity, rank)"
 
 
-def _py_kg_raw_triples() -> list:
+def _py_kg_raw_triples_conf() -> list:
     """Regex-extraction twin over the synthesized corpus (same render as
-    `_kg_triples_raw_values`): [(doc_id, subj, pred, obj, sl, ol)]."""
+    `_kg_triples_raw_values`), with the extraction UDF's confidence
+    formula (mentions.py: 0.9 + 0.1*min(len/80, 1) — identical IEEE op
+    order): [(doc_id, subj, pred, obj, sl, ol, conf)]."""
     import re
 
     from cypher_guard_spark.pipeline.synth import _render_doc
@@ -1684,9 +1736,17 @@ def _py_kg_raw_triples() -> list:
             for pat, rel, sl, ol in pats:
                 m = pat.match(span["text"])
                 if m:
-                    triples.append((doc_id, m.group(1), rel, m.group(2), sl, ol))
+                    conf = 0.9 + 0.1 * min(len(span["text"]) / 80.0, 1.0)
+                    triples.append(
+                        (doc_id, m.group(1), rel, m.group(2), sl, ol, conf)
+                    )
                     break
     return triples
+
+
+def _py_kg_raw_triples() -> list:
+    """[(doc_id, subj, pred, obj, sl, ol)] — conf stripped."""
+    return [t[:6] for t in _py_kg_raw_triples_conf()]
 
 
 def _py_mention_counts(triples) -> dict:
@@ -2926,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_infer": q_kg_schema_infer,
         "kg_schema_roundtrip": q_kg_schema_roundtrip,
         "kg_shortest_paths": q_kg_shortest_paths,
+        "kg_triple_fusion": q_kg_triple_fusion,
         "kg_triple_diff": q_kg_triple_diff,
         "kg_entity_similarity": q_kg_entity_similarity,
         "kg_communities": q_kg_communities,
@@ -3768,6 +3829,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_schema_infer": _kg_schema_infer_sql(),
         "kg_schema_roundtrip": _kg_schema_roundtrip_sql(),
         "kg_shortest_paths": _kg_shortest_paths_values(),
+        "kg_triple_fusion": _kg_triple_fusion_values(),
         "kg_triple_diff": _kg_triple_diff_values(),
         "kg_entity_similarity": _kg_entity_similarity_values(),
         "kg_communities": _kg_communities_values(),

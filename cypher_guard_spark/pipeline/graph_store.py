@@ -126,3 +126,68 @@ def triple_diff(
         .otherwise(F.lit("removed"))
         .alias("status"),
     )
+
+
+def fuse_triples(triples: DataFrame, exact: bool = False) -> DataFrame:
+    """Evidence fusion: the canonical triple stream (one row per
+    OBSERVATION, duplicates across documents expected) collapsed to one
+    row per distinct (subj, pred, obj) fact with its provenance and a
+    fused confidence — the step that turns extraction output into the
+    dedup'd fact table a property graph actually materializes:
+
+    - ``n_obs``      observation count (evidence weight),
+    - ``n_docs``     distinct supporting documents,
+    - ``first_doc`` / ``last_doc``   min/max doc_id (provenance range;
+      swap in an event-time column upstream for temporal provenance),
+    - ``max_conf``   strongest single observation,
+    - ``agg_conf``   noisy-OR fusion ``1 - Π(1 - conf_i)`` rounded 6dp —
+      independent-evidence combination (Dong et al., knowledge fusion):
+      two weak observations beat one, saturating at 1.
+
+    Determinism contract (same split as PageRank/HITS): FP multiplication
+    is order-sensitive, so ``exact=True`` folds the VALUE-SORTED
+    complement list (collect_list bounded by the fact's observation
+    count — a famous fact with 10^8 observations makes that list
+    executor-hostile, so exact mode is for the oracle gate); the DEFAULT
+    partial-agg mode fuses via ``exp(Σ ln(1-conf))`` — map-side
+    combining, hub-safe, FP-order-dependent in the last ulp, with the
+    ``conf == 1.0`` branch handled exactly (any certain observation
+    forces agg_conf = 1 without evaluating ln(0)).
+
+    One partial-aggregating shuffle on the fact key; rows carry
+    (ids, doc_id, conf) only.
+    """
+    g = triples.groupBy("subj", "pred", "obj")
+    base = [
+        F.count("*").alias("n_obs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.max("conf").alias("max_conf"),
+    ]
+    if exact:
+        fused = F.round(
+            F.lit(1.0)
+            - F.aggregate(
+                F.array_sort(F.collect_list(F.lit(1.0) - F.col("conf"))),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            ),
+            6,
+        )
+        return g.agg(*base, fused.alias("agg_conf"))
+    # scale mode: ln-sum product, certain observations short-circuited
+    certain = F.max((F.col("conf") >= 1.0).cast("int"))
+    lnsum = F.sum(
+        F.when(F.col("conf") >= 1.0, F.lit(0.0)).otherwise(
+            F.log(F.lit(1.0) - F.col("conf"))
+        )
+    )
+    out = g.agg(*base, certain.alias("__c"), lnsum.alias("__l"))
+    fused = F.when(F.col("__c") == 1, F.lit(1.0)).otherwise(
+        F.round(F.lit(1.0) - F.exp(F.col("__l")), 6)
+    )
+    return out.select(
+        "subj", "pred", "obj", "n_obs", "n_docs", "first_doc", "last_doc",
+        "max_conf", fused.alias("agg_conf"),
+    )

@@ -125,3 +125,69 @@ def test_triple_diff_set_arithmetic(spark):
         ).collect()
     }
     assert got2 == {"added", "removed"}
+
+
+# ---------------------------------------------------------------------------
+# fuse_triples (evidence fusion / noisy-OR)
+# ---------------------------------------------------------------------------
+
+FUSE_ROWS = [
+    # (doc_id, subj, pred, obj, conf) — fact A observed 3x, one certain,
+    # fact B observed once, fact C twice with weak evidence
+    ("d1", "a", "R", "b", 0.9),
+    ("d2", "a", "R", "b", 1.0),
+    ("d2", "a", "R", "b", 0.95),
+    ("d3", "x", "R", "y", 0.9),
+    ("d1", "p", "S", "q", 0.5),
+    ("d4", "p", "S", "q", 0.5),
+]
+
+
+def _fuse_df(spark):
+    return spark.createDataFrame(
+        FUSE_ROWS, ["doc_id", "subj", "pred", "obj", "conf"]
+    )
+
+
+def test_fuse_exact_matches_twin(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cypher_guard_spark.pipeline.graph_store import fuse_triples
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r
+        for r in fuse_triples(_fuse_df(spark), exact=True).collect()
+    }
+    a = got[("a", "R", "b")]
+    assert (a["n_obs"], a["n_docs"], a["first_doc"], a["last_doc"]) == (3, 2, "d1", "d2")
+    assert a["max_conf"] == 1.0 and a["agg_conf"] == 1.0  # certain evidence
+    b = got[("x", "R", "y")]
+    assert b["n_obs"] == 1 and b["agg_conf"] == r6(0.9)
+    c = got[("p", "S", "q")]
+    # noisy-or of two 0.5s: 1 - 0.5*0.5 = 0.75
+    assert c["n_obs"] == 2 and c["agg_conf"] == r6(1.0 - 0.5 * 0.5)
+
+
+def test_fuse_fast_mode_close_and_hub_safe_plan(spark):
+    from cypher_guard_spark.pipeline.graph_store import fuse_triples
+
+    exact = {
+        (r["subj"], r["pred"], r["obj"]): r["agg_conf"]
+        for r in fuse_triples(_fuse_df(spark), exact=True).collect()
+    }
+    fast_df = fuse_triples(_fuse_df(spark), exact=False)
+    fast = {
+        (r["subj"], r["pred"], r["obj"]): r["agg_conf"]
+        for r in fast_df.collect()
+    }
+    assert exact.keys() == fast.keys()
+    for k in exact:
+        assert abs(exact[k] - fast[k]) < 1e-9
+    # certain observation must short-circuit exactly (no ln(0) NaN)
+    assert fast[("a", "R", "b")] == 1.0
+    # the default mode's plan carries no per-fact list aggregate
+    plan = fast_df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
