@@ -811,6 +811,120 @@ def _kg_triple_fusion_values() -> str:
     )
 
 
+def q_kg_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts over the kg_random_walks corpus
+    (`pipeline/graph_algo.py:walk_skipgram_pairs`, window=2) — the
+    aggregated (center, context) training-pair matrix node2vec-style
+    embedding training consumes."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        random_walks,
+        walk_skipgram_pairs,
+    )
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    walks = random_walks(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        length=4,
+        walks_per_node=2,
+        seed=7,
+    )
+    return walk_skipgram_pairs(walks, window=2)
+
+
+def _kg_walk_pairs_sql(window: int = 2) -> str:
+    """Composed oracle: the walk VALUES twin + the textbook pair rule
+    (every ordered pair on the same walk within `window` steps)."""
+    return f"""
+WITH walks AS ({_kg_random_walks_values()})
+SELECT a.vertex AS center, b.vertex AS context, COUNT(*) AS cnt
+FROM walks a
+JOIN walks b
+  ON a.start = b.start AND a.rep = b.rep
+ AND a.step <> b.step AND abs(a.step - b.step) <= {window}
+GROUP BY a.vertex, b.vertex
+"""
+
+
+def q_kg_entity_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level entity co-occurrence + PMI lift over the canonical
+    triples (`pipeline/graph_algo.py:entity_cooccurrence`) — the
+    relatedness-graph construction step (KG-completion candidates)."""
+    from cypher_guard_spark.pipeline.graph_algo import entity_cooccurrence
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return entity_cooccurrence(canon, min_docs=1)
+
+
+def _kg_entity_cooccur_sql() -> str:
+    """Composed oracle over the canonical twin: distinct (doc, entity),
+    per-entity doc frequencies, unordered within-doc pairs, and the same
+    one-division rational lift (int products → one divide → round 6)."""
+    return f"""
+WITH t AS ({_kg_canonical_triples_values()}),
+ents AS (
+  SELECT DISTINCT doc_id, entity FROM (
+    SELECT doc_id, subj AS entity FROM t
+    UNION ALL
+    SELECT doc_id, obj AS entity FROM t
+  )
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM ents),
+freq AS (SELECT entity, COUNT(*) AS df FROM ents GROUP BY entity),
+pairs AS (
+  SELECT a.entity AS entity_a, b.entity AS entity_b, COUNT(*) AS n_docs_both
+  FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.entity < b.entity
+  GROUP BY a.entity, b.entity
+)
+SELECT p.entity_a, p.entity_b, p.n_docs_both,
+       ROUND(CAST(p.n_docs_both * n.nd AS DOUBLE)
+             / CAST(fa.df * fb.df AS DOUBLE), 6) AS lift
+FROM pairs p
+CROSS JOIN n
+JOIN freq fa ON fa.entity = p.entity_a
+JOIN freq fb ON fb.entity = p.entity_b
+"""
+
+
+def q_kg_fuzzy_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-label surface pairs within Levenshtein distance 1 via
+    SymSpell deletion-neighborhood blocking
+    (`pipeline/canonicalize.py:fuzzy_name_pairs`) — the typo/OCR-robust
+    complement to 3-gram MinHash blocking on short entity names."""
+    from cypher_guard_spark.pipeline import synthesize_documents
+    from cypher_guard_spark.pipeline.canonicalize import fuzzy_name_pairs
+    from cypher_guard_spark.pipeline.mentions import (
+        extract_triples_raw,
+        mentions_from_triples,
+    )
+
+    docs = synthesize_documents(spark, _KG_DOCS)
+    mentions = mentions_from_triples(extract_triples_raw(docs))
+    return fuzzy_name_pairs(
+        mentions.select("label", "surface"), max_dist=1
+    )
+
+
+def _kg_fuzzy_surfaces_sql(max_dist: int = 1) -> str:
+    """Brute-force oracle: DuckDB's own levenshtein over all same-label
+    surface pairs from the raw-extraction twin — independent of the
+    deletion-neighborhood blocking, so it checks completeness too."""
+    surf = sorted(
+        {(sl, s) for _d, s, _r, o, sl, ol in _py_kg_raw_triples()}
+        | {(ol, o) for _d, s, _r, o, sl, ol in _py_kg_raw_triples()}
+    )
+    rows = ", ".join(
+        f"({_sql_quote(l)}, {_sql_quote(s)})" for l, s in surf
+    )
+    return f"""
+WITH s AS (SELECT * FROM (VALUES {rows}) AS t(label, surface))
+SELECT a.label, a.surface AS surface_a, b.surface AS surface_b,
+       levenshtein(a.surface, b.surface) AS dist
+FROM s a JOIN s b ON a.label = b.label AND a.surface < b.surface
+WHERE levenshtein(a.surface, b.surface) <= {max_dist}
+"""
+
+
 def q_kg_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relationship-schema inference over the canonical triple stream
     (`pipeline/schema_infer.py:infer_relationship_schema`): per observed
@@ -2983,6 +3097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_hits": q_kg_hits,
         "kg_random_walks": q_kg_random_walks,
+        "kg_walk_pairs": q_kg_walk_pairs,
+        "kg_entity_cooccur": q_kg_entity_cooccur,
+        "kg_fuzzy_surfaces": q_kg_fuzzy_surfaces,
         "kg_schema_infer": q_kg_schema_infer,
         "kg_schema_roundtrip": q_kg_schema_roundtrip,
         "kg_shortest_paths": q_kg_shortest_paths,
@@ -3826,6 +3943,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_pagerank": _kg_pagerank_values(),
         "kg_hits": _kg_hits_values(),
         "kg_random_walks": _kg_random_walks_values(),
+        "kg_walk_pairs": _kg_walk_pairs_sql(),
+        "kg_entity_cooccur": _kg_entity_cooccur_sql(),
+        "kg_fuzzy_surfaces": _kg_fuzzy_surfaces_sql(),
         "kg_schema_infer": _kg_schema_infer_sql(),
         "kg_schema_roundtrip": _kg_schema_roundtrip_sql(),
         "kg_shortest_paths": _kg_shortest_paths_values(),

@@ -632,3 +632,71 @@ def update_entity_map(
     return old.select(
         "label", "surface", "canonical", F.lit("existing").alias("status")
     ).unionByName(assigned)
+
+
+def fuzzy_name_pairs(
+    surfaces: DataFrame,
+    max_dist: int = 1,
+    col: str = "surface",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, surface_a, surface_b, dist) — every unordered same-label
+    surface pair within Levenshtein distance `max_dist`, found WITHOUT an
+    all-pairs comparison: SymSpell deletion-neighborhood blocking. This is
+    the typo/OCR-robust complement to the 3-gram MinHash blocking above —
+    character n-gram Jaccard is weak on SHORT strings (entity names),
+    where a single-char substitution ("J. Smith" / "K. Smith") moves a
+    third of the shingle set but is edit distance 1.
+
+    Candidate generation: each surface emits its depth-≤`max_dist`
+    deletion neighborhood (all strings reachable by deleting up to
+    `max_dist` chars — O(len^k) variants, built JVM-side with nested
+    transform/flatten, no Python); two surfaces within edit distance k
+    ALWAYS share a depth-k deletion variant (take an optimal alignment:
+    delete from `a` the chars it substitutes/deletes, from `b` the chars
+    it substitutes/inserts — both reach the common subsequence in ≤ k
+    deletions), so the equi-join on (label, variant) is a COMPLETE
+    blocking scheme and the result equals brute force exactly. False
+    candidates are pruned by one integer `levenshtein` per DISTINCT pair
+    (exact in every engine — no FP anywhere in this operator).
+
+    Scale: the shuffle carries (label, variant, surface) — short strings,
+    never payloads; pair volume is quadratic only within a shared-variant
+    block (names colliding after k deletions), the same locality bound as
+    the LSH band join, and the one skew risk — a degenerate variant like
+    a single char shared by many 2-char names — is bounded by `len > k`
+    surfaces only having variants of length ≥ len−k."""
+    base = (
+        surfaces.select(
+            F.col(label_col).alias("label"), F.col(col).alias("s")
+        )
+        .where(F.length("s") > 0)
+        .distinct()
+    )
+    del1 = (
+        "array_distinct(flatten(transform(V, s -> "
+        "case when length(s) >= 1 then "
+        "transform(sequence(1, length(s)), "
+        "i -> concat(substring(s, 1, i - 1), substring(s, i + 1, length(s)))) "
+        "else array() end)))"
+    )
+    var_expr = "array(s)"
+    for _ in range(max_dist):
+        var_expr = f"array_distinct(array_union({var_expr}, {del1.replace('V', var_expr)}))"
+    vars_df = base.select(
+        "label", "s", F.explode(F.expr(var_expr)).alias("v")
+    )
+    a = vars_df.select("label", "v", F.col("s").alias("surface_a"))
+    b = vars_df.select("label", "v", F.col("s").alias("surface_b"))
+    cands = (
+        a.join(b, ["label", "v"])
+        .where(F.col("surface_a") < F.col("surface_b"))
+        .select("label", "surface_a", "surface_b")
+        .distinct()
+    )
+    return cands.select(
+        "label",
+        "surface_a",
+        "surface_b",
+        F.levenshtein("surface_a", "surface_b").alias("dist"),
+    ).where(F.col("dist") <= max_dist)

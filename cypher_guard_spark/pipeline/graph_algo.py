@@ -877,3 +877,108 @@ def shortest_paths(
         if improved == 0:
             break
     return dist
+
+
+def walk_skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """(center, context, cnt) — skip-gram co-occurrence counts over a
+    random-walk corpus (the `random_walks` output), i.e. the aggregated
+    training-pair matrix that node2vec/DeepWalk skip-gram (or GloVe-style)
+    embedding training consumes: every ordered pair of vertices within
+    `window` steps of each other on the same walk, counted across the
+    whole corpus.
+
+    Emitting AGGREGATED counts instead of the raw pair stream is the
+    scale choice: pair generation is map-side (per-walk `lead` windows
+    over walk-length≈5 rows, one exchange keyed by the walk id), and the
+    count partial-aggregates map-side, so a popular vertex appearing in
+    10^8 walks combines before the shuffle instead of shipping 10^8 pair
+    rows keyed by itself. Output is symmetric by construction ((a,b) and
+    (b,a) both counted — the standard skip-gram convention where every
+    position is a center); a walk that revisits a vertex within the
+    window yields a self-pair, kept (deterministic, and a real signal of
+    short cycles). Two exchanges total: the walk-id window sort + the
+    (center, context) partial agg."""
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = Window.partitionBy("start", "rep").orderBy("step")
+    legs = []
+    for k in range(1, window + 1):
+        ahead = walks.select(
+            F.col("vertex").alias("center"),
+            F.lead("vertex", k).over(w).alias("context"),
+        ).where(F.col("context").isNotNull())
+        legs.append(ahead)
+        legs.append(ahead.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        ))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.groupBy("center", "context").agg(F.count("*").alias("cnt"))
+
+
+def entity_cooccurrence(
+    triples: DataFrame, min_docs: int = 1
+) -> DataFrame:
+    """(entity_a, entity_b, n_docs_both, lift) — document-level entity
+    co-occurrence with the PMI lift ratio, the standard relatedness-graph
+    construction step (entities that keep appearing in the same documents
+    are related even when no explicit triple links them — the signal used
+    for KG completion candidates and entity-embedding features).
+
+    lift = n_docs_both * N / (n_docs_a * n_docs_b), N = documents with at
+    least one entity; PMI is log(lift) — the log is monotone, so ranking
+    on `lift` is ranking on PMI, and keeping the one-division rational
+    form makes the 6dp value bit-identical across engines (int64 products
+    are exact; note at 10^12 docs n_ab*N overflows int64 — at that scale
+    cast to double first and accept last-ulp drift, same trade as the
+    exact/fast kernels documented in this module's header).
+
+    Shape: one distinct over (doc_id, entity) — entity mentions partial-
+    aggregate map-side; the pair self-join is keyed by doc_id (per-doc
+    fan bounded by entities-per-document, a content bound independent of
+    corpus size); per-entity doc frequencies are an entity-vocab-sized
+    table joined back twice (broadcast-eligible, AQE picks it); N is one
+    driver scalar baked as a literal. Unordered pairs (entity_a <
+    entity_b) once each."""
+    ents = (
+        triples.select("doc_id", F.col("subj").alias("entity"))
+        .unionByName(triples.select("doc_id", F.col("obj").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_docs = ents.select("doc_id").distinct().count()
+    if n_docs == 0:
+        return ents.sparkSession.createDataFrame(
+            [], "entity_a string, entity_b string, n_docs_both long, lift double"
+        )
+    freq = ents.groupBy("entity").agg(F.count("*").alias("df"))
+    a = ents.select("doc_id", F.col("entity").alias("entity_a"))
+    b = ents.select("doc_id", F.col("entity").alias("entity_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count("*").alias("n_docs_both"))
+        .where(F.col("n_docs_both") >= min_docs)
+    )
+    fa = freq.select(F.col("entity").alias("entity_a"), F.col("df").alias("df_a"))
+    fb = freq.select(F.col("entity").alias("entity_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(fa), "entity_a")
+        .join(F.broadcast(fb), "entity_b")
+        .select(
+            "entity_a",
+            "entity_b",
+            "n_docs_both",
+            F.round(
+                (F.col("n_docs_both") * F.lit(n_docs)).cast("double")
+                / (F.col("df_a") * F.col("df_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -10,9 +10,17 @@ if str(REPO_ROOT) not in sys.path:
 from cypher_guard_spark.guard import DbSchema  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="module")
 def spark():
-    """Shared local session for Spark-facing tests (modules may override)."""
+    """Shared local session for Spark-facing tests (modules may override).
+
+    MODULE scope, not session: several test modules build their own
+    session and `.stop()` it at module teardown — with `getOrCreate`
+    they all share ONE SparkContext, so a session-scoped fixture here
+    would cache a context some other module later kills (the r4
+    mid-suite `'NoneType' has no attribute 'sc'` cascade). Per-module
+    re-entry is self-healing: `getOrCreate` never returns a stopped
+    context, and it's free when the previous module left one alive."""
     from cypher_guard_spark.spark import build_session
 
     s = build_session(

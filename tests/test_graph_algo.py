@@ -811,3 +811,93 @@ def test_shortest_paths_multi_source_and_negative_reject(spark):
     neg = spark.createDataFrame([("a", "b", -1.0)], ["src", "dst", "w"])
     with pytest.raises(ValueError, match="non-negative"):
         shortest_paths(spark, neg, seeds, weight="w")
+
+
+# ---------------------------------------------------------------- walk pairs
+
+
+def test_walk_skipgram_pairs_match_bruteforce(spark):
+    """Counts equal the per-walk all-pairs-within-window rule, both
+    directions, including a revisit self-pair."""
+    from cypher_guard_spark.pipeline.graph_algo import walk_skipgram_pairs
+
+    walks = [
+        # walk 1: a b c d  — pairs within window 2
+        ("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"), ("a", 0, 3, "d"),
+        # walk 2 revisits b at distance 2 -> (b, b) self-pair
+        ("b", 0, 0, "b"), ("b", 0, 1, "x"), ("b", 0, 2, "b"),
+        # length-1 walk: no pairs
+        ("z", 1, 0, "z"),
+    ]
+    df = spark.createDataFrame(
+        walks, "start string, rep int, step int, vertex string"
+    )
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in walk_skipgram_pairs(df, window=2).collect()
+    }
+    from collections import defaultdict
+
+    want: dict = defaultdict(int)
+    bywalk: dict = defaultdict(list)
+    for s, rep, step, v in walks:
+        bywalk[(s, rep)].append((step, v))
+    for steps in bywalk.values():
+        for i, vi in steps:
+            for j, vj in steps:
+                if i != j and abs(i - j) <= 2:
+                    want[(vi, vj)] += 1
+    assert got == dict(want)
+    assert got[("b", "b")] == 2  # revisit pair, both directions
+
+
+def test_walk_skipgram_pairs_symmetric_and_window1(spark):
+    from cypher_guard_spark.pipeline.graph_algo import walk_skipgram_pairs
+
+    df = spark.createDataFrame(
+        [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c")],
+        "start string, rep int, step int, vertex string",
+    )
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in walk_skipgram_pairs(df, window=1).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1, ("c", "b"): 1}
+    with pytest.raises(ValueError):
+        walk_skipgram_pairs(df, window=0)
+
+
+# ------------------------------------------------------------- cooccurrence
+
+
+def test_entity_cooccurrence_matches_bruteforce(spark):
+    from cypher_guard_spark.pipeline.graph_algo import entity_cooccurrence
+
+    triples = [
+        # d1: {a, b, c}; d2: {a, b}; d3: {a}; duplicate mentions collapse
+        ("d1", "a", "R", "b"), ("d1", "b", "R", "c"), ("d1", "a", "R", "b"),
+        ("d2", "a", "R", "b"),
+        ("d3", "a", "R", "a"),
+    ]
+    df = spark.createDataFrame(triples, "doc_id string, subj string, pred string, obj string")
+    got = {
+        (r["entity_a"], r["entity_b"]): (r["n_docs_both"], r["lift"])
+        for r in entity_cooccurrence(df).collect()
+    }
+    # N=3 docs; df(a)=3, df(b)=2, df(c)=1
+    assert got[("a", "b")] == (2, round(2 * 3 / (3 * 2), 6))
+    assert got[("a", "c")] == (1, round(1 * 3 / (3 * 1), 6))
+    assert got[("b", "c")] == (1, round(1 * 3 / (2 * 1), 6))
+    assert len(got) == 3
+    # min_docs filter
+    filtered = entity_cooccurrence(df, min_docs=2)
+    assert {(r["entity_a"], r["entity_b"]) for r in filtered.collect()} == {("a", "b")}
+
+
+def test_entity_cooccurrence_empty(spark):
+    from cypher_guard_spark.pipeline.graph_algo import entity_cooccurrence
+
+    df = spark.createDataFrame(
+        [], "doc_id string, subj string, pred string, obj string"
+    )
+    assert entity_cooccurrence(df).count() == 0

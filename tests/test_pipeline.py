@@ -430,3 +430,59 @@ def test_update_entity_map_stickiness_and_empty_batch(spark):
     assert [(r["surface"], r["status"]) for r in got3] == [
         ("acme gmbh", "existing")
     ]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_name_pairs_complete_vs_bruteforce(spark):
+    """Deletion-neighborhood blocking finds EXACTLY the brute-force
+    Levenshtein pair set — completeness is the operator's contract."""
+    from cypher_guard_spark.pipeline.canonicalize import fuzzy_name_pairs
+
+    names = [
+        "J. Smith", "K. Smith", "J Smith", "John Smith", "Jane Smith",
+        "Acme Corp", "Acme Corpo", "Acme", "Bob", "Rob", "Bobb",
+    ]
+    rows = [("Person", n) for n in names] + [("Company", "Acme Corp")]
+    df = spark.createDataFrame(rows, "label string, surface string")
+    for k in (1, 2):
+        got = {
+            (r["label"], r["surface_a"], r["surface_b"]): r["dist"]
+            for r in fuzzy_name_pairs(df, max_dist=k).collect()
+        }
+        want = {}
+        for lab in ("Person", "Company"):
+            pool = sorted({s for l, s in rows if l == lab})
+            for i, a in enumerate(pool):
+                for b in pool[i + 1:]:
+                    d = _lev(a, b)
+                    if d <= k:
+                        want[(lab, a, b)] = d
+        assert got == want, f"k={k}"
+    # sanity: the k=1 set is non-trivial (substitution + deletion pairs)
+    k1 = fuzzy_name_pairs(df, max_dist=1).collect()
+    pairs = {(r["surface_a"], r["surface_b"]) for r in k1}
+    assert ("J. Smith", "K. Smith") in pairs  # substitution
+    assert ("Bob", "Bobb") in pairs  # insertion
+    assert ("Bob", "Rob") in pairs
+
+
+def test_fuzzy_name_pairs_label_split_and_jvm_only(spark):
+    from cypher_guard_spark.pipeline.canonicalize import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [("Person", "Acme"), ("Company", "Acmee")],
+        "label string, surface string",
+    )
+    # same strings, different labels: never paired
+    assert fuzzy_name_pairs(df, max_dist=2).count() == 0
+    plan = fuzzy_name_pairs(df, max_dist=1)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
