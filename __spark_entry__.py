@@ -925,6 +925,43 @@ WHERE levenshtein(a.surface, b.surface) <= {max_dist}
 """
 
 
+def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs bounded-hop reachability (minimal hop count ≤ 3) over
+    the directed canonical graph
+    (`pipeline/graph_algo.py:khop_neighborhoods`, semi-naive frontier
+    expansion) — the k-hop neighborhood table GNN feature engineering
+    joins against."""
+    from cypher_guard_spark.pipeline.graph_algo import khop_neighborhoods
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return khop_neighborhoods(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        k=3,
+    )
+
+
+def _kg_khop_sql(k: int = 3) -> str:
+    """Recursive-CTE oracle: DuckDB WITH RECURSIVE walk expansion over
+    the canonical twin's distinct edge set, MIN(hops) per pair — an
+    evaluation strategy (naive fixpoint over walks) entirely different
+    from the engine's semi-naive frontier/anti-join, so agreement checks
+    the algorithm, not the implementation."""
+    return f"""
+WITH RECURSIVE t AS ({_kg_canonical_triples_values()}),
+e AS (SELECT DISTINCT subj AS u, obj AS v FROM t WHERE subj <> obj),
+r AS (
+  SELECT u AS src, v AS dst, 1 AS hops FROM e
+  UNION
+  SELECT r.src, e.v AS dst, r.hops + 1
+  FROM r JOIN e ON r.dst = e.u
+  WHERE r.hops < {k}
+)
+SELECT src, dst, MIN(hops) AS hops
+FROM r WHERE src <> dst GROUP BY src, dst
+"""
+
+
 def q_kg_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relationship-schema inference over the canonical triple stream
     (`pipeline/schema_infer.py:infer_relationship_schema`): per observed
@@ -3100,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walk_pairs": q_kg_walk_pairs,
         "kg_entity_cooccur": q_kg_entity_cooccur,
         "kg_fuzzy_surfaces": q_kg_fuzzy_surfaces,
+        "kg_khop": q_kg_khop,
         "kg_schema_infer": q_kg_schema_infer,
         "kg_schema_roundtrip": q_kg_schema_roundtrip,
         "kg_shortest_paths": q_kg_shortest_paths,
@@ -3946,6 +3984,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_walk_pairs": _kg_walk_pairs_sql(),
         "kg_entity_cooccur": _kg_entity_cooccur_sql(),
         "kg_fuzzy_surfaces": _kg_fuzzy_surfaces_sql(),
+        "kg_khop": _kg_khop_sql(),
         "kg_schema_infer": _kg_schema_infer_sql(),
         "kg_schema_roundtrip": _kg_schema_roundtrip_sql(),
         "kg_shortest_paths": _kg_shortest_paths_values(),

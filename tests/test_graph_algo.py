@@ -901,3 +901,78 @@ def test_entity_cooccurrence_empty(spark):
         [], "doc_id string, subj string, pred string, obj string"
     )
     assert entity_cooccurrence(df).count() == 0
+
+
+# ----------------------------------------------------------------- k-hop
+
+
+def _khop_bruteforce(edges, k, directed=True):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            if not directed:
+                adj[v].add(u)
+    want = {}
+    for s in list(adj):
+        seen = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if seen[u] == k:
+                continue
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    q.append(v)
+        for v, d in seen.items():
+            if v != s:
+                want[(s, v)] = d
+    return want
+
+
+def test_khop_matches_bfs_bruteforce(spark):
+    """Minimal hop counts equal per-source BFS on a graph with cycles,
+    multi-edges, and a path longer than k."""
+    from cypher_guard_spark.pipeline.graph_algo import khop_neighborhoods
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),  # chain of 4 hops
+        ("a", "b"),  # multi-edge collapses
+        ("c", "a"),  # cycle
+        ("x", "x"),  # self-loop dropped
+        ("e", "f"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for directed in (True, False):
+        got = {
+            (r["src"], r["dst"]): r["hops"]
+            for r in khop_neighborhoods(spark, df, k=3, directed=directed).collect()
+        }
+        assert got == _khop_bruteforce(edges, 3, directed), f"directed={directed}"
+    # e is 4 hops from a: excluded at k=3
+    got3 = {
+        (r["src"], r["dst"])
+        for r in khop_neighborhoods(spark, df, k=3).collect()
+    }
+    assert ("a", "e") not in got3
+
+
+def test_khop_early_exit_and_k1(spark):
+    from cypher_guard_spark.pipeline.graph_algo import khop_neighborhoods
+
+    df = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    # diameter 1 either direction: k=5 converges after round 2 finds nothing
+    got = {
+        (r["src"], r["dst"]): r["hops"]
+        for r in khop_neighborhoods(spark, df, k=5).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
+    # k=1 is just the distinct edge set
+    got1 = {
+        (r["src"], r["dst"]): r["hops"]
+        for r in khop_neighborhoods(spark, df, k=1).collect()
+    }
+    assert got1 == {("a", "b"): 1, ("b", "a"): 1}

@@ -479,3 +479,107 @@ def test_stream_stream_interval_attribution(spark, tmp_path):
     assert got == want
     assert (1, 100) in got and (2, 100) in got  # edge-inclusive lower bound
     assert (4, 102) not in got  # strict upper bound: same-instant excluded
+
+
+# ---------------------------------------------------------------------------
+# streaming sticky entity map
+# ---------------------------------------------------------------------------
+
+
+def test_entity_map_stream_sticky_across_batches_and_restart(spark, tmp_path):
+    """The at-rest map accumulates across micro-batches under the sticky
+    contract: wave 2's variant of a wave-1 surface ADOPTS the frozen
+    canonical (never re-elects), drained waves survive a query restart,
+    and an idle restart appends nothing."""
+    from cypher_guard_spark.streaming.entity_map_stream import (
+        STREAM_MENTION_SCHEMA,
+        run_entity_map_stream,
+    )
+
+    src, mp, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "map"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def write_wave(rows):
+        spark.createDataFrame(rows, STREAM_MENTION_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # wave 1: "acme gmbh" dominant -> canonical
+    write_wave([("d1", "acme gmbh", "Company", 3), ("d1", "zeta corp", "Company", 1)])
+    q = run_entity_map_stream(spark, src, mp, ckpt)
+    q.awaitTermination()
+    m1 = {
+        (r["label"], r["surface"]): (r["canonical"], r["status"], r["epoch"])
+        for r in spark.read.parquet(mp).collect()
+    }
+    assert m1[("Company", "acme gmbh")][0] == "acme gmbh"
+    assert all(s == "new_entity" for _c, s, _e in m1.values())
+
+    # wave 2: a HEAVIER near-variant must still adopt the frozen canonical
+    write_wave([("d2", "acme gmbhh", "Company", 50)])
+    q = run_entity_map_stream(spark, src, mp, ckpt)
+    q.awaitTermination()
+    m2 = {
+        (r["label"], r["surface"]): (r["canonical"], r["status"])
+        for r in spark.read.parquet(mp).collect()
+    }
+    assert m2[("Company", "acme gmbhh")] == ("acme gmbh", "linked")
+    # frozen rows were not rewritten
+    assert m2[("Company", "acme gmbh")] == ("acme gmbh", "new_entity")
+    assert len(m2) == 3
+
+    # wave 3 replays an ALREADY-MAPPED surface: all-existing -> no append
+    write_wave([("d3", "acme gmbh", "Company", 7)])
+    q = run_entity_map_stream(spark, src, mp, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(mp).count() == 3
+
+    # idle restart: nothing re-emitted
+    q = run_entity_map_stream(spark, src, mp, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(mp).count() == 3
+
+
+def test_entity_map_stream_matches_batch_operator(spark, tmp_path):
+    """Value parity with the batch kernel: draining both waves through
+    the stream equals applying update_entity_map twice batch-side."""
+    from cypher_guard_spark.pipeline.canonicalize import update_entity_map
+    from cypher_guard_spark.streaming.entity_map_stream import (
+        STREAM_MENTION_SCHEMA,
+        run_entity_map_stream,
+    )
+
+    waves = [
+        [("d1", "stark foundry", "Company", 4), ("d1", "s. foundry", "Company", 1)],
+        [("d2", "stark foundryy", "Company", 2), ("d2", "wayne logistics", "Company", 5)],
+    ]
+    src, mp, ckpt = (
+        str(tmp_path / "src2"),
+        str(tmp_path / "map2"),
+        str(tmp_path / "ckpt2"),
+    )
+    for w in waves:
+        spark.createDataFrame(w, STREAM_MENTION_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = run_entity_map_stream(spark, src, mp, ckpt)
+        q.awaitTermination()
+    got = {
+        (r["label"], r["surface"]): r["canonical"]
+        for r in spark.read.parquet(mp).collect()
+    }
+
+    old = spark.createDataFrame([], "label string, surface string, canonical string")
+    for w in waves:
+        stats = spark.createDataFrame(
+            [(lab, s, n) for _d, s, lab, n in w],
+            "label string, surface string, n_mentions long",
+        )
+        old = update_entity_map(spark, old, stats).select(
+            "label", "surface", "canonical"
+        ).localCheckpoint()
+    want = {(r["label"], r["surface"]): r["canonical"] for r in old.collect()}
+    assert got == want
