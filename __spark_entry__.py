@@ -962,6 +962,45 @@ FROM r WHERE src <> dst GROUP BY src, dst
 """
 
 
+def q_kg_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-constraint violations over the canonical triples
+    (`pipeline/schema_infer.py:triple_conflicts`): WORKS_FOR declared
+    subject-functional (one employer per person), LOCATED_IN declared
+    1:1-ish both ways (one location per company, one company per
+    location row in the fixture ontology) — the contradictions the
+    synthetic corpus genuinely contains (a Zipf-picked person can draw
+    two employers)."""
+    from cypher_guard_spark.pipeline.schema_infer import triple_conflicts
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return triple_conflicts(
+        canon,
+        functional_preds=("WORKS_FOR", "LOCATED_IN"),
+        inverse_functional_preds=("LOCATED_IN",),
+    )
+
+
+def _kg_conflicts_sql() -> str:
+    """Composed oracle over the canonical twin: both direction legs
+    unioned, distinct-count grouped, conflicts filtered."""
+    return f"""
+WITH t AS ({_kg_canonical_triples_values()}),
+legs AS (
+  SELECT subj AS entity, pred, 'out' AS direction, obj AS value
+  FROM t WHERE pred IN ('WORKS_FOR', 'LOCATED_IN')
+  UNION ALL
+  SELECT obj AS entity, pred, 'in' AS direction, subj AS value
+  FROM t WHERE pred IN ('LOCATED_IN')
+)
+SELECT entity, pred, direction,
+       COUNT(DISTINCT value) AS n_values, COUNT(*) AS n_obs,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM legs
+GROUP BY entity, pred, direction
+HAVING COUNT(DISTINCT value) > 1
+"""
+
+
 def q_kg_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relationship-schema inference over the canonical triple stream
     (`pipeline/schema_infer.py:infer_relationship_schema`): per observed
@@ -3138,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cooccur": q_kg_entity_cooccur,
         "kg_fuzzy_surfaces": q_kg_fuzzy_surfaces,
         "kg_khop": q_kg_khop,
+        "kg_conflicts": q_kg_conflicts,
         "kg_schema_infer": q_kg_schema_infer,
         "kg_schema_roundtrip": q_kg_schema_roundtrip,
         "kg_shortest_paths": q_kg_shortest_paths,
@@ -3985,6 +4025,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_entity_cooccur": _kg_entity_cooccur_sql(),
         "kg_fuzzy_surfaces": _kg_fuzzy_surfaces_sql(),
         "kg_khop": _kg_khop_sql(),
+        "kg_conflicts": _kg_conflicts_sql(),
         "kg_schema_infer": _kg_schema_infer_sql(),
         "kg_schema_roundtrip": _kg_schema_roundtrip_sql(),
         "kg_shortest_paths": _kg_shortest_paths_values(),

@@ -163,3 +163,66 @@ def schema_roundtrip(spark, triples: DataFrame) -> DataFrame:
         F.count("*").alias("n_stmts"),
         F.sum(F.col("is_valid").cast("int")).alias("n_valid"),
     )
+
+
+def triple_conflicts(
+    triples: DataFrame,
+    functional_preds: tuple | list = (),
+    inverse_functional_preds: tuple | list = (),
+) -> DataFrame:
+    """(entity, pred, direction, n_values, n_obs, min_value, max_value) —
+    contradiction detection against DECLARED cardinality constraints, the
+    KG quality gate that runs between fusion and materialization: a
+    subject-functional predicate ("a person has ONE employer") with two
+    distinct objects for the same subject is a conflict the pipeline must
+    surface, not silently MERGE. `functional_preds` constrain subj→obj
+    (each subject ≤ 1 object), `inverse_functional_preds` the obj→subj
+    direction; the same pred may appear in both (a 1:1 constraint).
+
+    Constraints must come from a declared or clean-snapshot schema (e.g.
+    `infer_relationship_schema` on a trusted corpus, `cardinality` in
+    ('1:1','N:1') ⇒ functional) — inference over the SAME dirty data
+    would classify a contradicted pred as N:M and hide its conflicts.
+
+    Output is aggregate-only — n_values/n_obs counts plus the min/max
+    conflicting value as bounded exemplars, never a collected value list,
+    so a spam entity with 10^6 claimed employers costs one partial-agg
+    row, not an executor-hostile array. Plan: pred filter pushed to the
+    scan, one (entity, pred, direction)-keyed partial-agg shuffle
+    (countDistinct is itself two-phase), conflicts filtered post-agg."""
+    legs = []
+    if functional_preds:
+        legs.append(
+            triples.where(F.col("pred").isin(list(functional_preds))).select(
+                F.col("subj").alias("entity"),
+                "pred",
+                F.lit("out").alias("direction"),
+                F.col("obj").alias("value"),
+            )
+        )
+    if inverse_functional_preds:
+        legs.append(
+            triples.where(
+                F.col("pred").isin(list(inverse_functional_preds))
+            ).select(
+                F.col("obj").alias("entity"),
+                "pred",
+                F.lit("in").alias("direction"),
+                F.col("subj").alias("value"),
+            )
+        )
+    if not legs:
+        raise ValueError("declare at least one functional predicate")
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    return (
+        u.groupBy("entity", "pred", "direction")
+        .agg(
+            F.countDistinct("value").alias("n_values"),
+            F.count("*").alias("n_obs"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .where(F.col("n_values") > 1)
+    )

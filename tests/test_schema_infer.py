@@ -149,3 +149,37 @@ def test_empty_triples(spark):
         " subj_label string, obj_label string",
     )
     assert infer_relationship_schema(df).count() == 0
+
+
+def test_triple_conflicts_both_directions(spark):
+    from cypher_guard_spark.pipeline.schema_infer import triple_conflicts
+
+    triples = [
+        # alice claims two employers (out-conflict), bob is fine
+        ("alice", "WORKS_FOR", "acme"), ("alice", "WORKS_FOR", "acme"),
+        ("alice", "WORKS_FOR", "globex"),
+        ("bob", "WORKS_FOR", "acme"),
+        # two companies claim the same HQ row (in-conflict on LOCATED_IN)
+        ("acme", "LOCATED_IN", "berlin"), ("globex", "LOCATED_IN", "berlin"),
+        # KNOWS is not declared functional: never reported
+        ("alice", "KNOWS", "bob"), ("alice", "KNOWS", "carol"),
+    ]
+    df = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    got = {
+        (r["entity"], r["pred"], r["direction"]): (
+            r["n_values"], r["n_obs"], r["min_value"], r["max_value"]
+        )
+        for r in triple_conflicts(
+            df,
+            functional_preds=("WORKS_FOR", "LOCATED_IN"),
+            inverse_functional_preds=("LOCATED_IN",),
+        ).collect()
+    }
+    assert got == {
+        ("alice", "WORKS_FOR", "out"): (2, 3, "acme", "globex"),
+        ("berlin", "LOCATED_IN", "in"): (2, 2, "acme", "globex"),
+    }
+    # duplicate observations of ONE value are not a conflict
+    assert ("acme", "LOCATED_IN", "out") not in got
+    with pytest.raises(ValueError):
+        triple_conflicts(df)
