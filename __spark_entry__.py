@@ -655,12 +655,12 @@ def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kg_random_walks_values(
+def _py_kg_walks(
     length: int = 4, walks_per_node: int = 2, seed: int = 7
-) -> str:
+) -> list:
     """Pure-Python twin of random_walks over the canonical edge set:
     distinct directed adjacency sans self-loops, hash-min next-step draw,
-    truncation at out-degree-0 vertices."""
+    truncation at out-degree-0 vertices. [(start, rep, step, vertex)]."""
     from cypher_guard_spark.oracle import spark_xxhash64
 
     adj: dict = {}
@@ -671,7 +671,7 @@ def _kg_random_walks_values(
     for start in adj:
         for rep in range(walks_per_node):
             cur = start
-            rows.append(f"({_sql_quote(start)}, {rep}, 0, {_sql_quote(cur)})")
+            rows.append((start, rep, 0, cur))
             for t in range(1, length + 1):
                 nbrs = adj.get(cur)
                 if not nbrs:
@@ -680,9 +680,17 @@ def _kg_random_walks_values(
                     nbrs,
                     key=lambda nb: (spark_xxhash64(start, rep, t, nb, seed), nb),
                 )
-                rows.append(
-                    f"({_sql_quote(start)}, {rep}, {t}, {_sql_quote(cur)})"
-                )
+                rows.append((start, rep, t, cur))
+    return rows
+
+
+def _kg_random_walks_values(
+    length: int = 4, walks_per_node: int = 2, seed: int = 7
+) -> str:
+    rows = [
+        f"({_sql_quote(s)}, {rep}, {t}, {_sql_quote(v)})"
+        for s, rep, t, v in _py_kg_walks(length, walks_per_node, seed)
+    ]
     return (
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
@@ -846,6 +854,73 @@ GROUP BY a.vertex, b.vertex
 """
 
 
+def q_kg_walk_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic alias-method negative samples (unigram^0.75 over the
+    walk corpus) for every skip-gram pair
+    (`pipeline/graph_algo.py:walk_negative_samples`) — the third stage of
+    the embedding training-data chain."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        random_walks,
+        walk_negative_samples,
+        walk_skipgram_pairs,
+    )
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    walks = random_walks(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        length=4,
+        walks_per_node=2,
+        seed=7,
+    ).localCheckpoint(eager=False)
+    pairs = walk_skipgram_pairs(walks, window=2).select("center", "context")
+    freq = walks.groupBy(F.col("vertex")).agg(F.count("*").alias("cnt"))
+    return walk_negative_samples(pairs, freq, k=2, seed=11)
+
+
+def _kg_walk_negatives_values(k: int = 2, seed: int = 11) -> str:
+    """Serial twin: walk twin → pair set + vertex counts → the SAME Vose
+    alias construction (same CPython float ops) → spark_xxhash64 draws
+    with the identical pmod/2^31 coin and collision-drop rule."""
+    from collections import Counter
+
+    from cypher_guard_spark.oracle import spark_xxhash64
+    from cypher_guard_spark.pipeline.graph_algo import _vose_alias
+
+    walks = _py_kg_walks()
+    bywalk: dict = {}
+    for s, rep, t, v in walks:
+        bywalk.setdefault((s, rep), []).append((t, v))
+    pairs = set()
+    for steps in bywalk.values():
+        for i, vi in steps:
+            for j, vj in steps:
+                if i != j and abs(i - j) <= 2:
+                    pairs.add((vi, vj))
+    cnt = Counter(v for _s, _r, _t, v in walks)
+    verts = sorted(cnt)
+    weights = [float(cnt[v]) ** 0.75 for v in verts]
+    prob, alias = _vose_alias(weights)
+    n = len(verts)
+    rows = []
+    for center, context in sorted(pairs):
+        for j in range(k):
+            bucket = spark_xxhash64(center, context, j, seed, 1) % n
+            coin = (spark_xxhash64(center, context, j, seed, 2) % 2**31) / 2**31
+            idx = bucket if coin < prob[bucket] else alias[bucket]
+            neg = verts[idx]
+            if neg != context:
+                rows.append(
+                    f"({_sql_quote(center)}, {_sql_quote(context)}, {j}, "
+                    f"{_sql_quote(neg)})"
+                )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(center, context, j, negative)"
+    )
+
+
 def q_kg_entity_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level entity co-occurrence + PMI lift over the canonical
     triples (`pipeline/graph_algo.py:entity_cooccurrence`) — the
@@ -999,6 +1074,64 @@ FROM legs
 GROUP BY entity, pred, direction
 HAVING COUNT(DISTINCT value) > 1
 """
+
+
+_HIST_WINDOWS = [(0, 60), (30, 90), (60, 120)]  # sliding crawl snapshots
+
+
+def q_kg_triple_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact validity intervals across three overlapping crawl snapshots
+    (`pipeline/graph_store.py:triple_history`, gaps-and-islands):
+    snapshot k covers docs [30k, 30k+60), so facts seen only early, only
+    late, or with a mid-history gap all produce distinct intervals."""
+    from cypher_guard_spark.pipeline.graph_store import triple_history
+
+    canon = q_kg_canonical_triples(spark, sf_dir).localCheckpoint(eager=False)
+    idx = F.substring("doc_id", 5, 8).cast("int")
+    legs = [
+        canon.where((idx >= lo) & (idx < hi)).select(
+            F.lit(k).alias("snapshot_id"), "subj", "pred", "obj"
+        )
+        for k, (lo, hi) in enumerate(_HIST_WINDOWS)
+    ]
+    obs = legs[0]
+    for leg in legs[1:]:
+        obs = obs.unionByName(leg)
+    return triple_history(obs)
+
+
+def _kg_triple_history_values() -> str:
+    """Serial twin: same sliding windows over the canonical twin, per-fact
+    sorted snapshot runs split at gaps."""
+    from collections import defaultdict
+
+    snaps: dict = defaultdict(set)
+    for d, s, r, o, _sl, _ol in _py_kg_canonical_triples():
+        di = int(d[4:])
+        for k, (lo, hi) in enumerate(_HIST_WINDOWS):
+            if lo <= di < hi:
+                snaps[(s, r, o)].add(k)
+    rows = []
+    for (s, r, o), ks in snaps.items():
+        run = None
+        for k in sorted(ks):
+            if run and k == run[1] + 1:
+                run = (run[0], k)
+            else:
+                if run:
+                    rows.append((s, r, o, run[0], run[1]))
+                run = (k, k)
+        rows.append((s, r, o, run[0], run[1]))
+    vals = ", ".join(
+        f"({_sql_quote(s)}, {_sql_quote(r)}, {_sql_quote(o)}, "
+        f"{a}::BIGINT, {b}::BIGINT)"
+        for s, r, o, a, b in rows
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(subj, pred, obj, valid_from, valid_to)"
+    )
 
 
 def q_kg_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3174,10 +3307,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": q_kg_hits,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_pairs": q_kg_walk_pairs,
+        "kg_walk_negatives": q_kg_walk_negatives,
         "kg_entity_cooccur": q_kg_entity_cooccur,
         "kg_fuzzy_surfaces": q_kg_fuzzy_surfaces,
         "kg_khop": q_kg_khop,
         "kg_conflicts": q_kg_conflicts,
+        "kg_triple_history": q_kg_triple_history,
         "kg_schema_infer": q_kg_schema_infer,
         "kg_schema_roundtrip": q_kg_schema_roundtrip,
         "kg_shortest_paths": q_kg_shortest_paths,
@@ -4022,10 +4157,12 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_hits": _kg_hits_values(),
         "kg_random_walks": _kg_random_walks_values(),
         "kg_walk_pairs": _kg_walk_pairs_sql(),
+        "kg_walk_negatives": _kg_walk_negatives_values(),
         "kg_entity_cooccur": _kg_entity_cooccur_sql(),
         "kg_fuzzy_surfaces": _kg_fuzzy_surfaces_sql(),
         "kg_khop": _kg_khop_sql(),
         "kg_conflicts": _kg_conflicts_sql(),
+        "kg_triple_history": _kg_triple_history_values(),
         "kg_schema_infer": _kg_schema_infer_sql(),
         "kg_schema_roundtrip": _kg_schema_roundtrip_sql(),
         "kg_shortest_paths": _kg_shortest_paths_values(),

@@ -1049,3 +1049,105 @@ def khop_neighborhoods(
         known = known.unionByName(new).localCheckpoint(eager=False)
         frontier = new
     return known
+
+
+def _vose_alias(weights: list) -> tuple:
+    """Deterministic Vose alias-table construction: (prob, alias) lists.
+    Stable FIFO queues + index order make the table a pure function of
+    the weight list, so twins rebuild it bit-identically."""
+    n = len(weights)
+    total = float(sum(weights))
+    scaled = [w * n / total for w in weights]
+    small = [i for i in range(n) if scaled[i] < 1.0]
+    large = [i for i in range(n) if scaled[i] >= 1.0]
+    prob = [0.0] * n
+    alias = [0] * n
+    si = li = 0
+    while si < len(small) and li < len(large):
+        s, l = small[si], large[li]
+        si += 1
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = (scaled[l] + scaled[s]) - 1.0
+        if scaled[l] < 1.0:
+            small.append(l)
+            li += 1
+    for j in range(li, len(large)):
+        prob[large[j]] = 1.0
+    for j in range(si, len(small)):
+        prob[small[j]] = 1.0
+    return prob, alias
+
+
+def walk_negative_samples(
+    pairs: DataFrame,
+    freq: DataFrame,
+    k: int = 3,
+    seed: int = 1,
+    power: float = 0.75,
+) -> DataFrame:
+    """(center, context, j, negative) — `k` deterministic negative draws
+    per skip-gram pair from the unigram^`power` distribution (the
+    word2vec/node2vec noise distribution), completing the embedding
+    training-data chain random_walks → walk_skipgram_pairs → negatives.
+
+    The sampler is the ALIAS METHOD with hash randomness — the only
+    O(1)-per-draw scheme that survives both scale and determinism
+    requirements: `freq` (vertex, cnt — vertex occurrence counts in the
+    walk corpus) is vocabulary-sized, so it is collected once, weighted
+    cnt^power, and compiled driver-side into Vose (prob, alias) arrays
+    baked into the plan as LITERALS (the same train-once/bake pattern as
+    IVF centroids and PQ lookup tables); each draw is then two xxhash64
+    evaluations + two array lookups, map-only, zero exchanges beyond the
+    pair stream itself. Randomness is hash-of-(center, context, j, seed):
+    uniform, retry-safe, independent per draw slot, reproducible in any
+    engine via the pure-Python xxhash64 twin — never rand(). The uniform
+    coin is pmod(h, 2^31)/2^31 — an exact rational both engines compute
+    identically, compared against the literal prob[] doubles, so there is
+    no FP-order drift anywhere. A draw that collides with the pair's true
+    context is DROPPED (not resampled — resampling loops are
+    plan-hostile; the expected loss is cnt_ctx^p/total, negligible, and
+    deterministic). Vocabulary is a driver-sized structure by the same
+    argument as every trained table here: entity vocabularies are
+    content-bounded; for an open-ended vocab shard the freq table and
+    broadcast-join the arrays instead."""
+    rows = sorted(freq.collect(), key=lambda r: r[0])
+    if not rows:
+        return pairs.sparkSession.createDataFrame(
+            [], "center string, context string, j int, negative string"
+        )
+    verts = [r[0] for r in rows]
+    weights = [float(r[1]) ** power for r in rows]
+    prob, alias = _vose_alias(weights)
+    n = len(verts)
+    varr = F.array(*[F.lit(v) for v in verts])
+    parr = F.array(*[F.lit(p) for p in prob])
+    aarr = F.array(*[F.lit(a) for a in alias])
+    draws = pairs.select(
+        "center",
+        "context",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+    )
+    bucket = F.pmod(
+        F.xxhash64(F.col("center"), F.col("context"), F.col("j"), F.lit(seed), F.lit(1)),
+        F.lit(n),
+    ).cast("int")
+    coin = (
+        F.pmod(
+            F.xxhash64(
+                F.col("center"), F.col("context"), F.col("j"), F.lit(seed), F.lit(2)
+            ),
+            F.lit(2**31),
+        ).cast("double")
+        / F.lit(float(2**31))
+    )
+    picked = F.when(
+        coin < F.element_at(parr, F.col("bucket") + 1), F.col("bucket")
+    ).otherwise(F.element_at(aarr, F.col("bucket") + 1))
+    out = (
+        draws.withColumn("bucket", bucket)
+        .withColumn("negative", F.element_at(varr, picked.cast("int") + 1))
+        .where(F.col("negative") != F.col("context"))
+        .select("center", "context", "j", "negative")
+    )
+    return out

@@ -191,3 +191,43 @@ def fuse_triples(triples: DataFrame, exact: bool = False) -> DataFrame:
         "subj", "pred", "obj", "n_obs", "n_docs", "first_doc", "last_doc",
         "max_conf", fused.alias("agg_conf"),
     )
+
+
+def triple_history(
+    observations: DataFrame, snapshot_col: str = "snapshot_id"
+) -> DataFrame:
+    """(subj, pred, obj, valid_from, valid_to) — SCD-2-style validity
+    intervals for every fact across an ORDERED sequence of KG snapshots
+    (integer snapshot ids): one row per contiguous run of snapshots in
+    which the fact is present, so "what did we believe between crawls 3
+    and 7" and fact-churn analytics become plain interval queries over a
+    table, the temporal generalization of `triple_diff` (which is the
+    two-snapshot special case: added = run starting at new, removed = run
+    ending at old).
+
+    Gaps-and-islands: dedup to distinct (snapshot, fact), then within
+    each fact key `snapshot_id - row_number()` is constant exactly on a
+    contiguous run — group on that island tag, min/max give the interval.
+    Integer arithmetic throughout ⇒ oracle-exact in any engine.
+
+    Scale: one fact-keyed window exchange (per-fact partition is at most
+    n_snapshots rows — a content bound, never corpus-scaled) and one
+    partial-agg on (fact, island); rows carry ids + two ints. A fact's
+    history never concentrates load: the window key is the fact itself,
+    so 10^10 facts spread over the cluster and hot snapshots don't skew
+    (snapshot id is not a shuffle key)."""
+    from pyspark.sql import Window
+
+    d = observations.select(
+        F.col(snapshot_col).cast("long").alias("sid"), "subj", "pred", "obj"
+    ).distinct()
+    w = Window.partitionBy("subj", "pred", "obj").orderBy("sid")
+    tagged = d.withColumn("isl", F.col("sid") - F.row_number().over(w))
+    return (
+        tagged.groupBy("subj", "pred", "obj", "isl")
+        .agg(
+            F.min("sid").alias("valid_from"),
+            F.max("sid").alias("valid_to"),
+        )
+        .drop("isl")
+    )

@@ -976,3 +976,58 @@ def test_khop_early_exit_and_k1(spark):
         for r in khop_neighborhoods(spark, df, k=1).collect()
     }
     assert got1 == {("a", "b"): 1, ("b", "a"): 1}
+
+
+# ------------------------------------------------------------- negatives
+
+
+def test_walk_negative_samples_match_alias_twin(spark):
+    """Draws equal the serial alias-method twin (same Vose table, same
+    xxhash64 coins), and context collisions are dropped."""
+    from cypher_guard_spark.oracle import spark_xxhash64
+    from cypher_guard_spark.pipeline.graph_algo import (
+        _vose_alias,
+        walk_negative_samples,
+    )
+
+    pairs = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d")]
+    freq = [("a", 10), ("b", 5), ("c", 1), ("d", 1)]
+    pdf = spark.createDataFrame(pairs, ["center", "context"])
+    fdf = spark.createDataFrame(freq, ["vertex", "cnt"])
+    k, seed = 3, 5
+    got = {
+        (r["center"], r["context"], r["j"], r["negative"])
+        for r in walk_negative_samples(pdf, fdf, k=k, seed=seed).collect()
+    }
+    verts = sorted(v for v, _c in freq)
+    cnt = dict(freq)
+    prob, alias = _vose_alias([float(cnt[v]) ** 0.75 for v in verts])
+    n = len(verts)
+    want = set()
+    for c, x in pairs:
+        for j in range(k):
+            bucket = spark_xxhash64(c, x, j, seed, 1) % n
+            coin = (spark_xxhash64(c, x, j, seed, 2) % 2**31) / 2**31
+            idx = bucket if coin < prob[bucket] else alias[bucket]
+            if verts[idx] != x:
+                want.add((c, x, j, verts[idx]))
+    assert got == want
+    assert 0 < len(got) <= len(pairs) * k  # some draws exist; drops allowed
+    for _c, x, _j, neg in got:
+        assert neg != x
+
+
+def test_walk_negative_samples_empty_vocab_and_skew(spark):
+    from cypher_guard_spark.pipeline.graph_algo import walk_negative_samples
+
+    pdf = spark.createDataFrame([("a", "b")], ["center", "context"])
+    empty = spark.createDataFrame([], "vertex string, cnt long")
+    assert walk_negative_samples(pdf, empty).count() == 0
+    # a massively dominant vertex must still not exhaust the draws:
+    # power=0.75 flattens, and the alias table stays total-probability 1
+    fdf = spark.createDataFrame(
+        [("hub", 1_000_000), ("x", 1), ("y", 1)], ["vertex", "cnt"]
+    )
+    got = [r["negative"] for r in
+           walk_negative_samples(pdf, fdf, k=64, seed=2).collect()]
+    assert set(got) <= {"hub", "x", "y"} and "hub" in set(got)

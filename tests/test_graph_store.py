@@ -191,3 +191,61 @@ def test_fuse_fast_mode_close_and_hub_safe_plan(spark):
     # the default mode's plan carries no per-fact list aggregate
     plan = fast_df._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in plan
+
+
+def test_triple_history_islands(spark):
+    """Contiguous runs split at gaps; single-snapshot facts get point
+    intervals; dedup collapses repeated observations."""
+    from cypher_guard_spark.pipeline.graph_store import triple_history
+
+    obs = [
+        # fact A present in 0,1,2,4 -> [0,2] and [4,4]
+        (0, "a", "R", "x"), (1, "a", "R", "x"), (2, "a", "R", "x"),
+        (4, "a", "R", "x"), (1, "a", "R", "x"),  # dup observation
+        # fact B only snapshot 3
+        (3, "b", "R", "y"),
+        # fact C alternating 0,2,4 -> three point intervals
+        (0, "c", "R", "z"), (2, "c", "R", "z"), (4, "c", "R", "z"),
+    ]
+    df = spark.createDataFrame(
+        obs, "snapshot_id int, subj string, pred string, obj string"
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["valid_from"], r["valid_to"])
+        for r in triple_history(df).collect()
+    }
+    assert got == {
+        ("a", "R", "x", 0, 2), ("a", "R", "x", 4, 4),
+        ("b", "R", "y", 3, 3),
+        ("c", "R", "z", 0, 0), ("c", "R", "z", 2, 2), ("c", "R", "z", 4, 4),
+    }
+
+
+def test_triple_history_generalizes_diff(spark):
+    """Two snapshots: facts with valid_to=0 are triple_diff's 'removed',
+    runs starting at 1 are its 'added'."""
+    from cypher_guard_spark.pipeline.graph_store import triple_diff, triple_history
+
+    old = spark.createDataFrame(
+        [("a", "R", "x"), ("b", "R", "y")], ["subj", "pred", "obj"]
+    )
+    new = spark.createDataFrame(
+        [("b", "R", "y"), ("c", "R", "z")], ["subj", "pred", "obj"]
+    )
+    obs = old.selectExpr("0 as snapshot_id", "subj", "pred", "obj").unionByName(
+        new.selectExpr("1 as snapshot_id", "subj", "pred", "obj")
+    )
+    hist = triple_history(obs).collect()
+    removed = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in hist
+        if r["valid_from"] == 0 and r["valid_to"] == 0
+    }
+    added = {(r["subj"], r["pred"], r["obj"]) for r in hist if r["valid_from"] == 1}
+    diff = triple_diff(old, new).collect()
+    assert removed == {
+        (r["subj"], r["pred"], r["obj"]) for r in diff if r["status"] == "removed"
+    }
+    assert added == {
+        (r["subj"], r["pred"], r["obj"]) for r in diff if r["status"] == "added"
+    }

@@ -272,3 +272,33 @@ def test_entity_similarity_no_cartesian(spark):
     plan = plan_of(entity_similarity(e, threshold=0.0))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_samples_single_explode_no_python_no_join(spark):
+    """The alias table is plan literals: beyond the pair input, drawing is
+    one generator explode + array lookups — no join, no Python eval."""
+    from cypher_guard_spark.pipeline.graph_algo import walk_negative_samples
+
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], ["center", "context"])
+    freq = spark.createDataFrame(
+        [("a", 3), ("b", 2), ("c", 1)], ["vertex", "cnt"]
+    )
+    plan = plan_of(walk_negative_samples(pairs, freq, k=4))
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "SortMergeJoin",
+                "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan, bad
+    assert plan.count("Exchange") == 0  # map-only over the local pair relation
+
+
+def test_entity_cooccurrence_broadcasts_freq_tables(spark):
+    """The per-entity doc-frequency table joins back via broadcast, and no
+    cartesian product appears anywhere in the pair generation."""
+    from cypher_guard_spark.pipeline.graph_algo import entity_cooccurrence
+
+    triples = spark.createDataFrame(
+        [("d1", "a", "R", "b"), ("d2", "a", "R", "c")],
+        "doc_id string, subj string, pred string, obj string",
+    )
+    plan = plan_of(entity_cooccurrence(triples))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # both freq joins broadcast
