@@ -2971,6 +2971,56 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup (`ops/multimodal.py:ahash_media` +
+    `phash_near_duplicates`): 64-bit aHash per media row (stub decode, the
+    declared swap point), pigeonhole-blocked Hamming pairs ≤ 3. Every 8th
+    media row is planted as a payload-identical duplicate under a new id
+    so the dist-0 pair set is non-trivial (under the digest-derived stub
+    pixels only identical payloads collide — documented)."""
+    from cypher_guard_spark.ops import multimodal
+
+    media = multimodal.synthesize_media(spark, _N_MEDIA)
+    dups = media.where(
+        F.pmod(F.substring("media_id", 3, 5).cast("int"), F.lit(8)) == 0
+    ).withColumn("media_id", F.concat(F.col("media_id"), F.lit("-dup")))
+    hashes = multimodal.ahash_media(media.unionByName(dups))
+    return multimodal.phash_near_duplicates(hashes, max_dist=3)
+
+
+def _media_phash_dups_values(max_dist: int = 3) -> str:
+    """Twin: same synthetic payloads + the same declared aHash stub
+    kernel, but BRUTE-FORCE Hamming pairs — independent of the pigeonhole
+    blocking, so completeness of the chunk join is checked too."""
+    import hashlib as _hl
+
+    from cypher_guard_spark.ops.multimodal import _ahash64
+
+    items = []
+    for i in range(_N_MEDIA):
+        payload = bytes(_hl.sha256(f"media-{i}".encode()).digest() * (1 + i % 5))
+        mid = f"m-{i:05d}"
+        items.append((mid, _ahash64(payload)))
+        if i % 8 == 0:
+            items.append((mid + "-dup", _ahash64(payload)))
+    rows = []
+    for x in range(len(items)):
+        for y in range(x + 1, len(items)):
+            (id1, h1), (id2, h2) = items[x], items[y]
+            ida, idb = (id1, id2) if id1 < id2 else (id2, id1)
+            ha, hb = (h1, h2) if id1 < id2 else (h2, h1)
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= max_dist:
+                rows.append(
+                    f"({_sql_quote(ida)}, {_sql_quote(idb)}, {d})"
+                )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id_a, media_id_b, dist)"
+    )
+
+
 def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_guard_spark.ops import multimodal
 
@@ -3294,6 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frame_plan": q_media_frame_plan,
         "media_resize": q_media_resize,
+        "media_phash_dups": q_media_phash_dups,
         # cypher-guard (SURVEY §2 operator inventory, verdict parity)
         "guard_verdicts": q_guard_verdicts,
         "guard_error_codes": q_guard_error_codes,
@@ -4140,6 +4191,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "media_features": _media_features_values(),
         "media_frame_plan": _media_frame_plan_sql(),
         "media_resize": _media_resize_values(),
+        "media_phash_dups": _media_phash_dups_values(),
         "emb_ivf_topk": _emb_ivf_values(),
         "emb_semantic_dups": _emb_semdedup_values(),
         "emb_pq_codebooks": _emb_pq_codebooks_values(),

@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -187,3 +188,121 @@ def synthesize_media(spark: SparkSession, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def _ahash64(payload: bytes) -> int:
+    """64-bit average hash of the (stub-)decoded image: grayscale →
+    nearest-neighbor 8×8 resample → threshold at the mean → row-major
+    bits. Returns a SIGNED int64 (Spark/DuckDB BIGINT two's complement)."""
+    px = _fake_pixels(payload).astype(np.float64)
+    gray = px.mean(axis=2)
+    src_h, src_w = gray.shape
+    ys = [min(y * src_h // 8, src_h - 1) for y in range(8)]
+    xs = [min(x * src_w // 8, src_w - 1) for x in range(8)]
+    g = gray[np.ix_(ys, xs)]
+    mean = float(g.mean())
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if float(g[r, c]) > mean:
+                bits |= 1 << (r * 8 + c)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def ahash_media(media: DataFrame, fake: bool = True) -> DataFrame:
+    """(media_id, kind, phash) — 64-bit perceptual average-hash per media
+    row, the image-dedup analogue of the text MinHash signature. The
+    decode step is the SAME stub swap point as `extract_features`: with a
+    real decoder, `_fake_pixels` becomes PIL decode and nearby images get
+    nearby hashes; under the deterministic stub, pixels are digest-derived
+    (avalanche), so only payload-identical media collide — exactness holds
+    either way, perceptual nearness arrives with the real kernel
+    (documented stub contract, SURVEY §2.8 multimodal row).
+
+    Map-only mapInPandas; payload bytes stay in the scan's Arrow batches
+    and never reach a shuffle — the output is 16 bytes/row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:  # pragma: no cover - real decoder not available
+                raise NotImplementedError("real decode kernels not available")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "phash": pd.array(
+                        [_ahash64(b) for b in pdf["payload"]], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, AHASH_SCHEMA)
+
+
+def phash_near_duplicates(
+    hashes: DataFrame, max_dist: int = 3, n_chunks: int = 4
+) -> DataFrame:
+    """(media_id_a, media_id_b, dist) — unordered media pairs within
+    Hamming distance `max_dist` of their 64-bit perceptual hashes, found
+    by PIGEONHOLE blocking instead of an all-pairs scan: the hash splits
+    into `n_chunks` equal bit chunks, and any pair within distance
+    `max_dist` < n_chunks leaves at least one chunk untouched, so the
+    equi-join on (chunk_index, chunk_value) is a COMPLETE candidate
+    scheme (the same argument as the SimHash 16-bit-chunk join in
+    ops/dedup.py); candidates are verified with one integer
+    bit_count(xor) per DISTINCT pair — no FP anywhere.
+
+    Scale: the shuffle carries (chunk, id) rows — 4 rows of ~20 bytes per
+    image, payloads long gone; pair volume is quadratic only inside a
+    shared-chunk bucket (16-bit chunks ⇒ 65536-way spread per index), and
+    a degenerate hot chunk (e.g. all-black thumbnails hashing to 0) is
+    the AQE skew-split case, not a single-task sort."""
+    if not 0 < n_chunks <= 8 or 64 % n_chunks:
+        raise ValueError("n_chunks must divide 64 and be <= 8")
+    if max_dist >= n_chunks:
+        raise ValueError("pigeonhole needs max_dist < n_chunks")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    h = hashes.select(F.col("media_id"), F.col("phash"))
+    chunk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("c"),
+                    F.shiftrightunsigned("phash", c * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("v"),
+                )
+                for c in range(n_chunks)
+            ]
+        )
+    ).alias("ch")
+    banded = h.select("media_id", "phash", chunk).select(
+        "media_id", "phash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v")
+    )
+    a = banded.select(
+        "c", "v", F.col("media_id").alias("media_id_a"), F.col("phash").alias("ha")
+    )
+    b = banded.select(
+        "c", "v", F.col("media_id").alias("media_id_b"), F.col("phash").alias("hb")
+    )
+    cands = (
+        a.join(b, ["c", "v"])
+        .where(F.col("media_id_a") < F.col("media_id_b"))
+        .select("media_id_a", "media_id_b", "ha", "hb")
+        .distinct()
+    )
+    return cands.select(
+        "media_id_a",
+        "media_id_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("dist"),
+    ).where(F.col("dist") <= max_dist)

@@ -1464,3 +1464,68 @@ def test_neardup_incremental_exact_dup_and_empty(spark):
     # empty batch -> empty result
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert neardup_incremental(empty, band_rows(hist), hist).count() == 0
+
+
+def test_phash_near_duplicates_pigeonhole_complete(spark):
+    """Planted hashes at distances 0-4: the chunk join finds exactly the
+    brute-force Hamming pair set for dist<=3, excludes dist 4, and the
+    signed-bit corner (bit 63 set) survives the chunk split."""
+    from cypher_guard_spark.ops.multimodal import phash_near_duplicates
+
+    base = 0x0123456789ABCDEF
+    hashes = [
+        ("a", base),
+        ("b", base ^ 0x1),                      # dist 1
+        ("c", base ^ 0x7),                      # dist 3
+        ("d", base ^ 0xF),                      # dist 4 (excluded)
+        ("e", base ^ (1 << 63)),                # dist 1, flips the sign bit
+        ("f", -(2**63)),                        # minimal bigint, isolated
+    ]
+    signed = [(i, h - (1 << 64) if h >= (1 << 63) else h) for i, h in hashes]
+    df = spark.createDataFrame(signed, "media_id string, phash long")
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["dist"]
+        for r in phash_near_duplicates(df, max_dist=3).collect()
+    }
+    want = {}
+    for x in range(len(hashes)):
+        for y in range(x + 1, len(hashes)):
+            (ia, ha), (ib, hb) = hashes[x], hashes[y]
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[tuple(sorted((ia, ib)))] = d
+    assert got == want
+    assert got[("a", "b")] == 1 and got[("a", "e")] == 1 and got[("a", "c")] == 3
+    assert ("a", "d") not in got
+    with pytest.raises(ValueError):
+        phash_near_duplicates(df, max_dist=4, n_chunks=4)
+    with pytest.raises(ValueError):
+        phash_near_duplicates(df, n_chunks=5)
+
+
+def test_ahash_media_deterministic_and_payload_keyed(spark):
+    """Identical payloads hash identically under the stub kernel; the
+    Spark path equals the serial kernel; payloads never reach the output."""
+    from cypher_guard_spark.ops.multimodal import (
+        _ahash64,
+        ahash_media,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 6)
+    rows = {r["media_id"]: r["phash"] for r in ahash_media(media).collect()}
+    import hashlib as hl
+
+    for i in range(6):
+        payload = bytes(hl.sha256(f"media-{i}".encode()).digest() * (1 + i % 5))
+        assert rows[f"m-{i:05d}"] == _ahash64(payload)
+    # exact payload copy under a new id -> identical hash -> dist-0 pair
+    from pyspark.sql import functions as F
+    from cypher_guard_spark.ops.multimodal import phash_near_duplicates
+
+    dup = media.limit(1).withColumn("media_id", F.lit("m-copy"))
+    hashes = ahash_media(media.unionByName(dup))
+    pairs = phash_near_duplicates(hashes, max_dist=3).collect()
+    assert {(r["media_id_a"], r["media_id_b"], r["dist"]) for r in pairs} == {
+        ("m-00000", "m-copy", 0)
+    }
