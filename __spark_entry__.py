@@ -1037,6 +1037,34 @@ FROM r WHERE src <> dst GROUP BY src, dst
 """
 
 
+def q_kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truncated harmonic centrality over the directed canonical graph
+    (`pipeline/graph_algo.py:harmonic_centrality`) — one fixed-order
+    partial-agg pass over the kg_khop neighborhood table."""
+    from cypher_guard_spark.pipeline.graph_algo import harmonic_centrality
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return harmonic_centrality(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        k=3,
+    )
+
+
+def _kg_harmonic_sql(k: int = 3) -> str:
+    """Composed oracle: the kg_khop recursive-CTE result + the SAME
+    fixed-order conditional-count chain (cnt_1/1 + cnt_2/2 + cnt_3/3)."""
+    terms = " + ".join(
+        f"CAST(COUNT(CASE WHEN hops = {h} THEN 1 END) AS DOUBLE) / {float(h)!r}"
+        for h in range(1, k + 1)
+    )
+    return f"""
+WITH kh AS ({_kg_khop_sql(k)})
+SELECT src AS entity, ROUND({terms}, 6) AS harmonic
+FROM kh GROUP BY src
+"""
+
+
 def q_kg_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality-constraint violations over the canonical triples
     (`pipeline/schema_infer.py:triple_conflicts`): WORKS_FOR declared
@@ -3362,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cooccur": q_kg_entity_cooccur,
         "kg_fuzzy_surfaces": q_kg_fuzzy_surfaces,
         "kg_khop": q_kg_khop,
+        "kg_harmonic": q_kg_harmonic,
         "kg_conflicts": q_kg_conflicts,
         "kg_triple_history": q_kg_triple_history,
         "kg_schema_infer": q_kg_schema_infer,
@@ -4213,6 +4242,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_entity_cooccur": _kg_entity_cooccur_sql(),
         "kg_fuzzy_surfaces": _kg_fuzzy_surfaces_sql(),
         "kg_khop": _kg_khop_sql(),
+        "kg_harmonic": _kg_harmonic_sql(),
         "kg_conflicts": _kg_conflicts_sql(),
         "kg_triple_history": _kg_triple_history_values(),
         "kg_schema_infer": _kg_schema_infer_sql(),

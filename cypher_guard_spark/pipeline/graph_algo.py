@@ -1151,3 +1151,38 @@ def walk_negative_samples(
         .select("center", "context", "j", "negative")
     )
     return out
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """(entity, harmonic) — k-truncated harmonic centrality: sum over the
+    vertices reachable within `k` hops of 1/min_hops. The standard
+    centrality for disconnected graphs (closeness diverges there), and
+    the k-truncation is what makes it computable at web scale — exact
+    harmonic centrality needs all-pairs distances, while the k-hop ball
+    is the same bounded materialization `khop_neighborhoods` already
+    builds, so this is one partial-agg pass over that table (and shares
+    its cost when both are materialized).
+
+    FP determinism: the sum is evaluated in FIXED hop order — per source,
+    count the dst's at each hop h (integers), then fold cnt_1/1 + cnt_2/2
+    + ... + cnt_k/k left-to-right with one final 6dp rounding. Counts are
+    exact, each division is one IEEE op, and the addition order is a
+    plan constant — bit-identical in any engine and any partitioning
+    (same contract as the BM25 fixed-order chain)."""
+    kh = khop_neighborhoods(spark, edges, k=k, src=src, dst=dst, directed=directed)
+    expr = None
+    for h in range(1, k + 1):
+        term = F.count(F.when(F.col("hops") == h, 1)).cast("double") / F.lit(
+            float(h)
+        )
+        expr = term if expr is None else expr + term
+    return kh.groupBy(F.col("src").alias("entity")).agg(
+        F.round(expr, 6).alias("harmonic")
+    )

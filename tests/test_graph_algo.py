@@ -1031,3 +1031,29 @@ def test_walk_negative_samples_empty_vocab_and_skew(spark):
     got = [r["negative"] for r in
            walk_negative_samples(pdf, fdf, k=64, seed=2).collect()]
     assert set(got) <= {"hub", "x", "y"} and "hub" in set(got)
+
+
+def test_harmonic_centrality_matches_bruteforce(spark):
+    """Truncated harmonic equals per-source BFS 1/d sums in fixed hop
+    order; beyond-k vertices contribute nothing."""
+    from cypher_guard_spark.pipeline.graph_algo import harmonic_centrality
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c"),
+             ("x", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["entity"]: r["harmonic"]
+        for r in harmonic_centrality(spark, df, k=3).collect()
+    }
+    want = {}
+    per_src: dict = {}
+    for (s, d), h in _khop_bruteforce(edges, 3, directed=True).items():
+        per_src.setdefault(s, []).append(h)
+    for s, hs in per_src.items():
+        total = 0.0
+        for h in (1, 2, 3):
+            total = total + hs.count(h) / float(h)
+        want[s] = round(total, 6)
+    assert got == want
+    # a: b(1), c(1), d(2), e(3) -> 1 + 1 + 0.5 + 1/3
+    assert got["a"] == round(2.0 + 0.5 + 1.0 / 3.0, 6)
