@@ -1065,6 +1065,89 @@ FROM kh GROUP BY src
 """
 
 
+def q_kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-4-truncated Brandes betweenness over the undirected
+    canonical graph (`pipeline/graph_algo.py:betweenness`, exact mode
+    for the oracle: value-sorted dependency folds + 6dp per-round
+    rounding; all vertices as pivots)."""
+    from cypher_guard_spark.pipeline.graph_algo import betweenness
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return betweenness(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        max_depth=4,
+        directed=False,
+        exact=True,
+    )
+
+
+def _kg_betweenness_values(max_depth: int = 4) -> str:
+    """Serial truncated-Brandes twin with the exact-mode arithmetic:
+    integer sigma, per-layer dependency = sorted-ascending fold of
+    sigma_u/sigma_w*(1+delta_w) rounded 6dp, final per-vertex fold over
+    all pivots' deltas, halved (undirected), rounded 6dp."""
+    from collections import defaultdict, deque
+
+    und: dict = defaultdict(set)
+    for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        if s != o:
+            und[s].add(o)
+            und[o].add(s)
+    verts = sorted(und)
+    bc_vals: dict = defaultdict(list)
+    for s0 in verts:
+        dist = {s0: 0}
+        sigma = {s0: 1}
+        layers: dict = defaultdict(list)
+        layers[0] = [s0]
+        q = deque([s0])
+        while q:
+            u = q.popleft()
+            if dist[u] == max_depth:
+                continue
+            for v in und[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sigma[v] = 0
+                    layers[dist[v]].append(v)
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        deepest = max(layers)
+        delta = {v: 0.0 for v in dist}
+        for d in range(deepest, 0, -1):
+            contribs: dict = defaultdict(list)
+            for w in layers[d]:
+                for u in und[w]:
+                    if dist.get(u) == d - 1:
+                        contribs[u].append(
+                            sigma[u] / sigma[w] * (1.0 + delta[w])
+                        )
+            for u in layers[d - 1]:
+                if u in contribs:
+                    t = 0.0
+                    for c in sorted(contribs[u]):
+                        t = t + c
+                    delta[u] = _round6(t)
+                else:
+                    delta[u] = 0.0
+        for v in dist:
+            if v != s0:
+                bc_vals[v].append(delta[v])
+    rows = []
+    for v in verts:
+        t = 0.0
+        for x in sorted(bc_vals.get(v, [])):
+            t = t + x
+        rows.append(f"({_sql_quote(v)}, {_round6(t * 0.5)!r}::DOUBLE)")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(entity, betweenness)"
+    )
+
+
 def q_kg_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality-constraint violations over the canonical triples
     (`pipeline/schema_infer.py:triple_conflicts`): WORKS_FOR declared
@@ -3391,6 +3474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fuzzy_surfaces": q_kg_fuzzy_surfaces,
         "kg_khop": q_kg_khop,
         "kg_harmonic": q_kg_harmonic,
+        "kg_betweenness": q_kg_betweenness,
         "kg_conflicts": q_kg_conflicts,
         "kg_triple_history": q_kg_triple_history,
         "kg_schema_infer": q_kg_schema_infer,
@@ -4243,6 +4327,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_fuzzy_surfaces": _kg_fuzzy_surfaces_sql(),
         "kg_khop": _kg_khop_sql(),
         "kg_harmonic": _kg_harmonic_sql(),
+        "kg_betweenness": _kg_betweenness_values(),
         "kg_conflicts": _kg_conflicts_sql(),
         "kg_triple_history": _kg_triple_history_values(),
         "kg_schema_infer": _kg_schema_infer_sql(),

@@ -1057,3 +1057,114 @@ def test_harmonic_centrality_matches_bruteforce(spark):
     assert got == want
     # a: b(1), c(1), d(2), e(3) -> 1 + 1 + 0.5 + 1/3
     assert got["a"] == round(2.0 + 0.5 + 1.0 / 3.0, 6)
+
+
+# ------------------------------------------------------------ betweenness
+
+
+def _brandes_ref(edges, directed=False, max_depth=99):
+    """Textbook Brandes (float sums, truncated BFS) for test comparison."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            if not directed:
+                adj[v].add(u)
+    verts = sorted(set(adj) | {v for vs in adj.values() for v in vs})
+    bc = {v: 0.0 for v in verts}
+    for s in verts:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = []
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            if dist[u] == max_depth:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sigma[v] = 0
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        delta = {v: 0.0 for v in dist}
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v) == dist[w] + 1:
+                    delta[w] += sigma[w] / sigma[v] * (1.0 + delta[v])
+            if w != s:
+                bc[w] += delta[w]
+    scale = 1.0 if directed else 0.5
+    return {v: bc[v] * scale for v in verts}
+
+
+def test_betweenness_matches_textbook(spark):
+    """Exact mode equals textbook Brandes (within round-off) on a graph
+    with branches, a cycle, and known hand values."""
+    from cypher_guard_spark.pipeline.graph_algo import betweenness
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e"), ("e", "d"),
+             ("d", "f")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for exact in (True, False):
+        got = {
+            r["entity"]: r["betweenness"]
+            for r in betweenness(spark, df, max_depth=8, exact=exact).collect()
+        }
+        want = _brandes_ref(edges)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-4, (exact, v, got[v], want[v])
+
+
+def test_betweenness_star_and_path(spark):
+    from cypher_guard_spark.pipeline.graph_algo import betweenness
+
+    # star: center carries every leaf pair: (4-1)(4-2)/2 = 3
+    star = spark.createDataFrame(
+        [("c", "l1"), ("c", "l2"), ("c", "l3")], ["src", "dst"]
+    )
+    got = {
+        r["entity"]: r["betweenness"]
+        for r in betweenness(spark, star, max_depth=4, exact=True).collect()
+    }
+    assert got == {"c": 3.0, "l1": 0.0, "l2": 0.0, "l3": 0.0}
+    # truncation: on a 4-path a-b-c-d with max_depth=1 no interior pair
+    # is reachable, so all betweenness collapses to 0
+    path = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"])
+    got1 = {
+        r["entity"]: r["betweenness"]
+        for r in betweenness(spark, path, max_depth=1, exact=True).collect()
+    }
+    assert set(got1.values()) == {0.0}
+    got3 = {
+        r["entity"]: r["betweenness"]
+        for r in betweenness(spark, path, max_depth=3, exact=True).collect()
+    }
+    assert got3["b"] == got3["c"] == 2.0 and got3["a"] == got3["d"] == 0.0
+
+
+def test_betweenness_directed_and_pivots(spark):
+    from cypher_guard_spark.pipeline.graph_algo import betweenness
+
+    edges = [("a", "b"), ("b", "c")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["entity"]: r["betweenness"]
+        for r in betweenness(spark, df, max_depth=4, directed=True, exact=True).collect()
+    }
+    # only path a->b->c passes through b
+    assert got == {"a": 0.0, "b": 1.0, "c": 0.0}
+    # pivot restriction: only walks FROM a are counted
+    piv = spark.createDataFrame([("a",)], ["entity"])
+    gp = {
+        r["entity"]: r["betweenness"]
+        for r in betweenness(
+            spark, df, max_depth=4, directed=True, exact=True, pivots=piv
+        ).collect()
+    }
+    assert gp == {"a": 0.0, "b": 1.0, "c": 0.0}
