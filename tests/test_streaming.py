@@ -583,3 +583,131 @@ def test_entity_map_stream_matches_batch_operator(spark, tmp_path):
         ).localCheckpoint()
     want = {(r["label"], r["surface"]): r["canonical"] for r in old.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# streaming triple fusion
+# ---------------------------------------------------------------------------
+
+
+def test_stream_fusion_accumulates_and_matches_batch(spark, tmp_path):
+    """Running noisy-OR state crosses micro-batches, matches the batch
+    fast-mode fuse_triples within FP tolerance (exact for counts,
+    provenance, max, and certain saturation), and a conf=1.0 observation
+    latches agg_conf=1 permanently."""
+    import pandas as pd
+
+    from cypher_guard_spark.pipeline.graph_store import fuse_triples
+    from cypher_guard_spark.streaming.fusion_stream import stream_fuse_triples
+
+    schema = "doc_id string, subj string, pred string, obj string, conf double"
+    wave1 = [
+        ("d1", "alice", "WORKS_FOR", "acme", 0.6),
+        ("d2", "alice", "WORKS_FOR", "acme", 0.5),
+        ("d1", "acme", "LOCATED_IN", "berlin", 1.0),   # certain from the start
+        ("d3", "bob", "KNOWS", "carol", 0.3),
+    ]
+    wave2 = [
+        ("d4", "alice", "WORKS_FOR", "acme", 0.8),     # strengthens
+        ("d0", "acme", "LOCATED_IN", "berlin", 0.2),   # must STAY saturated
+    ]
+    src = tmp_path / "obs_src"
+    src.mkdir()
+    spark.createDataFrame(wave1, schema).coalesce(1).write.parquet(str(src / "w1"))
+    spark.createDataFrame(wave2, schema).coalesce(1).write.parquet(str(src / "w2"))
+    obs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_fuse_triples(obs)
+        .writeStream.format("memory")
+        .queryName("fusion_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.sql("SELECT * FROM fusion_stream").toPandas()
+    final = (
+        updates.groupby(["subj", "pred", "obj"]).last().reset_index()
+        .set_index(["subj", "pred", "obj"])
+    )
+    batch = {
+        (r["subj"], r["pred"], r["obj"]): r
+        for r in fuse_triples(
+            spark.createDataFrame(wave1 + wave2, schema)
+        ).collect()
+    }
+    assert set(final.index) == set(batch)
+    for key, brow in batch.items():
+        srow = final.loc[key]
+        assert srow["n_obs"] == brow["n_obs"], key
+        assert srow["first_doc"] == brow["first_doc"], key
+        assert srow["last_doc"] == brow["last_doc"], key
+        assert abs(srow["max_conf"] - brow["max_conf"]) < 1e-12, key
+        assert abs(srow["agg_conf"] - brow["agg_conf"]) < 1e-9, key
+    # certain saturation survived a later weak observation
+    assert final.loc[("acme", "LOCATED_IN", "berlin"), "agg_conf"] == 1.0
+    # state crossed batches: alice fact saw two updates with growing n_obs
+    a = updates[(updates.subj == "alice")]
+    assert sorted(a.n_obs) == [2, 3]
+    # provenance range extended backward by wave2's d0
+    assert final.loc[("acme", "LOCATED_IN", "berlin"), "first_doc"] == "d0"
+
+
+def test_stream_fusion_restart_recovery(spark, tmp_path):
+    """State rides the checkpoint: a new query on the same checkpoint
+    continues the noisy-OR accumulation instead of restarting it."""
+    from cypher_guard_spark.streaming.fusion_stream import stream_fuse_triples
+
+    schema = "doc_id string, subj string, pred string, obj string, conf double"
+    src = tmp_path / "obs_src2"
+    src.mkdir()
+
+    out_dir = str(tmp_path / "fused_out")
+
+    def drain():
+        # memory sinks can't recover from a checkpoint — foreachBatch
+        # parquet append is the recovery-capable production sink shape
+        obs = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream_fuse_triples(obs)
+            .writeStream.foreachBatch(
+                lambda b, e: b.withColumn("epoch", F.lit(int(e)))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "fckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out_dir)
+            .orderBy("epoch")
+            .toPandas()
+            .groupby(["subj", "pred", "obj"])
+            .last()
+            .reset_index()
+        )
+
+    spark.createDataFrame(
+        [("d1", "a", "R", "b", 0.5)], schema
+    ).coalesce(1).write.parquet(str(src / "w1"))
+    drain()
+    spark.createDataFrame(
+        [("d2", "a", "R", "b", 0.5)], schema
+    ).coalesce(1).write.parquet(str(src / "w2"))
+    out = drain()
+    # second run only processed wave 2, but n_obs=2 proves recovered state
+    assert len(out) == 1
+    assert out.iloc[0]["n_obs"] == 2
+    assert abs(out.iloc[0]["agg_conf"] - round(1 - 0.25, 6)) < 1e-12
