@@ -1571,6 +1571,64 @@ def _kg_communities_values(iters: int = 5) -> str:
     )
 
 
+def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the kg_communities partition over the
+    undirected canonical graph (`pipeline/graph_algo.py:modularity`) —
+    the quality gate on community detection, integer-exact via
+    Q = (4m·Σe_c − Σdeg_c²)/4m²."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        label_propagation,
+        modularity,
+    )
+
+    canon = q_kg_canonical_triples(spark, sf_dir).localCheckpoint(eager=False)
+    e = canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    com = label_propagation(spark, e, iters=5)
+    return modularity(e, com)
+
+
+def _kg_modularity_values(iters: int = 5) -> str:
+    """Serial twin: the LPA label twin + the same integer-numerator
+    single-division Q over the a<b distinct undirected edge set."""
+    from collections import defaultdict
+
+    und = set()
+    for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        if s != o:
+            und.add((min(s, o), max(s, o)))
+    adj: defaultdict = defaultdict(set)
+    for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        adj[s].add(o)
+        adj[o].add(s)
+    labels = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v, nbrs in adj.items():
+            counts: defaultdict = defaultdict(int)
+            for nb in nbrs:
+                counts[labels[nb]] += 1
+            new[v] = min(counts, key=lambda lbl: (-counts[lbl], lbl))
+        labels = new
+    m = len(und)
+    sum_ec = sum(1 for a, b in und if labels[a] == labels[b])
+    deg: defaultdict = defaultdict(int)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    degc: defaultdict = defaultdict(int)
+    for v, d in deg.items():
+        degc[labels[v]] += d
+    sum_degsq = sum(d * d for d in degc.values())
+    ncomm = len({labels[v] for v in deg})
+    q = 0.0 if m == 0 else _round6(
+        float(4 * m * sum_ec - sum_degsq) / float(4 * m * m)
+    )
+    return (
+        f"SELECT * FROM (VALUES ({ncomm}::BIGINT, {m}::BIGINT, "
+        f"{q!r}::DOUBLE)) AS t(n_communities, m_edges, modularity)"
+    )
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity triangle counts over the canonical entity graph
     (degree-ordered orientation — `pipeline/graph_algo.py:triangle_count`);
@@ -3484,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_diff": q_kg_triple_diff,
         "kg_entity_similarity": q_kg_entity_similarity,
         "kg_communities": q_kg_communities,
+        "kg_modularity": q_kg_modularity,
         "kg_triangles": q_kg_triangles,
         "kg_clustering": q_kg_clustering,
         "kg_bfs_depths": q_kg_bfs_depths,
@@ -4337,6 +4396,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_triple_diff": _kg_triple_diff_values(),
         "kg_entity_similarity": _kg_entity_similarity_values(),
         "kg_communities": _kg_communities_values(),
+        "kg_modularity": _kg_modularity_values(),
         "kg_triangles": _kg_triangles_values(),
         "kg_clustering": _kg_clustering_values(),
         "kg_bfs_depths": _kg_bfs_depths_values(),

@@ -1347,3 +1347,99 @@ def betweenness(
     return verts.join(summed, "entity", "left").select(
         "entity", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """ONE row (n_communities, m_edges, modularity) — Newman modularity Q
+    of a community assignment over the undirected distinct graph: the
+    "did community detection find real structure" gate (Q near 0 ⇒ the
+    partition is no better than random; ≳0.3 ⇒ meaningful structure), run
+    after `label_propagation` before anyone trusts its output.
+
+    Exactness: the textbook Q = Σ_c [e_c/m − (deg_c/2m)²] is a sum of
+    per-community FP terms — order-sensitive. Algebra removes the
+    problem: Q = (4m·Σe_c − Σdeg_c²) / 4m², where e_c (intra-community
+    edges), deg_c (community degree sums) and m are integers, so the
+    numerator and denominator are EXACT int64 and the single final
+    division is bit-identical in any engine or partitioning — no
+    sorted-fold machinery needed (int64 overflows past ~10^9 edges; at
+    that scale compute the two Σ terms in double and accept last-ulp
+    drift, same trade as the other kernels).
+
+    Plan: normalize to a<b undirected distinct pairs, two vertex-keyed
+    community joins, two partial aggs (intra-edge counts per community,
+    degree sums per community), then three single-row aggregates
+    cross-joined — no collect, the output is one row."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    com = communities.select(
+        F.col(communities.columns[0]).alias("v"),
+        F.col(communities.columns[1]).alias("c"),
+    )
+    ca = com.select(F.col("v").alias("a"), F.col("c").alias("ca"))
+    cb = com.select(F.col("v").alias("b"), F.col("c").alias("cb"))
+    tagged = und.join(ca, "a").join(cb, "b")
+    sum_ec = (
+        tagged.where(F.col("ca") == F.col("cb"))
+        .groupBy("ca")
+        .agg(F.count("*").alias("ec"))
+        .agg(F.coalesce(F.sum("ec"), F.lit(0)).cast("long").alias("sum_ec"))
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+        .join(com, "v")
+    )
+    sum_degsq = (
+        deg.groupBy("c")
+        .agg(F.sum("d").alias("dc"))
+        .agg(
+            F.coalesce(F.sum(F.col("dc") * F.col("dc")), F.lit(0))
+            .cast("long")
+            .alias("sum_degsq")
+        )
+    )
+    meta = und.agg(F.count("*").cast("long").alias("m_edges")).crossJoin(
+        com.join(
+            und.select(F.col("a").alias("v")).unionByName(
+                und.select(F.col("b").alias("v"))
+            ).distinct(),
+            "v",
+            "leftsemi",
+        )
+        .agg(F.countDistinct("c").alias("n_communities"))
+    )
+    return (
+        meta.crossJoin(sum_ec)
+        .crossJoin(sum_degsq)
+        .select(
+            "n_communities",
+            "m_edges",
+            F.when(F.col("m_edges") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (
+                        4 * F.col("m_edges") * F.col("sum_ec")
+                        - F.col("sum_degsq")
+                    ).cast("double")
+                    / (4 * F.col("m_edges") * F.col("m_edges")).cast("double"),
+                    6,
+                )
+            )
+            .alias("modularity"),
+        )
+    )

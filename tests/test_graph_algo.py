@@ -1168,3 +1168,39 @@ def test_betweenness_directed_and_pivots(spark):
         ).collect()
     }
     assert gp == {"a": 0.0, "b": 1.0, "c": 0.0}
+
+
+# ------------------------------------------------------------- modularity
+
+
+def test_modularity_known_values(spark):
+    from cypher_guard_spark.pipeline.graph_algo import modularity
+
+    # two triangles joined by one bridge, perfect 2-community split:
+    # m=7, e_c=3 each, deg: triangle verts 2,2 + bridge endpoints 3
+    # Q = (4*7*6 - (7^2+7^2)) / (4*49) = (168-98)/196 = 0.357143
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")]
+    com = [("a", "1"), ("b", "1"), ("c", "1"),
+           ("x", "2"), ("y", "2"), ("z", "2")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    c = spark.createDataFrame(com, ["entity", "community"])
+    row = modularity(e, c).collect()[0]
+    assert (row["n_communities"], row["m_edges"]) == (2, 7)
+    assert row["modularity"] == round((4 * 7 * 6 - 98) / 196.0, 6)
+    # everything in ONE community: Q = (4m*m - (2m)^2)/4m^2 = 0 exactly
+    one = spark.createDataFrame([(v, "c") for v in "abcxyz"], ["entity", "community"])
+    assert modularity(e, one).collect()[0]["modularity"] == 0.0
+    # duplicate + reversed + self-loop edges collapse before counting
+    noisy = edges + [("b", "a"), ("a", "a"), ("a", "b")]
+    e2 = spark.createDataFrame(noisy, ["src", "dst"])
+    assert modularity(e2, c).collect()[0]["m_edges"] == 7
+
+
+def test_modularity_empty(spark):
+    from cypher_guard_spark.pipeline.graph_algo import modularity
+
+    e = spark.createDataFrame([], "src string, dst string")
+    c = spark.createDataFrame([], "entity string, community string")
+    row = modularity(e, c).collect()[0]
+    assert row["modularity"] == 0.0 and row["m_edges"] == 0
