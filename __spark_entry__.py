@@ -1629,6 +1629,60 @@ def _kg_modularity_values(iters: int = 5) -> str:
     )
 
 
+def q_kg_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row shape/health report of the directed canonical graph
+    (`pipeline/graph_algo.py:graph_profile`) — the per-snapshot stats a
+    pipeline publishes so drift shows up as a diff of two tiny rows."""
+    from cypher_guard_spark.pipeline.graph_algo import graph_profile
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return graph_profile(
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+
+
+def _kg_graph_profile_values() -> str:
+    """Serial twin over the canonical triples with the same integer
+    definitions and HALF_UP rounding for the density proxy."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    e = set()
+    loops = set()
+    for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        if s == o:
+            loops.add((s, o))
+        else:
+            e.add((s, o))
+    verts = {u for u, _v in e} | {v for _u, v in e}
+    und = {(min(u, v), max(u, v)) for u, v in e}
+    outdeg: defaultdict = defaultdict(int)
+    indeg: defaultdict = defaultdict(int)
+    for u, v in e:
+        outdeg[u] += 1
+        indeg[v] += 1
+    recip = sum(1 for u, v in e if (v, u) in e)
+    nv = len(verts)
+    # mirror the engine's op order: IEEE double division, then HALF_UP —
+    # not exact-rational rounding, which could disagree on .5 boundaries
+    avg = (
+        0
+        if nv == 0
+        else int(
+            Decimal(repr(2000 * len(und) / nv)).quantize(
+                Decimal(1), ROUND_HALF_UP
+            )
+        )
+    )
+    return (
+        f"SELECT * FROM (VALUES ({nv}::BIGINT, {len(e)}::BIGINT, "
+        f"{len(loops)}::BIGINT, {max(outdeg.values(), default=0)}::BIGINT, "
+        f"{max(indeg.values(), default=0)}::BIGINT, {recip}::BIGINT, "
+        f"{avg}::BIGINT)) AS t(n_vertices, n_edges, n_self_loops, "
+        f"max_out_deg, max_in_deg, n_reciprocal, avg_deg_x1000)"
+    )
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity triangle counts over the canonical entity graph
     (degree-ordered orientation — `pipeline/graph_algo.py:triangle_count`);
@@ -3444,6 +3498,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": lambda s, d: text.build_vocab(
             _docs(s, d), vocab_size=200, min_count=2
         ),
+        # tokenizer QA: per-doc OOV share against the corpus_vocab table
+        # (top-200/min-2), same tokens() expression on both sides
+        "doc_oov_rates": lambda s, d: text.oov_rates(
+            _docs(s, d), text.build_vocab(_docs(s, d), vocab_size=200, min_count=2)
+        ),
         # real BPE trainer: corpus scanned ONCE (word-frequency agg),
         # merge loop runs over the vocabulary-sized word table — exact
         # integer counts + total tie order so the merge sequence is a
@@ -3543,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_similarity": q_kg_entity_similarity,
         "kg_communities": q_kg_communities,
         "kg_modularity": q_kg_modularity,
+        "kg_graph_profile": q_kg_graph_profile,
         "kg_triangles": q_kg_triangles,
         "kg_clustering": q_kg_clustering,
         "kg_bfs_depths": q_kg_bfs_depths,
@@ -3741,6 +3801,34 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             FROM counts
             ORDER BY n_occurrences DESC, token ASC
             LIMIT 200
+        """,
+        "doc_oov_rates": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+              FROM documents),
+            tok2 AS (SELECT * FROM tok WHERE token <> ''),
+            vocab AS (
+              SELECT token FROM (
+                SELECT token, count(*) AS n_occurrences
+                FROM tok GROUP BY token
+                HAVING count(*) >= 2
+                ORDER BY n_occurrences DESC, token ASC
+                LIMIT 200)),
+            per_doc AS (
+              SELECT t.doc_id, COUNT(*) AS n_tokens,
+                     COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov
+              FROM tok2 t LEFT JOIN vocab v ON t.token = v.token
+              GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.n_oov, 0) AS n_oov,
+                   CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
+                        ELSE ROUND(CAST(p.n_oov AS DOUBLE)
+                                   / CAST(p.n_tokens AS DOUBLE), 6)
+                   END AS oov_rate
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
         "corpus_bpe_merges": _corpus_bpe_merges_values(),
         "doc_bpe_tokens": _doc_bpe_tokens_values(),
@@ -4397,6 +4485,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_entity_similarity": _kg_entity_similarity_values(),
         "kg_communities": _kg_communities_values(),
         "kg_modularity": _kg_modularity_values(),
+        "kg_graph_profile": _kg_graph_profile_values(),
         "kg_triangles": _kg_triangles_values(),
         "kg_clustering": _kg_clustering_values(),
         "kg_bfs_depths": _kg_bfs_depths_values(),

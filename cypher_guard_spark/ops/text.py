@@ -1003,3 +1003,50 @@ def bm25_topk(
     # rank over the already-limited topk rows (window on <=topk rows)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+def oov_rates(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_rate) — per-document out-of-
+    vocabulary share against a vocabulary table (`build_vocab` output or
+    any (token, …) table): the tokenizer-QA metric every ingestion
+    pipeline publishes — a source whose OOV rate jumps is a new language,
+    a new boilerplate family, or an encoding bug, caught before it
+    poisons tokenizer training downstream.
+
+    Same tokenizer as `build_vocab` (shared `tokens()` expression), so
+    the rate measures the vocabulary, not a tokenization mismatch.
+    Plan: explode → LEFT join the vocab keyed by token with a broadcast
+    hint (the vocab is vocabulary-sized — the train-once/broadcast
+    pattern; at open-vocab scale drop the hint and it becomes one token-
+    keyed shuffle) → one doc-keyed partial agg. Counts are integers; the
+    rate is one rounded division — oracle-exact. Empty documents
+    (zero tokens after normalization) report rate 0.0."""
+    tok = df.select(
+        F.col(key_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).where(F.col("token") != "")
+    v = vocab.select(F.col("token"), F.lit(1).alias("__in"))
+    joined = tok.join(F.broadcast(v), "token", "left")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    keys = df.select(F.col(key_col).alias("doc_id")).distinct()
+    return keys.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            )
+        )
+        .alias("oov_rate"),
+    )

@@ -1443,3 +1443,76 @@ def modularity(
             .alias("modularity"),
         )
     )
+
+
+def graph_profile(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """ONE row of directed-graph shape statistics — the health report a
+    pipeline publishes per snapshot so drift (crawler loops, extraction
+    regressions, hub blowups) shows up as a diff of two tiny rows:
+
+    - n_vertices / n_edges  distinct endpoints / distinct directed edges
+      (self-loops excluded from edges, counted separately),
+    - n_self_loops          distinct v→v observations,
+    - max_out_deg / max_in_deg   hub fan maxima,
+    - n_reciprocal          directed edges whose reverse also exists
+      (reciprocity = n_reciprocal / n_edges — an exact integer ratio the
+      consumer divides; kept as integers so the row is engine-exact),
+    - avg_deg_x1000         round(1000·2·n_edges_und / n_vertices) where
+      n_edges_und is the distinct undirected edge count — an integer-
+      rounded density proxy, again exact.
+
+    All partial aggs over id-only projections; the reciprocity check is
+    one self-join on the reversed key (ids only); single-row aggregates
+    cross-joined, no collect."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    loops = e.where(F.col("u") == F.col("v"))
+    clean = e.where(F.col("u") != F.col("v")).localCheckpoint(eager=False)
+    verts = clean.select(F.col("u").alias("x")).unionByName(
+        clean.select(F.col("v").alias("x"))
+    ).distinct()
+    und = clean.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    rev = clean.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    recip = clean.join(rev, ["u", "v"], "leftsemi")
+    outdeg = clean.groupBy("u").agg(F.count("*").alias("d"))
+    indeg = clean.groupBy("v").agg(F.count("*").alias("d"))
+    row = (
+        verts.agg(F.count("*").cast("long").alias("n_vertices"))
+        .crossJoin(clean.agg(F.count("*").cast("long").alias("n_edges")))
+        .crossJoin(loops.agg(F.count("*").cast("long").alias("n_self_loops")))
+        .crossJoin(
+            outdeg.agg(
+                F.coalesce(F.max("d"), F.lit(0)).cast("long").alias("max_out_deg")
+            )
+        )
+        .crossJoin(
+            indeg.agg(
+                F.coalesce(F.max("d"), F.lit(0)).cast("long").alias("max_in_deg")
+            )
+        )
+        .crossJoin(recip.agg(F.count("*").cast("long").alias("n_reciprocal")))
+        .crossJoin(und.agg(F.count("*").cast("long").alias("n_edges_und")))
+    )
+    return row.select(
+        "n_vertices",
+        "n_edges",
+        "n_self_loops",
+        "max_out_deg",
+        "max_in_deg",
+        "n_reciprocal",
+        F.when(F.col("n_vertices") == 0, F.lit(0))
+        .otherwise(
+            F.round(
+                (2000 * F.col("n_edges_und")).cast("double")
+                / F.col("n_vertices").cast("double")
+            ).cast("long")
+        )
+        .alias("avg_deg_x1000"),
+    )

@@ -1204,3 +1204,29 @@ def test_modularity_empty(spark):
     c = spark.createDataFrame([], "entity string, community string")
     row = modularity(e, c).collect()[0]
     assert row["modularity"] == 0.0 and row["m_edges"] == 0
+
+
+def test_graph_profile_bruteforce(spark):
+    from cypher_guard_spark.pipeline.graph_algo import graph_profile
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("a", "b"),  # dup collapses
+             ("c", "c"),                                       # self loop
+             ("c", "d"), ("d", "e")]
+    row = graph_profile(spark.createDataFrame(edges, ["src", "dst"])).collect()[0]
+    # distinct non-loop edges: ab, ba, bc, cd, de (5); vertices a-e (5)
+    assert row["n_vertices"] == 5 and row["n_edges"] == 5
+    assert row["n_self_loops"] == 1
+    assert row["max_out_deg"] == 2  # b -> a, c
+    assert row["max_in_deg"] == 1   # every vertex has exactly one in-edge
+    assert row["n_reciprocal"] == 2  # ab + ba
+    # undirected distinct: ab, bc, cd, de = 4; avg deg = 2*4/5 = 1.6
+    assert row["avg_deg_x1000"] == 1600
+
+
+def test_graph_profile_empty(spark):
+    from cypher_guard_spark.pipeline.graph_algo import graph_profile
+
+    row = graph_profile(
+        spark.createDataFrame([], "src string, dst string")
+    ).collect()[0]
+    assert row["n_vertices"] == 0 and row["avg_deg_x1000"] == 0

@@ -1529,3 +1529,38 @@ def test_ahash_media_deterministic_and_payload_keyed(spark):
     assert {(r["media_id_a"], r["media_id_b"], r["dist"]) for r in pairs} == {
         ("m-00000", "m-copy", 0)
     }
+
+
+def test_oov_rates_matches_bruteforce(spark):
+    """OOV shares vs a hand-counted twin: in-vocab, mixed, all-OOV, and
+    empty documents; same tokenizer as build_vocab by construction."""
+    import re
+
+    from cypher_guard_spark.ops.text import build_vocab, oov_rates
+
+    docs = [
+        ("d1", "the cat sat on the mat"),
+        ("d2", "the dog UNSEEN zebra"),
+        ("d3", "qqq zzz"),
+        ("d4", "   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("sat",), ("on",), ("mat",), ("dog",)],
+        "token string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in oov_rates(df, vocab).collect()
+    }
+    vset = {"the", "cat", "sat", "on", "mat", "dog"}
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+        n_oov = sum(1 for t in toks if t not in vset)
+        rate = 0.0 if not toks else round(n_oov / len(toks), 6)
+        assert got[doc_id] == (len(toks), n_oov, rate), doc_id
+    # against its own full vocab the corpus is 0% OOV
+    full = build_vocab(df, vocab_size=1000, min_count=1)
+    assert all(
+        r["oov_rate"] == 0.0 for r in oov_rates(df, full).collect()
+    )
