@@ -769,6 +769,78 @@ def _kg_shortest_paths_values(max_rounds: int = 8) -> str:
     )
 
 
+def q_kg_path_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path TREE from the hub entity (same seed/weights as
+    kg_shortest_paths) with deterministic predecessors
+    (`pipeline/graph_algo.py:shortest_path_tree`) — walking `pred` back
+    to the root reconstructs one canonical shortest path per entity."""
+    from cypher_guard_spark.pipeline.graph_algo import shortest_path_tree
+
+    canon = q_kg_canonical_triples(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = (
+        canon.where(F.col("subj") != F.col("obj"))
+        .groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .agg(F.round(1.0 / F.count("*"), 6).alias("w"))
+    )
+    und = (
+        pairs.select(F.col("src").alias("entity"), F.col("dst").alias("nbr"))
+        .unionByName(
+            pairs.select(F.col("dst").alias("entity"), F.col("src").alias("nbr"))
+        )
+        .distinct()
+    )
+    hub = (
+        und.groupBy("entity")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("entity").asc())
+        .limit(1)
+        .select("entity")
+    )
+    return shortest_path_tree(
+        spark, pairs, hub, weight="w", max_rounds=8, directed=False
+    )
+
+
+def _kg_path_tree_values(max_rounds: int = 8) -> str:
+    """Serial twin of the synchronous (dist, pred) tuple-min relaxation:
+    same hub seed, same round6 per round, same lexicographic tie rule."""
+    from collections import defaultdict
+
+    cnt: dict = defaultdict(int)
+    for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        if s != o:
+            cnt[(s, o)] += 1
+    adj: dict = defaultdict(list)
+    und: dict = defaultdict(set)
+    for (a, b), c in cnt.items():
+        w = _round6(1.0 / c)
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+        und[a].add(b)
+        und[b].add(a)
+    hub = min(und, key=lambda v: (-len(und[v]), v))
+    state = {hub: (0.0, hub)}
+    for _ in range(max_rounds):
+        new = dict(state)
+        for u, (d, _p) in state.items():
+            for v, w in adj[u]:
+                cand = (_round6(d + w), u)
+                if v not in new or cand < new[v]:
+                    new[v] = cand
+        if new == state:
+            break
+        state = new
+    rows = [
+        f"({_sql_quote(v)}, {d!r}::DOUBLE, {_sql_quote(p)})"
+        for v, (d, p) in state.items()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(entity, dist, pred)"
+    )
+
+
 def q_kg_triple_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evidence fusion over the canonical triple stream
     (`pipeline/graph_store.py:fuse_triples`, exact mode for the oracle):
@@ -3597,6 +3669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_infer": q_kg_schema_infer,
         "kg_schema_roundtrip": q_kg_schema_roundtrip,
         "kg_shortest_paths": q_kg_shortest_paths,
+        "kg_path_tree": q_kg_path_tree,
         "kg_triple_fusion": q_kg_triple_fusion,
         "kg_triple_diff": q_kg_triple_diff,
         "kg_entity_similarity": q_kg_entity_similarity,
@@ -4480,6 +4553,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_schema_infer": _kg_schema_infer_sql(),
         "kg_schema_roundtrip": _kg_schema_roundtrip_sql(),
         "kg_shortest_paths": _kg_shortest_paths_values(),
+        "kg_path_tree": _kg_path_tree_values(),
         "kg_triple_fusion": _kg_triple_fusion_values(),
         "kg_triple_diff": _kg_triple_diff_values(),
         "kg_entity_similarity": _kg_entity_similarity_values(),

@@ -1516,3 +1516,87 @@ def graph_profile(
         )
         .alias("avg_deg_x1000"),
     )
+
+
+def shortest_path_tree(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_rounds: int = 8,
+    directed: bool = False,
+) -> DataFrame:
+    """(entity, dist, pred) — `shortest_paths` plus the PREDECESSOR on
+    one deterministic shortest path, so "how is X connected to the seed"
+    reconstructs by walking `pred` back to a root (seeds are their own
+    predecessor): the KG-explainability query a fact-provenance UI runs,
+    as a table instead of a traversal.
+
+    Determinism without an exact/fast split: state per vertex is the
+    MINIMUM of (dist, pred) pairs under lexicographic order — dist first,
+    then the smallest predecessor name among equal-dist paths — and min
+    over tuples is order-independent, so partial-agg combining is both
+    hub-safe AND bit-identical to the serial twin (the same argument as
+    `shortest_paths`' plain MIN, extended to the pair). Per round: one
+    adjacency equi-join + one struct-min partial agg, per-round 6dp
+    rounding of dist, lineage truncated, early exit when no (dist, pred)
+    state changes. Same non-negative-weight contract as shortest_paths."""
+    w = (
+        F.round(F.col(weight).cast("double"), 6)
+        if weight
+        else F.lit(1.0)
+    ).alias("w")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w)
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), w)
+        )
+    adj = e.where(F.col("u") != F.col("v")).localCheckpoint(eager=False)
+    if weight and adj.where(F.col("w") < 0).take(1):
+        raise ValueError("shortest_path_tree requires non-negative weights")
+    state = (
+        seeds.select("entity")
+        .distinct()
+        .select(
+            "entity",
+            F.lit(0.0).alias("dist"),
+            F.col("entity").alias("pred"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_rounds):
+        cand = state.join(adj, state["entity"] == adj["u"]).select(
+            F.col("v").alias("entity"),
+            F.round(F.col("dist") + F.col("w"), 6).alias("dist"),
+            F.col("u").alias("pred"),
+        )
+        new = (
+            state.unionByName(cand)
+            .groupBy("entity")
+            .agg(F.min(F.struct("dist", "pred")).alias("s"))
+            .select("entity", F.col("s.dist").alias("dist"), F.col("s.pred").alias("pred"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new.join(
+                state.select(
+                    "entity",
+                    F.col("dist").alias("od"),
+                    F.col("pred").alias("op"),
+                ),
+                "entity",
+                "left",
+            )
+            .where(
+                F.col("od").isNull()
+                | (F.col("dist") != F.col("od"))
+                | (F.col("pred") != F.col("op"))
+            )
+            .count()
+        )
+        state = new
+        if changed == 0:
+            break
+    return state

@@ -1230,3 +1230,51 @@ def test_graph_profile_empty(spark):
         spark.createDataFrame([], "src string, dst string")
     ).collect()[0]
     assert row["n_vertices"] == 0 and row["avg_deg_x1000"] == 0
+
+
+def test_shortest_path_tree_preds_reconstruct_paths(spark):
+    """dist matches shortest_paths; pred chains walk back to the seed;
+    equal-dist ties pick the smallest predecessor name."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        shortest_path_tree,
+        shortest_paths,
+    )
+
+    # diamond with a tie: s->a->t and s->b->t both cost 2
+    edges = [("s", "a", 1.0), ("s", "b", 1.0), ("a", "t", 1.0),
+             ("b", "t", 1.0), ("t", "z", 1.0)]
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([("s",)], ["entity"])
+    tree = {
+        r["entity"]: (r["dist"], r["pred"])
+        for r in shortest_path_tree(
+            spark, e, seeds, weight="w", directed=True
+        ).collect()
+    }
+    sp = {
+        r["entity"]: r["dist"]
+        for r in shortest_paths(spark, e, seeds, weight="w", directed=True).collect()
+    }
+    assert {v: d for v, (d, _p) in tree.items()} == sp
+    assert tree["s"] == (0.0, "s")          # root is its own pred
+    assert tree["t"][1] == "a"              # tie broken to min name
+    # walk z back to the seed
+    chain = ["z"]
+    while chain[-1] != "s":
+        chain.append(tree[chain[-1]][1])
+    assert chain == ["z", "t", "a", "s"]
+
+
+def test_shortest_path_tree_undirected_and_negative_reject(spark):
+    from cypher_guard_spark.pipeline.graph_algo import shortest_path_tree
+
+    e = spark.createDataFrame([("a", "b", 2.0)], ["src", "dst", "w"])
+    seeds = spark.createDataFrame([("b",)], ["entity"])
+    got = {
+        r["entity"]: (r["dist"], r["pred"])
+        for r in shortest_path_tree(spark, e, seeds, weight="w").collect()
+    }
+    assert got == {"b": (0.0, "b"), "a": (2.0, "b")}
+    neg = spark.createDataFrame([("a", "b", -1.0)], ["src", "dst", "w"])
+    with pytest.raises(ValueError, match="non-negative"):
+        shortest_path_tree(spark, neg, seeds, weight="w")
