@@ -2483,6 +2483,27 @@ def _oracle_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _ORACLE_SF_DIR_DEFAULT)
 
 
+def _doc_compression_values(level: int = 6) -> str:
+    """Twin of ops.text.compression_ratios: the same stdlib zlib at the
+    same pinned level over the same parquet text (pyarrow read)."""
+    import zlib
+
+    rows = []
+    for doc_id, text_v in _oracle_documents():
+        b = (text_v or "").encode("utf-8")
+        c = len(zlib.compress(b, level))
+        ratio = 0.0 if not b else round(c / len(b), 6)
+        rows.append(
+            f"({doc_id}::BIGINT, {len(b)}::BIGINT, {c}::BIGINT, "
+            f"{ratio!r}::DOUBLE)"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, raw_bytes, compressed_bytes, ratio)"
+    )
+
+
 def _oracle_documents() -> list[tuple[int, str]]:
     import pyarrow.parquet as pq
 
@@ -3575,6 +3596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov_rates": lambda s, d: text.oov_rates(
             _docs(s, d), text.build_vocab(_docs(s, d), vocab_size=200, min_count=2)
         ),
+        # zlib repetitiveness signal (FineWeb/DCLM-family heuristic);
+        # the sanctioned Pandas-UDF carve-out — byte-level DEFLATE has no
+        # Catalyst expression
+        "doc_compression": lambda s, d: text.compression_ratios(_docs(s, d)),
         # real BPE trainer: corpus scanned ONCE (word-frequency agg),
         # merge loop runs over the vocabulary-sized word table — exact
         # integer counts + total tie order so the merge sequence is a
@@ -3875,6 +3900,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             ORDER BY n_occurrences DESC, token ASC
             LIMIT 200
         """,
+        "doc_compression": _doc_compression_values(),
         "doc_oov_rates": """
             WITH tok AS (
               SELECT doc_id,

@@ -1050,3 +1050,65 @@ def oov_rates(
         )
         .alias("oov_rate"),
     )
+
+
+def compression_ratios(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """(doc_id, raw_bytes, compressed_bytes, ratio) — per-document zlib
+    compression ratio, the repetitiveness signal modern curation stacks
+    (FineWeb/DCLM-family heuristics) gate on: templated or looping text
+    compresses far below natural prose, and the ratio catches what
+    n-gram repetition scores miss (long-range structure). ratio =
+    compressed/raw rounded 6dp; empty documents report ratio 0.0.
+
+    This is deliberately a Pandas-UDF operator — DEFLATE is byte-level
+    work no Catalyst expression covers, which is exactly the "UDFs are
+    the slow path, use them only where built-ins can't express the
+    semantics" carve-out: Arrow-batched mapInPandas (never per-row
+    Python), map-only, payload text stays in the scan's batches and the
+    output is 3 numbers per row. Determinism: zlib with a pinned `level`
+    is deterministic for a given library build; the oracle twin runs the
+    same stdlib zlib, and a cross-build drift would surface as a hash
+    mismatch rather than silently passing."""
+    import zlib
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        LongType as _L,
+        StructField as _F,
+        StructType as _T,
+    )
+
+    sel = df.select(F.col(key_col).alias("doc_id"), F.col(text_col).alias("t"))
+    schema = _T(
+        [
+            _F("doc_id", sel.schema["doc_id"].dataType),  # preserve key type
+            _F("raw_bytes", _L()),
+            _F("compressed_bytes", _L()),
+            _F("ratio", _D()),
+        ]
+    )
+
+    def batches(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            raws, comps, ratios = [], [], []
+            for t in pdf["t"]:
+                b = (t or "").encode("utf-8")
+                c = len(zlib.compress(b, level))
+                raws.append(len(b))
+                comps.append(c)
+                ratios.append(0.0 if not b else round(c / len(b), 6))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": _pd.array(raws, dtype="int64"),
+                    "compressed_bytes": _pd.array(comps, dtype="int64"),
+                    "ratio": ratios,
+                }
+            )
+
+    return sel.mapInPandas(batches, schema)

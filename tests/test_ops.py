@@ -1564,3 +1564,30 @@ def test_oov_rates_matches_bruteforce(spark):
     assert all(
         r["oov_rate"] == 0.0 for r in oov_rates(df, full).collect()
     )
+
+
+def test_compression_ratios_signal_and_edges(spark):
+    """Repetitive text compresses far below random-ish prose; empty docs
+    report 0.0; values equal the serial zlib twin exactly."""
+    import zlib
+
+    from cypher_guard_spark.ops.text import compression_ratios
+
+    docs = [
+        ("r", "spam ham " * 500),
+        ("n", "The quick brown fox jumps over the lazy dog near the bank."),
+        ("e", ""),
+        ("u", "héllo wörld é" * 3),  # multi-byte utf-8
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["raw_bytes"], r["compressed_bytes"], r["ratio"])
+        for r in compression_ratios(df).collect()
+    }
+    for doc_id, text in docs:
+        b = text.encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        want = (len(b), c, 0.0 if not b else round(c / len(b), 6))
+        assert got[doc_id] == want, doc_id
+    assert got["r"][2] < 0.05          # templated text crushes
+    assert got["n"][2] > 0.5           # short prose barely compresses
