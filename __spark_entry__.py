@@ -3600,6 +3600,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the sanctioned Pandas-UDF carve-out — byte-level DEFLATE has no
         # Catalyst expression
         "doc_compression": lambda s, d: text.compression_ratios(_docs(s, d)),
+        # fixed-chain PII scrubbing behind the pii_counts pre-scan. The
+        # synthetic corpus is PII-free (as for doc_pii_counts), so this
+        # gate locks the pass-through path byte-for-byte; replacement
+        # semantics are locked by tests/test_ops.py::test_redact_pii_*
+        "doc_pii_redacted": lambda s, d: text.redact_pii(_docs(s, d)),
         # real BPE trainer: corpus scanned ONCE (word-frequency agg),
         # merge loop runs over the vocabulary-sized word table — exact
         # integer counts + total tie order so the merge sequence is a
@@ -3901,6 +3906,22 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             LIMIT 200
         """,
         "doc_compression": _doc_compression_values(),
+        "doc_pii_redacted": """
+            WITH red AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(lower(trim(text)),
+                           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+',
+                           '<EMAIL>', 'g'),
+                         'https?://[^\\s]+', '<URL>', 'g'),
+                       '[0-9]{6,}', '<DIGITS>', 'g') AS text_redacted
+              FROM documents)
+            SELECT doc_id, text_redacted,
+                   len(regexp_extract_all(text_redacted,
+                       '<EMAIL>|<URL>|<DIGITS>')) AS n_redactions
+            FROM red
+        """,
         "doc_oov_rates": """
             WITH tok AS (
               SELECT doc_id,

@@ -1112,3 +1112,37 @@ def compression_ratios(
             )
 
     return sel.mapInPandas(batches, schema)
+
+
+PII_REDACTIONS = [
+    ("n_emails", "<EMAIL>"),
+    ("n_urls", "<URL>"),
+    ("n_long_digit_runs", "<DIGITS>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_redacted, n_redactions) — the scrubbing step behind
+    `pii_counts`' pre-scan: each PII pattern is replaced by an UPPERCASE
+    placeholder in a FIXED chain order (emails → urls → digit runs; the
+    order is the contract — a URL containing an email-shaped substring
+    redacts under whichever pattern fires first in the chain, and the
+    oracle mirrors the chain exactly). Same RE2 ∩ Java-regex pattern
+    subset as the counts, applied to the same normalized text.
+
+    `n_redactions` counts the PLACEHOLDERS in the final text, not the
+    pre-redaction matches — that makes it exactly the number of
+    replacements performed even when patterns overlap, and the
+    placeholders cannot collide with input (normalization lowercases,
+    placeholders are uppercase). Map-only, pure JVM."""
+    red = _norm(F.col(text_col))
+    for name, token in PII_REDACTIONS:
+        red = F.regexp_replace(red, PII_PATTERNS[name], token)
+    marker = "|".join(tok for _n, tok in PII_REDACTIONS)
+    return df.select(
+        "doc_id",
+        red.alias("text_redacted"),
+        F.size(F.regexp_extract_all(red, F.lit(marker), 0)).alias(
+            "n_redactions"
+        ),
+    )

@@ -1591,3 +1591,23 @@ def test_compression_ratios_signal_and_edges(spark):
         assert got[doc_id] == want, doc_id
     assert got["r"][2] < 0.05          # templated text crushes
     assert got["n"][2] > 0.5           # short prose barely compresses
+
+
+def test_redact_pii_chain_semantics(spark):
+    from cypher_guard_spark.ops.text import redact_pii
+
+    docs = [
+        ("a", "Mail me at Bob@Example.COM or call 1234567 now"),
+        ("b", "see https://site.example/page?id=9 for info"),
+        ("c", "clean text with no sensitive content"),
+        ("d", "a@b.io x@y.org 999999999"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["text_redacted"], r["n_redactions"])
+        for r in redact_pii(df).collect()
+    }
+    assert got["a"] == ("mail me at <EMAIL> or call <DIGITS> now", 2)
+    assert got["b"] == ("see <URL> for info", 1)
+    assert got["c"] == ("clean text with no sensitive content", 0)
+    assert got["d"] == ("<EMAIL> <EMAIL> <DIGITS>", 3)
