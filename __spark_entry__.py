@@ -1755,6 +1755,45 @@ def _kg_graph_profile_values() -> str:
     )
 
 
+def q_kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected canonical graph
+    (`pipeline/graph_algo.py:assortativity`) — integer-numerator Pearson
+    over edge endpoint degrees, the hub-mixing health number."""
+    from cypher_guard_spark.pipeline.graph_algo import assortativity
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return assortativity(
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+
+
+def _kg_assortativity_values() -> str:
+    """Serial twin: same a<b distinct edge set, same integer sums, same
+    single division."""
+    from collections import defaultdict
+
+    und = set()
+    for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        if s != o:
+            und.add((min(s, o), max(s, o)))
+    deg: defaultdict = defaultdict(int)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    m = len(und)
+    sxy = sum(deg[a] * deg[b] for a, b in und)
+    s1 = sum(deg[a] + deg[b] for a, b in und)
+    s2 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in und)
+    den = 2 * m * s2 - s1 * s1
+    r = 0.0 if m == 0 or den == 0 else _round6(
+        float(4 * m * sxy - s1 * s1) / float(den)
+    )
+    return (
+        f"SELECT * FROM (VALUES ({m}::BIGINT, {r!r}::DOUBLE)) "
+        "AS t(m_edges, assortativity)"
+    )
+
+
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity triangle counts over the canonical entity graph
     (degree-ordered orientation — `pipeline/graph_algo.py:triangle_count`);
@@ -3706,6 +3745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_modularity": q_kg_modularity,
         "kg_graph_profile": q_kg_graph_profile,
+        "kg_assortativity": q_kg_assortativity,
         "kg_triangles": q_kg_triangles,
         "kg_clustering": q_kg_clustering,
         "kg_bfs_depths": q_kg_bfs_depths,
@@ -4607,6 +4647,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_communities": _kg_communities_values(),
         "kg_modularity": _kg_modularity_values(),
         "kg_graph_profile": _kg_graph_profile_values(),
+        "kg_assortativity": _kg_assortativity_values(),
         "kg_triangles": _kg_triangles_values(),
         "kg_clustering": _kg_clustering_values(),
         "kg_bfs_depths": _kg_bfs_depths_values(),

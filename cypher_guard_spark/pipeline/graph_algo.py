@@ -1600,3 +1600,70 @@ def shortest_path_tree(
         if changed == 0:
             break
     return state
+
+
+def assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """ONE row (m_edges, assortativity) — Newman degree assortativity of
+    the undirected distinct graph: the Pearson correlation of endpoint
+    degrees over edges, the "do hubs link to hubs" number (social graphs
+    ≳0, extraction KGs typically <0 because hub entities attach to many
+    leaf facts — a sudden shift flags an extraction regression, which is
+    why it belongs in the per-snapshot health report next to
+    `graph_profile`).
+
+    Same exactness trick as `modularity`: clear denominators instead of
+    sorted folds. With per-edge endpoint degrees (x, y) counted in both
+    orientations (2m terms), r = (2m·Σxy·4 − (Σ(x+y))²·... ) reduces to
+    r = (4m·Σxy − S1²) / (2m·S2 − S1²) where S1 = Σ(x+y), S2 = Σ(x²+y²)
+    over the m undirected edges — every term an exact int64 (degrees and
+    m are integers), ONE final division, 6dp round: bit-identical in any
+    engine/partitioning. Degenerate graphs (every degree equal — zero
+    variance denominator) report 0.0 by convention. int64 overflow past
+    ~10^6-degree hubs × 10^9 edges documented: switch the three sums to
+    double and accept last-ulp drift.
+
+    Plan: a<b distinct normalization, one degree partial agg, two
+    broadcast-eligible degree joins back onto edges, one single-row sum
+    agg — no collect."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("x"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("y"))
+    j = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    sums = j.agg(
+        F.count("*").cast("long").alias("m"),
+        F.coalesce(F.sum(F.col("x") * F.col("y")), F.lit(0))
+        .cast("long")
+        .alias("sxy"),
+        F.coalesce(F.sum(F.col("x") + F.col("y")), F.lit(0))
+        .cast("long")
+        .alias("s1"),
+        F.coalesce(
+            F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y")), F.lit(0)
+        )
+        .cast("long")
+        .alias("s2"),
+    )
+    den = 2 * F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")
+    num = 4 * F.col("m") * F.col("sxy") - F.col("s1") * F.col("s1")
+    return sums.select(
+        F.col("m").alias("m_edges"),
+        F.when((F.col("m") == 0) | (den == 0), F.lit(0.0))
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("assortativity"),
+    )

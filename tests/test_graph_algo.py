@@ -1278,3 +1278,39 @@ def test_shortest_path_tree_undirected_and_negative_reject(spark):
     neg = spark.createDataFrame([("a", "b", -1.0)], ["src", "dst", "w"])
     with pytest.raises(ValueError, match="non-negative"):
         shortest_path_tree(spark, neg, seeds, weight="w")
+
+
+def test_assortativity_known_values(spark):
+    from cypher_guard_spark.pipeline.graph_algo import assortativity
+
+    # star: perfectly disassortative, r = -1 (hand: m=3, Sxy=9, S1=12,
+    # S2=30 -> (108-144)/(180-144) = -1)
+    star = spark.createDataFrame(
+        [("c", "l1"), ("c", "l2"), ("c", "l3")], ["src", "dst"]
+    )
+    row = assortativity(star).collect()[0]
+    assert (row["m_edges"], row["assortativity"]) == (3, -1.0)
+    # regular graph (cycle): zero degree variance -> 0.0 by convention
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    assert assortativity(cyc).collect()[0]["assortativity"] == 0.0
+    # two disjoint K2 + one K1,2: mixed, matches the serial formula
+    edges = [("p", "q"), ("x", "y"), ("h", "u"), ("h", "v"), ("p", "q")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    und = {tuple(sorted(e)) for e in edges}
+    from collections import defaultdict
+
+    deg: dict = defaultdict(int)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    m = len(und)
+    sxy = sum(deg[a] * deg[b] for a, b in und)
+    s1 = sum(deg[a] + deg[b] for a, b in und)
+    s2 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in und)
+    want = round((4 * m * sxy - s1 * s1) / (2 * m * s2 - s1 * s1), 6)
+    assert assortativity(df).collect()[0]["assortativity"] == want
+    # empty graph
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert assortativity(empty).collect()[0]["assortativity"] == 0.0
