@@ -2232,6 +2232,29 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance proof (`ops/temporal.py`
+    `write_rollup`/`rollup_apply_batch`): even-event_id history
+    materialized at rest, odd-event_id batch (which lands late data into
+    existing hours) folded in via dynamic partition overwrite — the
+    returned table must equal a FULL recompute over all events, which is
+    exactly what the SQL oracle computes (the merge is integer-additive,
+    so incremental == recompute bit-for-bit)."""
+    import tempfile
+
+    from cypher_guard_spark.ops import relational
+    from cypher_guard_spark.ops.temporal import rollup_apply_batch, write_rollup
+
+    events = relational.load(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="rollup_") + "/t"
+    write_rollup(events.where(F.col("event_id") % 2 == 0), path)
+    rollup_apply_batch(spark, events.where(F.col("event_id") % 2 == 1), path)
+    return spark.read.parquet(path).select(
+        F.col("day").cast("string").alias("day"),
+        "hour_start", "event_type", "n", "sum_fp",
+    )
+
+
 def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join over the events table: each click attributed to the most
     recent strictly-earlier purchase by the same user (backward, strict).
@@ -3494,6 +3517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_anomalies": lambda s, d: temporal.rate_anomalies(
             relational.load(s, d, "events"), z_threshold=2.0
         ),
+        "events_rollup_incremental": q_events_rollup_incremental,
         "events_funnel": q_events_funnel,
         "events_retention": relational.events_retention,
         # dedup
@@ -3992,6 +4016,16 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         """,
         "corpus_bpe_merges": _corpus_bpe_merges_values(),
         "doc_bpe_tokens": _doc_bpe_tokens_values(),
+        "events_rollup_incremental": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   date_trunc('hour', ts) AS hour_start,
+                   event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                     AS sum_fp
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
         "events_rate_anomalies": """
             WITH counts AS (
               SELECT event_type, date_trunc('hour', ts) AS bucket_ts,

@@ -413,3 +413,80 @@ def test_rate_anomalies_matches_bruteforce(spark):
     # the planted flood hour is flagged
     assert any(b.hour == 10 and et == "click" for et, b, _n in got)
     assert not any(et == "singleton" for et, _b, _n in got)
+
+
+# ---------------------------------------------------------------------------
+# incremental at-rest rollup maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_incremental_equals_full_recompute(spark, tmp_path):
+    """Folding batches (incl. late data into an existing hour) into the
+    at-rest rollup equals a full recompute bit-for-bit (integer-additive
+    merge), and untouched day partitions are not rewritten on disk."""
+    import datetime as dt
+    import os
+
+    from cypher_guard_spark.ops.temporal import (
+        hourly_rollup,
+        rollup_apply_batch,
+        write_rollup,
+    )
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2026, 3, 1, 10, 15)
+    day2 = dt.datetime(2026, 3, 2, 9, 5)
+    wave1 = [
+        (1, t0, "click", 1.5),
+        (2, t0 + dt.timedelta(minutes=20), "click", 2.25),
+        (3, t0 + dt.timedelta(hours=1), "view", 0.5),
+        (4, day2, "click", 3.0),
+    ]
+    # wave 2: late data into day1's first hour + a brand-new day-3 hour
+    wave2 = [
+        (5, t0 + dt.timedelta(minutes=40), "click", 10.0),
+        (6, dt.datetime(2026, 3, 3, 0, 0), "view", 7.75),
+    ]
+    path = str(tmp_path / "rollup")
+    write_rollup(spark.createDataFrame(wave1, schema), path)
+    # day-2 partition files before the batch — must survive untouched
+    d2dir = os.path.join(path, "day=2026-03-02")
+    before = {f: os.path.getmtime(os.path.join(d2dir, f))
+              for f in os.listdir(d2dir) if f.endswith(".parquet")}
+    rollup_apply_batch(spark, spark.createDataFrame(wave2, schema), path)
+    after = {f: os.path.getmtime(os.path.join(d2dir, f))
+             for f in os.listdir(d2dir) if f.endswith(".parquet")}
+    assert before == after  # dynamic overwrite never touched day 2
+
+    got = {
+        (str(r["day"]), r["hour_start"], r["event_type"]): (r["n"], r["sum_fp"])
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r["day"], r["hour_start"], r["event_type"]): (r["n"], r["sum_fp"])
+        for r in hourly_rollup(
+            spark.createDataFrame(wave1 + wave2, schema)
+        ).collect()
+    }
+    assert got == want
+    # the late click landed additively in the existing 10:00 bucket
+    key = ("2026-03-01", dt.datetime(2026, 3, 1, 10, 0), "click")
+    assert got[key] == (3, 15000 + 22500 + 100000)
+
+
+def test_rollup_empty_batch_noop(spark, tmp_path):
+    import datetime as dt
+
+    from cypher_guard_spark.ops.temporal import rollup_apply_batch, write_rollup
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    path = str(tmp_path / "rollup2")
+    write_rollup(
+        spark.createDataFrame(
+            [(1, dt.datetime(2026, 1, 1, 1), "x", 1.0)], schema
+        ),
+        path,
+    )
+    before = spark.read.parquet(path).collect()
+    rollup_apply_batch(spark, spark.createDataFrame([], schema), path)
+    assert spark.read.parquet(path).collect() == before
