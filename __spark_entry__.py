@@ -3232,6 +3232,51 @@ def _emb_pq_topk_values(
     )
 
 
+def _emb_ivfpq_values(
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+    iters: int = 2,
+) -> str:
+    """IVF-PQ twin: coarse Lloyd twin for cells + per-subspace PQ twin for
+    codes (both shared helpers), python-round probe selection mirroring
+    the operator's driver-side code, ADC fold in subspace order."""
+    books, vecs, d_m = _py_pq_codebooks(m, pq_k, iters)
+    centers, assign = _py_lloyd_assign(vecs, n_centroids, iters)
+    rows = []
+    for qid in sorted(v for v in vecs if v < 5):
+        qv = [float(x) for x in vecs[qid]]
+        probed = {
+            c
+            for _d, c in sorted(
+                (round(_py_dist2(qv, centers[c]), 6), c) for c in centers
+            )[:nprobe]
+        }
+        scored = []
+        for vid in vecs:
+            if vid == qid or assign[vid] not in probed:
+                continue
+            acc = 0.0
+            for s in range(m):
+                scenters, sassign = books[s]
+                c = scenters[sassign[vid]]
+                sacc = 0.0
+                for i, cx in enumerate(c):
+                    dd = qv[s * d_m + i] - cx
+                    sacc += dd * dd
+                acc += sacc
+            scored.append((_round6(acc), vid))
+        for rank, (d, vid) in enumerate(sorted(scored)[:k], start=1):
+            rows.append(f"({qid}, {vid}, {rank}, {d!r}::DOUBLE)")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(query_id, neighbor_id, rank, adist)"
+    )
+
+
 def _emb_semdedup_values(
     n_clusters: int = 8, threshold: float = 0.3, iters: int = 2
 ) -> str:
@@ -3699,6 +3744,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": lambda s, d: similarity.ivf_topk(
             _emb(s, d), _emb(s, d).where(F.col("vec_id") < 5),
             k=5, n_centroids=8, nprobe=2
+        ),
+        # IVF-PQ: pruning x compression composed (by_residual=False) —
+        # probed cells' CODES are the only thing scanned
+        "emb_ivfpq_topk": lambda s, d: similarity.ivfpq_topk(
+            _emb(s, d), _emb(s, d).where(F.col("vec_id") < 5),
+            k=5, n_centroids=8, nprobe=2, m=4, pq_k=16
         ),
         "emb_label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         # product quantization: all m codebooks train in ONE tagged Lloyd
@@ -4647,6 +4698,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "media_resize": _media_resize_values(),
         "media_phash_dups": _media_phash_dups_values(),
         "emb_ivf_topk": _emb_ivf_values(),
+        "emb_ivfpq_topk": _emb_ivfpq_values(),
         "emb_semantic_dups": _emb_semdedup_values(),
         "emb_pq_codebooks": _emb_pq_codebooks_values(),
         "emb_pq_topk": _emb_pq_topk_values(),

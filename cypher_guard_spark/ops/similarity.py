@@ -868,3 +868,145 @@ def _py_sub_dist2(qv: list, offset: int, center: list) -> float:
         d = qv[offset + i] - c
         acc += d * d
     return acc
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, adist) — IVF-PQ, the composed index
+    that actually runs at 10^12 vectors (the FAISS IVFPQ shape,
+    by_residual=False variant): the coarse quantizer prunes the corpus to
+    `nprobe` cells AND the scan inside those cells reads m code bytes per
+    vector instead of 4d float bytes — the two scale levers (`ivf_topk`'s
+    pruning, `pq_topk`'s compression) multiplied, neither kernel
+    retrained: both trained structures are reusable via `centroids=` /
+    `codebooks=` exactly like the standalone operators (train Lloyd once
+    per curation run). by_residual=False (codes quantize raw vectors, not
+    cell residuals) is the documented trade: slightly lower recall than
+    residual coding, but the code table is cell-independent so ONE
+    codebook serves every cell and the composition stays a pure reuse of
+    the two tested kernels.
+
+    Plan: cell assignment is the exchange-free literal-centroid argmin;
+    codes ride the same map-only encode; per (query, probed cell) the
+    m·pq_k ADC lookup table is computed DRIVER-side and baked as literals
+    (queries are broadcast-sized by contract), exploded and equi-joined
+    to the codes table ON THE CELL KEY — so only probed cells' codes are
+    ever scanned (at rest, that is partition pruning on the
+    `write_ivf_index` layout); distance is m array lookups + a
+    subspace-order fold, one final 6dp rounding, (adist, neighbor) rank
+    top-k. Exactness: every fold order is fixed, LUT entries replicate
+    _dist2's sequential order, probe selection uses the same
+    (round6(dist²), centroid_id) key as ivf_topk."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            embeddings, n_centroids, iters, id_col, vec_col
+        ).localCheckpoint(eager=False)
+    if codebooks is None:
+        codebooks = train_pq(
+            embeddings, m=m, k=pq_k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    cb = _collect_codebooks(codebooks)
+    cents = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["center"]])
+        for r in centroids.collect()
+    )
+    d_m = len(cb[0][0][1])
+    cells = _assign(
+        embeddings.select(F.col(id_col).alias("vid"), _to_double(vec_col).alias("v")),
+        centroids,
+    ).select(F.col("vid").alias("neighbor_id"), "centroid_id")
+    codes = (
+        pq_encode(embeddings, codebooks, id_col, vec_col)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+                lambda st: st.getField("code"),
+            ).alias("codes")
+        )
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .join(cells, "neighbor_id")
+    )
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, adist double"
+        )
+    probes = []
+    for qr in qrows:
+        qv = [float(x) for x in qr[vec_col]]
+        ranked = sorted(
+            (round(_py_sub_dist2(qv, 0, center), 6), cid)
+            for cid, center in cents
+        )[:nprobe]
+        lut = F.array(
+            *[
+                F.array(
+                    *[
+                        F.lit(_py_sub_dist2(qv, s * d_m, center))
+                        for _cid, center in cb[s]
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+        for _d, cid in ranked:
+            probes.append(
+                F.struct(
+                    F.lit(qr[id_col]).alias("query_id"),
+                    F.lit(cid).alias("centroid_id"),
+                    lut.alias("lut"),
+                )
+            )
+    p = (
+        embeddings.sparkSession.range(1)
+        .select(F.explode(F.array(*probes)).alias("q"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("q.centroid_id").alias("centroid_id"),
+            F.col("q.lut").alias("lut"),
+        )
+    )
+    scored = (
+        F.broadcast(p)
+        .join(codes, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("lut"),
+                        F.col("codes"),
+                        lambda l, c: F.element_at(l, c + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )

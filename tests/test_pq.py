@@ -116,3 +116,54 @@ def test_train_pq_rejects_bad_m(spark, emb):
     df, _ = emb
     with pytest.raises(ValueError):
         train_pq(df, m=5, k=4, iters=1)
+
+
+def test_ivfpq_full_probe_equals_pq_minus_self(spark, emb):
+    """With nprobe = n_centroids (no pruning), IVF-PQ reduces to plain
+    ADC over the whole corpus minus the self-match — same codebooks, so
+    ranks shift by exactly the excluded self row."""
+    from cypher_guard_spark.ops.similarity import ivfpq_topk, pq_topk, train_pq
+
+    df, _vecs = emb
+    q = df.where("vec_id < 3")
+    books = train_pq(df, m=M, k=K, iters=ITERS)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adist"]
+        for r in pq_topk(df, books, q.selectExpr("vec_id as query_id", "embedding as qvec"),
+                         k=61).collect()
+    }
+    got = ivfpq_topk(df, q, k=5, n_centroids=4, nprobe=4, m=M, pq_k=K,
+                     iters=ITERS, codebooks=books).collect()
+    assert len(got) == 15
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        assert r["neighbor_id"] != r["query_id"]
+        assert abs(full[key] - r["adist"]) < 1e-12, key
+
+
+def test_ivfpq_pruning_restricts_to_probed_cells(spark, emb):
+    """With nprobe=1, every returned neighbor lives in the query's own
+    nearest cell (cells from the same trained coarse quantizer)."""
+    from cypher_guard_spark.ops.similarity import (
+        _assign,
+        _to_double,
+        ivfpq_topk,
+        kmeans_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    df, _vecs = emb
+    cents = kmeans_centroids(df, 4, ITERS).localCheckpoint()
+    cells = {
+        r["vid"]: r["centroid_id"]
+        for r in _assign(
+            df.select(F.col("vec_id").alias("vid"), _to_double("embedding").alias("v")),
+            cents,
+        ).collect()
+    }
+    got = ivfpq_topk(df, df.where("vec_id < 3"), k=50, n_centroids=4,
+                     nprobe=1, m=M, pq_k=K, iters=ITERS,
+                     centroids=cents).collect()
+    assert got
+    for r in got:
+        assert cells[r["neighbor_id"]] == cells[r["query_id"]], r
