@@ -1755,6 +1755,90 @@ def _kg_graph_profile_values() -> str:
     )
 
 
+def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED canonical graph
+    (`pipeline/graph_algo.py:strongly_connected_components`,
+    forward-backward coloring) — mutual-relationship circles; scc_id is
+    the min member so any serial implementation is comparable."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        strongly_connected_components,
+    )
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return strongly_connected_components(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+    )
+
+
+def _kg_scc_values() -> str:
+    """Serial twin: iterative Tarjan over the canonical distinct directed
+    edge set (self-loops dropped), scc_id = min member."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    verts = set()
+    seen = set()
+    for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        if s != o and (s, o) not in seen:
+            seen.add((s, o))
+            adj[s].append(o)
+            verts.add(s)
+            verts.add(o)
+    index: dict = {}
+    low: dict = {}
+    onstack: dict = {}
+    stack: list = []
+    out: dict = {}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif onstack.get(w):
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                cid = min(comp)
+                for w in comp:
+                    out[w] = cid
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+
+    for v in sorted(verts):
+        if v not in index:
+            strongconnect(v)
+    rows = [
+        f"({_sql_quote(v)}, {_sql_quote(c)})" for v, c in out.items()
+    ]
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(entity, scc_id)"
+    )
+
+
 def q_kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the undirected canonical graph
     (`pipeline/graph_algo.py:assortativity`) — integer-numerator Pearson
@@ -3821,6 +3905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity": q_kg_modularity,
         "kg_graph_profile": q_kg_graph_profile,
         "kg_assortativity": q_kg_assortativity,
+        "kg_scc": q_kg_scc,
         "kg_triangles": q_kg_triangles,
         "kg_clustering": q_kg_clustering,
         "kg_bfs_depths": q_kg_bfs_depths,
@@ -4734,6 +4819,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_modularity": _kg_modularity_values(),
         "kg_graph_profile": _kg_graph_profile_values(),
         "kg_assortativity": _kg_assortativity_values(),
+        "kg_scc": _kg_scc_values(),
         "kg_triangles": _kg_triangles_values(),
         "kg_clustering": _kg_clustering_values(),
         "kg_bfs_depths": _kg_bfs_depths_values(),

@@ -1667,3 +1667,117 @@ def assortativity(
         .otherwise(F.round(num.cast("double") / den.cast("double"), 6))
         .alias("assortativity"),
     )
+
+
+def strongly_connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 32,
+) -> DataFrame:
+    """(entity, scc_id) — strongly connected components of the DIRECTED
+    graph, scc_id = the minimum member id (deterministic, comparable to
+    any serial implementation): the directed sibling of the CC kernel,
+    and what "mutual KNOWS circles" / cyclic-dependency detection
+    actually need on a KG (undirected CC merges a→b with b→a's absence).
+
+    Algorithm: iterative FORWARD-BACKWARD coloring (the Orzan-family
+    shape — Tarjan's stack is inherently sequential and a non-starter):
+    per outer round over the still-unassigned subgraph,
+      1. forward min-label propagation to fixpoint: color(v) = min id
+         that reaches v (the CC kernel's loop, but along edge direction),
+      2. every color class is rooted at a vertex whose color is its own
+         id (nothing smaller reaches it), and the root's BACKWARD reach
+         WITHIN its class is exactly its SCC — any v⇝root path's
+         intermediates are themselves in the SCC, so the restriction
+         loses nothing; the root is also the SCC's min id (a smaller
+         member would recolor it),
+      3. peel those SCCs, shrink the active subgraph, repeat — every
+         class peels one SCC per round, so rounds are bounded by the
+         condensation's min-id chain depth, not by vertex count.
+    Every step is a keyed join + partial-agg MIN or a distinct — min
+    over ids is order-exact (no exact/fast split, the shortest_paths
+    argument), hub-safe, lineage truncated per round. Raises if
+    `max_outer` rounds leave unassigned vertices (honest failure beats a
+    silently partial result)."""
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    active_v = (
+        adj.select(F.col("u").alias("entity"))
+        .unionByName(adj.select(F.col("v").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    active_e = adj
+    assigned = spark.createDataFrame([], "entity string, scc_id string")
+    for _ in range(max_outer):
+        if not active_v.take(1):
+            return assigned
+        # 1. forward min-label fixpoint
+        color = active_v.select("entity", F.col("entity").alias("color"))
+        while True:
+            cand = (
+                color.select(F.col("entity").alias("u"), "color")
+                .join(active_e, "u")
+                .select(F.col("v").alias("entity"), "color")
+            )
+            new = (
+                color.unionByName(cand)
+                .groupBy("entity")
+                .agg(F.min("color").alias("color"))
+                .localCheckpoint(eager=False)
+            )
+            improved = (
+                new.join(
+                    color.withColumnRenamed("color", "old"), "entity"
+                )
+                .where(F.col("color") < F.col("old"))
+                .count()
+            )
+            color = new
+            if improved == 0:
+                break
+        # 2. backward reach of each class root within its class
+        mark = color.where(F.col("entity") == F.col("color")).select(
+            "entity", F.col("color").alias("scc_id")
+        )
+        while True:
+            cand = (
+                mark.select(F.col("entity").alias("v"), "scc_id")
+                .join(active_e, "v")
+                .select(F.col("u").alias("entity"), "scc_id")
+                .join(
+                    color.withColumnRenamed("color", "scc_id"),
+                    ["entity", "scc_id"],
+                    "leftsemi",
+                )
+            )
+            new_mark = (
+                mark.unionByName(cand).distinct().localCheckpoint(eager=False)
+            )
+            grew = new_mark.count() - mark.count()
+            mark = new_mark
+            if grew == 0:
+                break
+        # 3. peel
+        assigned = assigned.unionByName(mark).localCheckpoint(eager=False)
+        active_v = active_v.join(
+            mark.select("entity"), "entity", "left_anti"
+        ).localCheckpoint(eager=False)
+        active_e = (
+            active_e.join(
+                active_v.select(F.col("entity").alias("u")), "u", "leftsemi"
+            )
+            .join(active_v.select(F.col("entity").alias("v")), "v", "leftsemi")
+            .localCheckpoint(eager=False)
+        )
+    if active_v.take(1):
+        raise RuntimeError(
+            f"SCC did not converge within {max_outer} peeling rounds"
+        )
+    return assigned

@@ -1314,3 +1314,111 @@ def test_assortativity_known_values(spark):
     # empty graph
     empty = spark.createDataFrame([], "src string, dst string")
     assert assortativity(empty).collect()[0]["assortativity"] == 0.0
+
+
+# ---------------------------------------------------------------------- SCC
+
+
+def _tarjan_ref(edges):
+    """Iterative Tarjan for test comparison; scc_id = min member."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    verts = set()
+    for u, v in edges:
+        if u != v:
+            adj[u].append(v)
+        verts.add(u)
+        verts.add(v)
+    verts = {x for e in edges for x in e if e[0] != e[1]} or set()
+    index = {}
+    low = {}
+    onstack = {}
+    stack = []
+    out = {}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif onstack.get(w):
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                cid = min(comp)
+                for w in comp:
+                    out[w] = cid
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    for v in sorted(verts):
+        if v not in index:
+            strongconnect(v)
+    return out
+
+
+def test_scc_matches_tarjan(spark):
+    """Cycles, nested cycles, a DAG tail, and cross-SCC edges vs Tarjan."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        strongly_connected_components,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),      # 3-cycle {a,b,c}
+        ("c", "d"), ("d", "e"), ("e", "d"),      # 2-cycle {d,e} downstream
+        ("e", "f"),                                # f singleton sink
+        ("g", "a"),                                # g singleton source
+        ("x", "y"), ("y", "z"),                    # pure DAG chain
+        ("p", "p"),                                # self-loop drops
+        ("q", "r"), ("r", "q"), ("r", "s"), ("s", "q"),  # 3-SCC {q,r,s}
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["entity"]: r["scc_id"]
+        for r in strongly_connected_components(spark, df).collect()
+    }
+    assert got == _tarjan_ref(edges)
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["d"] == got["e"] == "d"
+    assert got["q"] == got["r"] == got["s"] == "q"
+    assert got["f"] == "f" and got["x"] == "x" and got["y"] == "y"
+
+
+def test_scc_edge_cases(spark):
+    from cypher_guard_spark.pipeline.graph_algo import (
+        strongly_connected_components,
+    )
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert strongly_connected_components(spark, empty).count() == 0
+    # one big cycle: single SCC rooted at the min id
+    ring = spark.createDataFrame(
+        [("v%d" % i, "v%d" % ((i + 1) % 6)) for i in range(6)], ["src", "dst"]
+    )
+    got = {
+        r["entity"]: r["scc_id"]
+        for r in strongly_connected_components(spark, ring).collect()
+    }
+    assert set(got.values()) == {"v0"} and len(got) == 6
