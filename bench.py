@@ -134,7 +134,10 @@ def main() -> None:
         # plan's cost); the median is published alongside so a reader can
         # see the spread — a >1.2x min-vs-prior-round delta with a wide
         # median band is host noise, a tight band is a real plan change.
-        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+        # round 4 grew the suite 48 -> 120+ entries; best-of-3 keeps the
+        # full interleaved min/median protocol while bounding bench wall
+        # time (~3x entry growth at 5 reps would pass an hour)
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
         qs = entry_mod.queries()
         samples: dict[str, list] = {name: [] for name in qs}
         for _ in range(repeats):
@@ -167,7 +170,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "bench_repeats": int(
-                    os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")
+                    os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")
                 ),
                 "sf": _sf_of(sf_dir),
                 "cores": cores,
