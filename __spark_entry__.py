@@ -1755,6 +1755,45 @@ def _kg_graph_profile_values() -> str:
     )
 
 
+def q_kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the undirected canonical graph
+    (`pipeline/graph_algo.py:k_truss`): only relationships reinforced by
+    at least one mutual neighbor survive — the noise-edge stripper."""
+    from cypher_guard_spark.pipeline.graph_algo import k_truss
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return k_truss(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        k=3,
+    )
+
+
+def _kg_ktruss_values(k: int = 3) -> str:
+    """Serial peeling twin over the canonical a<b distinct edge set."""
+    und = set()
+    for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        if s != o:
+            und.add((min(s, o), max(s, o)))
+    while True:
+        adj: dict = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        keep = {
+            (a, b) for a, b in und if len(adj[a] & adj[b]) >= k - 2
+        }
+        if keep == und:
+            break
+        und = keep
+    rows = [f"({_sql_quote(a)}, {_sql_quote(b)})" for a, b in und]
+    if not rows:
+        return (
+            "SELECT * FROM (VALUES ('', '')) AS t(a, b) WHERE 1 = 0"
+        )
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(a, b)"
+
+
 def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of the DIRECTED canonical graph
     (`pipeline/graph_algo.py:strongly_connected_components`,
@@ -3906,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_profile": q_kg_graph_profile,
         "kg_assortativity": q_kg_assortativity,
         "kg_scc": q_kg_scc,
+        "kg_ktruss": q_kg_ktruss,
         "kg_triangles": q_kg_triangles,
         "kg_clustering": q_kg_clustering,
         "kg_bfs_depths": q_kg_bfs_depths,
@@ -4820,6 +4860,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_graph_profile": _kg_graph_profile_values(),
         "kg_assortativity": _kg_assortativity_values(),
         "kg_scc": _kg_scc_values(),
+        "kg_ktruss": _kg_ktruss_values(),
         "kg_triangles": _kg_triangles_values(),
         "kg_clustering": _kg_clustering_values(),
         "kg_bfs_depths": _kg_bfs_depths_values(),

@@ -1422,3 +1422,65 @@ def test_scc_edge_cases(spark):
         for r in strongly_connected_components(spark, ring).collect()
     }
     assert set(got.values()) == {"v0"} and len(got) == 6
+
+
+# -------------------------------------------------------------------- truss
+
+
+def _truss_ref(edges, k):
+    from itertools import combinations
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b]) for a, b in und
+        }
+        keep = {e for e in und if sup[e] >= k - 2}
+        if keep == und:
+            return und
+        und = keep
+
+
+def test_k_truss_matches_peeling_ref(spark):
+    """Cascading removal: stripping low-support edges drops other edges'
+    support below threshold in later rounds."""
+    from cypher_guard_spark.pipeline.graph_algo import k_truss
+
+    edges = [
+        # K4 on a,b,c,d: every edge has support 2 -> survives k=4
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        # a triangle hanging off it: survives k=3, dies at k=4
+        ("d", "e"), ("d", "f"), ("e", "f"),
+        # a pendant edge and a chain: no triangles at all
+        ("f", "g"), ("g", "h"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (3, 4, 5):
+        got = {
+            (r["a"], r["b"]) for r in k_truss(spark, df, k=k).collect()
+        }
+        assert got == _truss_ref(edges, k), f"k={k}"
+    assert {("a", "b")} <= {
+        (r["a"], r["b"]) for r in k_truss(spark, df, k=4).collect()
+    }
+    assert k_truss(spark, df, k=5).count() == 0  # K4 max truss is 4
+
+
+def test_k_truss_cascade_and_empty(spark):
+    from cypher_guard_spark.pipeline.graph_algo import k_truss
+
+    # two triangles sharing edge (b,c): edge (b,c) has support 2, others 1.
+    # k=3 keeps everything; removing nothing — now weaken: drop one wing
+    # edge so its triangle breaks AND (b,c) support cascades from 2 to 1
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got3 = {(r["a"], r["b"]) for r in k_truss(spark, df, k=3).collect()}
+    assert got3 == {tuple(sorted(e)) for e in edges}
+    # k=4: no edge has support 2 except (b,c); everything peels to empty
+    assert k_truss(spark, df, k=4).count() == 0
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert k_truss(spark, empty, k=3).count() == 0
