@@ -1220,6 +1220,34 @@ def _kg_betweenness_values(max_depth: int = 4) -> str:
     )
 
 
+def q_kg_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truncated closeness over the directed canonical graph
+    (`pipeline/graph_algo.py:closeness_centrality`) — one partial-agg
+    pass over the kg_khop table, integer sums + one division."""
+    from cypher_guard_spark.pipeline.graph_algo import closeness_centrality
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return closeness_centrality(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        k=3,
+    )
+
+
+def _kg_closeness_sql(k: int = 3) -> str:
+    """Composed oracle: the kg_khop recursive CTE + the same integer
+    aggregation and single rounded division."""
+    return f"""
+WITH kh AS ({_kg_khop_sql(k)})
+SELECT src AS entity,
+       COUNT(*) AS n_reachable,
+       CAST(SUM(hops) AS BIGINT) AS total_hops,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(hops) AS DOUBLE), 6)
+         AS closeness
+FROM kh GROUP BY src
+"""
+
+
 def q_kg_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality-constraint violations over the canonical triples
     (`pipeline/schema_infer.py:triple_conflicts`): WORKS_FOR declared
@@ -3930,6 +3958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fuzzy_surfaces": q_kg_fuzzy_surfaces,
         "kg_khop": q_kg_khop,
         "kg_harmonic": q_kg_harmonic,
+        "kg_closeness": q_kg_closeness,
         "kg_betweenness": q_kg_betweenness,
         "kg_conflicts": q_kg_conflicts,
         "kg_triple_history": q_kg_triple_history,
@@ -4845,6 +4874,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_fuzzy_surfaces": _kg_fuzzy_surfaces_sql(),
         "kg_khop": _kg_khop_sql(),
         "kg_harmonic": _kg_harmonic_sql(),
+        "kg_closeness": _kg_closeness_sql(),
         "kg_betweenness": _kg_betweenness_values(),
         "kg_conflicts": _kg_conflicts_sql(),
         "kg_triple_history": _kg_triple_history_values(),

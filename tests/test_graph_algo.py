@@ -1484,3 +1484,24 @@ def test_k_truss_cascade_and_empty(spark):
     assert k_truss(spark, df, k=4).count() == 0
     empty = spark.createDataFrame([], "src string, dst string")
     assert k_truss(spark, empty, k=3).count() == 0
+
+
+def test_closeness_matches_bruteforce(spark):
+    from cypher_guard_spark.pipeline.graph_algo import closeness_centrality
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["entity"]: (r["n_reachable"], r["total_hops"], r["closeness"])
+        for r in closeness_centrality(spark, df, k=3).collect()
+    }
+    per_src: dict = {}
+    for (s, _d), h in _khop_bruteforce(edges, 3, directed=True).items():
+        per_src.setdefault(s, []).append(h)
+    want = {
+        s: (len(hs), sum(hs), round(len(hs) / sum(hs), 6))
+        for s, hs in per_src.items()
+    }
+    assert got == want
+    # a reaches b(1), c(1), d(2): closeness = 3/4
+    assert got["a"] == (3, 4, 0.75)
