@@ -167,3 +167,61 @@ def test_ivfpq_pruning_restricts_to_probed_cells(spark, emb):
     assert got
     for r in got:
         assert cells[r["neighbor_id"]] == cells[r["query_id"]], r
+
+
+def test_search_only_entries_never_retrain(spark, monkeypatch):
+    """VERDICT r4 task 3: `emb_pq_search` / `emb_ivfpq_search` reuse the
+    train-once process cache — after the first call the Lloyd trainers are
+    never re-entered, so the entries' bench wall is the search plan alone
+    (a train-once/search-forever index must not bill Lloyd per query)."""
+    import cypher_guard_spark.ops.similarity as sim
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry_mod.queries()
+    # first calls populate the cache (training allowed to run once)
+    assert qs["emb_pq_search"](spark, sf).count() > 0
+    assert qs["emb_ivfpq_search"](spark, sf).count() > 0
+
+    def boom(*_a, **_k):
+        raise AssertionError("trainer re-entered on the search-only path")
+
+    monkeypatch.setattr(sim, "train_pq", boom)
+    monkeypatch.setattr(sim, "kmeans_centroids", boom)
+    assert qs["emb_pq_search"](spark, sf).count() > 0
+    assert qs["emb_ivfpq_search"](spark, sf).count() > 0
+
+
+def test_search_only_entries_equal_trainer_inclusive(spark):
+    """Cached trained structures == freshly trained (the trainers are
+    deterministic), so the search-only entries return exactly what their
+    trainer-inclusive twins do."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry_mod.queries()
+    for trained, search in (
+        ("emb_pq_topk", "emb_pq_search"),
+        ("emb_ivfpq_topk", "emb_ivfpq_search"),
+    ):
+        a = sorted(map(tuple, qs[trained](spark, sf).collect()))
+        b = sorted(map(tuple, qs[search](spark, sf).collect()))
+        assert a == b, (trained, search)
+
+
+def test_registry_head_is_driver_window_priority():
+    """VERDICT r4 task 1: the driver's CORRECTNESS artifact verifies only
+    the first ~50 queries() entries, so the registry HEAD must be the
+    never-driver-checked set (graph suite, PQ/IVF-PQ, BPE, phash,
+    capstones, round-5 search entries) — this locks the ordering."""
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.queries())
+    prio = entry_mod._DRIVER_WINDOW_PRIORITY
+    assert names[: len(prio)] == prio
+    named_by_verdict = {
+        "kg_scc", "kg_ktruss", "kg_betweenness", "emb_ivfpq_topk",
+        "emb_pq_topk", "corpus_bpe_merges", "media_phash_dups",
+        "corpus_curated_shards",
+    }
+    assert named_by_verdict <= set(names[:50])
