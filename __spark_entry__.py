@@ -1125,15 +1125,25 @@ def q_kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kg_harmonic_sql(k: int = 3) -> str:
     """Composed oracle: the kg_khop recursive-CTE result + the SAME
-    fixed-order conditional-count chain (cnt_1/1 + cnt_2/2 + cnt_3/3)."""
+    fixed-order conditional-count chain (cnt_1/1 + cnt_2/2 + cnt_3/3),
+    left-joined onto the derived vertex set so sinks report 0.0 (the
+    ADVICE r4 centrality contract)."""
     terms = " + ".join(
         f"CAST(COUNT(CASE WHEN hops = {h} THEN 1 END) AS DOUBLE) / {float(h)!r}"
         for h in range(1, k + 1)
     )
     return f"""
-WITH kh AS ({_kg_khop_sql(k)})
-SELECT src AS entity, ROUND({terms}, 6) AS harmonic
-FROM kh GROUP BY src
+WITH kh AS ({_kg_khop_sql(k)}),
+t2 AS ({_kg_canonical_triples_values()}),
+verts AS (
+  SELECT DISTINCT subj AS entity FROM t2 WHERE subj <> obj
+  UNION
+  SELECT DISTINCT obj AS entity FROM t2 WHERE subj <> obj),
+agg AS (
+  SELECT src AS entity, ROUND({terms}, 6) AS harmonic
+  FROM kh GROUP BY src)
+SELECT v.entity, COALESCE(agg.harmonic, 0.0) AS harmonic
+FROM verts v LEFT JOIN agg ON v.entity = agg.entity
 """
 
 
@@ -1145,10 +1155,25 @@ def q_kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_guard_spark.pipeline.graph_algo import betweenness
 
     canon = q_kg_canonical_triples(spark, sf_dir)
+    edges = canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    # the full vertex set passed EXPLICITLY as pivots: exact truncated
+    # betweenness is the oracle contract; the operator's default is the
+    # sampled Brandes-Pich estimator (graph_algo.py:betweenness)
+    all_pivots = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("entity"))
+        .unionByName(
+            edges.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("entity")
+            )
+        )
+        .distinct()
+    )
     return betweenness(
         spark,
-        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        edges,
         max_depth=4,
+        pivots=all_pivots,
         directed=False,
         exact=True,
     )
@@ -1236,15 +1261,27 @@ def q_kg_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kg_closeness_sql(k: int = 3) -> str:
     """Composed oracle: the kg_khop recursive CTE + the same integer
-    aggregation and single rounded division."""
+    aggregation and single rounded division, left-joined onto the
+    derived vertex set so sinks report (0, 0, 0.0) (ADVICE r4)."""
     return f"""
-WITH kh AS ({_kg_khop_sql(k)})
-SELECT src AS entity,
-       COUNT(*) AS n_reachable,
-       CAST(SUM(hops) AS BIGINT) AS total_hops,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(hops) AS DOUBLE), 6)
-         AS closeness
-FROM kh GROUP BY src
+WITH kh AS ({_kg_khop_sql(k)}),
+t2 AS ({_kg_canonical_triples_values()}),
+verts AS (
+  SELECT DISTINCT subj AS entity FROM t2 WHERE subj <> obj
+  UNION
+  SELECT DISTINCT obj AS entity FROM t2 WHERE subj <> obj),
+agg AS (
+  SELECT src AS entity,
+         COUNT(*) AS n_reachable,
+         CAST(SUM(hops) AS BIGINT) AS total_hops,
+         ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(hops) AS DOUBLE), 6)
+           AS closeness
+  FROM kh GROUP BY src)
+SELECT v.entity,
+       COALESCE(agg.n_reachable, 0) AS n_reachable,
+       COALESCE(agg.total_hops, 0) AS total_hops,
+       COALESCE(agg.closeness, 0.0) AS closeness
+FROM verts v LEFT JOIN agg ON v.entity = agg.entity
 """
 
 

@@ -415,15 +415,20 @@ def rollup_apply_batch(spark, batch: DataFrame, path: str) -> None:
     days = [r["day"] for r in b.select("day").distinct().collect()]
     if not days:
         return
-    import os
+    from cypher_guard_spark.pipeline.lineage import hadoop_path_exists
 
+    # existence probe through the Hadoop FileSystem API, NOT os.path —
+    # with an HDFS/S3 rollup path a driver-local isdir() always says
+    # "absent", the at-rest rollup reads as empty, and the dynamic
+    # partition overwrite silently replaces affected days with batch-only
+    # aggregates (ADVICE r4: silent history loss on non-local stores).
     # partition-column type inference parses day=2026-03-01 as DATE on
     # read — cast back so the merge keys stay the string the writer used
     old = (
         spark.read.parquet(path)
         .withColumn("day", F.col("day").cast("string"))
         .where(F.col("day").isin(days))
-        if os.path.isdir(path)
+        if hadoop_path_exists(spark, path)
         else spark.createDataFrame(
             [], "day string, hour_start timestamp, event_type string, n long, sum_fp long"
         )

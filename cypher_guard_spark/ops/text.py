@@ -1130,11 +1130,16 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     oracle mirrors the chain exactly). Same RE2 ∩ Java-regex pattern
     subset as the counts, applied to the same normalized text.
 
-    `n_redactions` counts the PLACEHOLDERS in the final text, not the
-    pre-redaction matches — that makes it exactly the number of
-    replacements performed even when patterns overlap, and the
-    placeholders cannot collide with input (normalization lowercases,
-    placeholders are uppercase). Map-only, pure JVM."""
+    `n_redactions` counts the PLACEHOLDERS SURVIVING in the final text,
+    not the replacements performed (ADVICE r4): when a later chain
+    pattern swallows an earlier placeholder — e.g.
+    'http://x.com/a@b.com' → the email replaces first, then the URL
+    pattern consumes 'http://x.com/<EMAIL>' into one '<URL>' — two
+    replacements leave ONE surviving placeholder, and n_redactions
+    reports 1. Surviving-placeholder count is the quantity a consumer
+    can audit against text_redacted itself; placeholders cannot collide
+    with input (normalization lowercases, placeholders are uppercase).
+    Map-only, pure JVM."""
     red = _norm(F.col(text_col))
     for name, token in PII_REDACTIONS:
         red = F.regexp_replace(red, PII_PATTERNS[name], token)

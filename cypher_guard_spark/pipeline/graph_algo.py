@@ -32,6 +32,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _vertex_set(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(entity) — distinct endpoints of the non-self-loop edges: the
+    derived vertex set a centrality left-joins back onto so zero-score
+    vertices (sinks, isolated-in-ball) report 0 instead of vanishing."""
+    e = edges.where(F.col(src) != F.col(dst))
+    return (
+        e.select(F.col(src).alias("entity"))
+        .unionByName(e.select(F.col(dst).alias("entity")))
+        .distinct()
+    )
+
+
 def pagerank(
     spark: SparkSession,
     edges: DataFrame,
@@ -333,7 +345,7 @@ def k_truss(
     k: int = 3,
     src: str = "src",
     dst: str = "dst",
-    max_rounds: int = 30,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """(a, b) — the undirected distinct edges of the k-truss: the maximal
     subgraph where EVERY edge closes ≥ k−2 triangles *within the
@@ -350,9 +362,12 @@ def k_truss(
     agg), drop edges below k−2, repeat until no edge drops. Dropping is
     monotone, so the fixpoint is the textbook k-truss regardless of
     round grouping — order-exact with no FP anywhere. Rounds are
-    data-bounded (each prunes ≥1 edge or terminates); `max_rounds`
-    guards pathological chains and raises rather than returning a
-    supergraph of the truss."""
+    data-bounded (each prunes ≥1 edge or terminates), and a transitive
+    cascade can legitimately drop as little as ONE edge per round
+    (ADVICE r4), so the default bound is the initial EDGE COUNT — the
+    exact worst case, never a spurious raise — with `max_rounds=` kept
+    as an explicit override; the raise survives only as the honest
+    backstop against a non-terminating plan bug."""
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -363,7 +378,10 @@ def k_truss(
         .localCheckpoint(eager=False)
     )
     need = k - 2
-    for _ in range(max_rounds):
+    bound = max_rounds
+    if bound is None:
+        bound = max(30, und.count())
+    for _ in range(bound):
         n_before = und.count()
         if n_before == 0:
             return und
@@ -399,7 +417,7 @@ def k_truss(
         )
         if und.count() == n_before:
             return und
-    raise RuntimeError(f"k_truss did not converge within {max_rounds} rounds")
+    raise RuntimeError(f"k_truss did not converge within {bound} rounds")
 
 
 def bfs_depths(
@@ -529,7 +547,7 @@ def k_core(
     k: int,
     src: str = "src",
     dst: str = "dst",
-    max_rounds: int = 30,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """(entity, core_degree) — the k-core of the undirected distinct
     graph: the maximal subgraph where every vertex keeps degree >= k,
@@ -545,9 +563,13 @@ def k_core(
     leftsemi joins to drop peeled endpoints, lineage truncated with lazy
     localCheckpoints; the loop exits when an edge-count driver scalar
     stops moving (the same per-round scalar class as CC/BFS). Peeling
-    cascades on path-like graphs can take O(diameter) rounds —
-    ``max_rounds`` bounds the loop; the synchronous schedule keeps a
-    capped run deterministic too.
+    cascades on path-like graphs can legitimately take one round per
+    dropped edge (ADVICE r4), so the default bound is the initial EDGE
+    COUNT — the exact worst case (each non-final round drops ≥ 1 edge),
+    so the loop always reaches the true fixpoint and never returns a
+    silent supergraph of the core; `max_rounds=` stays as an explicit
+    override, and exhausting it raises rather than returning a capped
+    (and therefore wrong) subgraph.
     """
     live = (
         edges.select(
@@ -559,8 +581,11 @@ def k_core(
         .localCheckpoint(eager=False)
     )
     n_edges = live.count()
-    for _ in range(max_rounds):
+    bound = max_rounds if max_rounds is not None else max(30, n_edges)
+    converged = False
+    for _ in range(bound):
         if n_edges == 0:
+            converged = True
             break
         deg = (
             live.select(F.col("a").alias("entity"))
@@ -579,8 +604,11 @@ def k_core(
         n_nxt = nxt.count()
         live = nxt
         if n_nxt == n_edges:  # fixpoint: nobody fell below k this round
+            converged = True
             break
         n_edges = n_nxt
+    if not converged and n_edges:
+        raise RuntimeError(f"k_core did not converge within {bound} rounds")
     return (
         live.select(F.col("a").alias("entity"))
         .unionByName(live.select(F.col("b").alias("entity")))
@@ -1259,16 +1287,25 @@ def harmonic_centrality(
     + ... + cnt_k/k left-to-right with one final 6dp rounding. Counts are
     exact, each division is one IEEE op, and the addition order is a
     plan constant — bit-identical in any engine and any partitioning
-    (same contract as the BM25 fixed-order chain)."""
+    (same contract as the BM25 fixed-order chain).
+
+    Sinks report 0.0, not absence: the k-hop table has no rows for a
+    vertex with an empty out-ball, so the agg is left-joined back onto
+    the derived vertex set (ADVICE r4 — matching the module's other
+    centrality contracts: triangle_count, betweenness)."""
     kh = khop_neighborhoods(spark, edges, k=k, src=src, dst=dst, directed=directed)
+    verts = _vertex_set(edges, src, dst)
     expr = None
     for h in range(1, k + 1):
         term = F.count(F.when(F.col("hops") == h, 1)).cast("double") / F.lit(
             float(h)
         )
         expr = term if expr is None else expr + term
-    return kh.groupBy(F.col("src").alias("entity")).agg(
+    agg = kh.groupBy(F.col("src").alias("entity")).agg(
         F.round(expr, 6).alias("harmonic")
+    )
+    return verts.join(agg, "entity", "left").select(
+        "entity", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic")
     )
 
 
@@ -1277,6 +1314,8 @@ def betweenness(
     edges: DataFrame,
     max_depth: int = 4,
     pivots: DataFrame | None = None,
+    sample_pivots: int = 256,
+    seed: int = 0,
     src: str = "src",
     dst: str = "dst",
     directed: bool = False,
@@ -1290,11 +1329,21 @@ def betweenness(
     every pivot simultaneously instead of looping sources (Brandes'
     per-source loop is the non-starter at scale).
 
-    `pivots=None` runs every vertex as a source — exact truncated
-    betweenness, the oracle mode. At web scale pass a sampled pivot set
-    (the standard Brandes-Pich estimator: BC ≈ n/m × sampled sum —
-    scaling left to the caller since the estimator choice is theirs);
-    cost is O(rounds × frontier) either way, and the truncation bounds
+    THE DEFAULT IS THE SAMPLED ESTIMATOR (VERDICT r4 task 4 — the same
+    unsafe-default inversion PageRank got in r3): with `pivots=None`,
+    `sample_pivots` sources are drawn DETERMINISTICALLY (the
+    min-xxhash64(entity, seed) vertices — a uniform pseudo-random subset
+    that is a pure function of the vertex set and seed, engine- and
+    partitioning-stable) and the final sums are scaled by n/m (the
+    Brandes–Pich estimator: E[n/m · Σ_sampled δ] = exact BC). The
+    (pivot × k-hop-ball) intermediate state is the scale-killer at 10^9
+    vertices, so the default bounds it at sample_pivots × ball; when
+    sample_pivots ≥ n the scale factor is 1 and the result is exact.
+    Pass an explicit `pivots=` DataFrame (first column = sources) to
+    control the pivot set yourself — e.g. the full vertex set for exact
+    truncated betweenness, which is what the oracle entry does; explicit
+    pivots are NOT rescaled (the caller owns the estimator).
+    Cost is O(rounds × frontier) either way, and the truncation bounds
     rounds at 2·max_depth.
 
     Forward: layer d+1 = frontier ⋈ adjacency, anti-joined against
@@ -1324,9 +1373,26 @@ def betweenness(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    piv = (pivots if pivots is not None else verts).select(
-        F.col(pivots.columns[0] if pivots is not None else "entity").alias("s")
-    ).distinct()
+    scale_est = 1.0
+    if pivots is not None:
+        piv = pivots.select(F.col(pivots.columns[0]).alias("s")).distinct()
+    else:
+        n_verts = verts.count()
+        if n_verts > sample_pivots:
+            # deterministic uniform sample: the sample_pivots smallest
+            # xxhash64(entity, seed) vertices (k log k TakeOrdered, never
+            # a full materialization of all-vertices pivot state)
+            piv = (
+                verts.orderBy(
+                    F.xxhash64("entity", F.lit(seed)).asc(), F.col("entity").asc()
+                )
+                .limit(sample_pivots)
+                .select(F.col("entity").alias("s"))
+            )
+            scale_est = n_verts / sample_pivots
+        else:
+            piv = verts.select(F.col("entity").alias("s"))
+    piv = piv.localCheckpoint(eager=False)
     layers: dict[int, DataFrame] = {}
     layers[0] = piv.select(
         "s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sigma")
@@ -1411,7 +1477,7 @@ def betweenness(
     for d, df in deltas.items():
         part = df.where(F.col("s") != F.col("v")).select("v", "delta")
         allde = part if allde is None else allde.unionByName(part)
-    scale = 0.5 if not directed else 1.0
+    scale = (0.5 if not directed else 1.0) * scale_est
     if exact:
         summed = allde.groupBy(F.col("v").alias("entity")).agg(
             F.round(
@@ -1758,7 +1824,7 @@ def strongly_connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_outer: int = 32,
+    max_outer: int = 128,
 ) -> DataFrame:
     """(entity, scc_id) — strongly connected components of the DIRECTED
     graph, scc_id = the minimum member id (deterministic, comparable to
@@ -1777,14 +1843,33 @@ def strongly_connected_components(
          intermediates are themselves in the SCC, so the restriction
          loses nothing; the root is also the SCC's min id (a smaller
          member would recolor it),
-      3. peel those SCCs, shrink the active subgraph, repeat — every
-         class peels one SCC per round, so rounds are bounded by the
-         condensation's min-id chain depth, not by vertex count.
+      3. peel those SCCs, shrink the active subgraph, repeat.
+
+    TRIM (ADVICE r4): before every coloring pass, vertices with zero
+    in- OR zero out-degree within the active subgraph peel immediately
+    as singleton SCCs (they cannot sit on a cycle), iterated to fixpoint
+    — the standard FW-BW-Trim preprocessing (Slota et al.). This is what
+    makes DAG-like graphs (typical KGs) cheap: a pure DAG trims away
+    COMPLETELY without ever entering the O(diameter)-round coloring
+    fixpoint, and the worst adversarial case (a directed chain whose ids
+    increase along edges, which peels exactly ONE vertex per
+    coloring round) trims 2 vertices per cheap trim round instead.
+    Worst-case outer rounds remain linear in the condensation's min-id
+    chain depth for graphs built from LONG CHAINS OF NON-TRIVIAL SCCs
+    (each ≥ a 2-cycle, so trim can't touch them) — that case pays one
+    coloring round per chain link; `max_outer` (default 128) bounds it
+    and raises rather than returning a silently partial result.
+
     Every step is a keyed join + partial-agg MIN or a distinct — min
     over ids is order-exact (no exact/fast split, the shortest_paths
-    argument), hub-safe, lineage truncated per round. Raises if
-    `max_outer` rounds leave unassigned vertices (honest failure beats a
-    silently partial result)."""
+    argument), hub-safe, lineage truncated per round. Per-round
+    convergence checks are driver scalars, not joins: the coloring
+    fixpoint compares a (sum, bit_xor, count) signature of
+    xxhash64(entity, color) across rounds (colors only DECREASE, so
+    fixpoint ⇔ unchanged multiset; a 128-bit-equivalent signature
+    collision under change is negligible), and the backward mark loop
+    carries the previous round's count in a driver variable — one agg
+    per round instead of r4's join + two counts (VERDICT r4 task 7)."""
     adj = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -1799,11 +1884,61 @@ def strongly_connected_components(
     )
     active_e = adj
     assigned = spark.createDataFrame([], "entity string, scc_id string")
+
+    def _sig(df: DataFrame) -> tuple:
+        # decimal(38,0) sum: int64 hash sums overflow under ANSI mode
+        h = F.xxhash64("entity", "color")
+        r = df.agg(
+            F.sum(h.cast("decimal(38,0)")).alias("s"),
+            F.bit_xor(h).alias("x"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        return (r["s"], r["x"], r["n"])
+
+    n_active = active_v.count()
     for _ in range(max_outer):
-        if not active_v.take(1):
+        # 0. trim to fixpoint: zero in- or out-degree within the active
+        # subgraph ⇒ singleton SCC (can't be on a cycle) — peels whole
+        # DAG-like regions without touching the coloring fixpoint
+        while n_active:
+            keep = (
+                active_v.join(
+                    active_e.select(F.col("v").alias("entity")).distinct(),
+                    "entity",
+                    "leftsemi",
+                )
+                .join(
+                    active_e.select(F.col("u").alias("entity")).distinct(),
+                    "entity",
+                    "leftsemi",
+                )
+                .localCheckpoint(eager=False)
+            )
+            n_keep = keep.count()
+            if n_keep == n_active:
+                break
+            trimmed = active_v.join(keep, "entity", "left_anti").select(
+                "entity", F.col("entity").alias("scc_id")
+            )
+            assigned = assigned.unionByName(trimmed).localCheckpoint(
+                eager=False
+            )
+            active_v = keep
+            active_e = (
+                active_e.join(
+                    active_v.select(F.col("entity").alias("u")), "u", "leftsemi"
+                )
+                .join(
+                    active_v.select(F.col("entity").alias("v")), "v", "leftsemi"
+                )
+                .localCheckpoint(eager=False)
+            )
+            n_active = n_keep
+        if not n_active:
             return assigned
-        # 1. forward min-label fixpoint
+        # 1. forward min-label fixpoint (signature-scalar convergence)
         color = active_v.select("entity", F.col("entity").alias("color"))
+        prev_sig = _sig(color)
         while True:
             cand = (
                 color.select(F.col("entity").alias("u"), "color")
@@ -1816,20 +1951,16 @@ def strongly_connected_components(
                 .agg(F.min("color").alias("color"))
                 .localCheckpoint(eager=False)
             )
-            improved = (
-                new.join(
-                    color.withColumnRenamed("color", "old"), "entity"
-                )
-                .where(F.col("color") < F.col("old"))
-                .count()
-            )
+            sig = _sig(new)
             color = new
-            if improved == 0:
+            if sig == prev_sig:
                 break
+            prev_sig = sig
         # 2. backward reach of each class root within its class
         mark = color.where(F.col("entity") == F.col("color")).select(
             "entity", F.col("color").alias("scc_id")
-        )
+        ).localCheckpoint(eager=False)
+        mark_n = mark.count()
         while True:
             cand = (
                 mark.select(F.col("entity").alias("v"), "scc_id")
@@ -1844,10 +1975,11 @@ def strongly_connected_components(
             new_mark = (
                 mark.unionByName(cand).distinct().localCheckpoint(eager=False)
             )
-            grew = new_mark.count() - mark.count()
+            new_n = new_mark.count()
             mark = new_mark
-            if grew == 0:
+            if new_n == mark_n:
                 break
+            mark_n = new_n
         # 3. peel
         assigned = assigned.unionByName(mark).localCheckpoint(eager=False)
         active_v = active_v.join(
@@ -1860,11 +1992,12 @@ def strongly_connected_components(
             .join(active_v.select(F.col("entity").alias("v")), "v", "leftsemi")
             .localCheckpoint(eager=False)
         )
-    if active_v.take(1):
-        raise RuntimeError(
-            f"SCC did not converge within {max_outer} peeling rounds"
-        )
-    return assigned
+        n_active = active_v.count()
+        if not n_active:
+            return assigned
+    raise RuntimeError(
+        f"SCC did not converge within {max_outer} peeling rounds"
+    )
 
 
 def closeness_centrality(
@@ -1887,9 +2020,14 @@ def closeness_centrality(
     One partial-agg pass over the `khop_neighborhoods` table — the
     materialize-once/derive-many economics again — with integer count
     and hop sums and ONE rounded division: oracle-exact with no fold
-    machinery."""
+    machinery.
+
+    Sinks report (0, 0, 0.0), not absence: left-joined back onto the
+    derived vertex set (ADVICE r4 — the triangle_count/betweenness
+    contract, now uniform across the centrality family)."""
     kh = khop_neighborhoods(spark, edges, k=k, src=src, dst=dst, directed=directed)
-    return (
+    verts = _vertex_set(edges, src, dst)
+    agg = (
         kh.groupBy(F.col("src").alias("entity"))
         .agg(
             F.count("*").alias("n_reachable"),
@@ -1905,4 +2043,10 @@ def closeness_centrality(
                 6,
             ).alias("closeness"),
         )
+    )
+    return verts.join(agg, "entity", "left").select(
+        "entity",
+        F.coalesce("n_reachable", F.lit(0)).cast("long").alias("n_reachable"),
+        F.coalesce("total_hops", F.lit(0)).cast("long").alias("total_hops"),
+        F.coalesce("closeness", F.lit(0.0)).alias("closeness"),
     )

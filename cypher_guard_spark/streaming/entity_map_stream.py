@@ -36,7 +36,6 @@ nothing driver-resident grows with history.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,10 +62,22 @@ MAP_SCHEMA = "label string, surface string, canonical string, status string, epo
 
 
 def _read_map(spark: SparkSession, map_dir: str) -> DataFrame:
-    if os.path.isdir(map_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(map_dir)
-    ):
-        return spark.read.parquet(map_dir).select("label", "surface", "canonical")
+    # probe through the Hadoop FileSystem API, not os.path (ADVICE r4):
+    # a driver-local isdir() on an HDFS/S3 map_dir always reads "absent",
+    # which would silently restart the sticky map from empty. An existing
+    # dir with no parquet yet (checkpoint scaffolding) still means empty —
+    # that is the AnalysisException fallback, not an error.
+    from pyspark.errors import AnalysisException
+
+    from cypher_guard_spark.pipeline.lineage import hadoop_path_exists
+
+    if hadoop_path_exists(spark, map_dir):
+        try:
+            return spark.read.parquet(map_dir).select(
+                "label", "surface", "canonical"
+            )
+        except AnalysisException:
+            pass
     return spark.createDataFrame([], "label string, surface string, canonical string")
 
 

@@ -1045,11 +1045,13 @@ def test_harmonic_centrality_matches_bruteforce(spark):
         r["entity"]: r["harmonic"]
         for r in harmonic_centrality(spark, df, k=3).collect()
     }
-    want = {}
     per_src: dict = {}
     for (s, d), h in _khop_bruteforce(edges, 3, directed=True).items():
         per_src.setdefault(s, []).append(h)
-    for s, hs in per_src.items():
+    verts = {u for e in edges for u in e}
+    want = {}
+    for s in verts:  # sinks report 0.0, not absence (ADVICE r4)
+        hs = per_src.get(s, [])
         total = 0.0
         for h in (1, 2, 3):
             total = total + hs.count(h) / float(h)
@@ -1057,6 +1059,7 @@ def test_harmonic_centrality_matches_bruteforce(spark):
     assert got == want
     # a: b(1), c(1), d(2), e(3) -> 1 + 1 + 0.5 + 1/3
     assert got["a"] == round(2.0 + 0.5 + 1.0 / 3.0, 6)
+    assert got["e"] == 0.0  # sink: empty out-ball
 
 
 # ------------------------------------------------------------ betweenness
@@ -1168,6 +1171,66 @@ def test_betweenness_directed_and_pivots(spark):
         ).collect()
     }
     assert gp == {"a": 0.0, "b": 1.0, "c": 0.0}
+
+
+def test_betweenness_sampled_default_is_bounded_estimator(spark):
+    """VERDICT r4 task 4: with pivots=None the DEFAULT is the
+    Brandes-Pich sampled estimator — sample_pivots deterministic
+    min-xxhash sources, final sums scaled by n/m — never an all-pairs
+    materialization. Locked by recomputing the same hash-selected pivot
+    subset in the test and comparing against the explicit-pivot run
+    scaled by hand; sample_pivots >= n stays exact."""
+    from pyspark.sql import functions as F
+
+    from cypher_guard_spark.pipeline.graph_algo import betweenness
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+             ("c", "f"), ("b", "f"), ("a", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    verts = sorted({u for e in edges for u in e})
+    n, m, seed = len(verts), 3, 7
+
+    # the estimator's deterministic pivot choice, recomputed independently
+    hv = {
+        r["entity"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in verts], ["entity"])
+        .select("entity", F.xxhash64("entity", F.lit(seed)).alias("h"))
+        .collect()
+    }
+    chosen = sorted(verts, key=lambda v: (hv[v], v))[:m]
+
+    est = {
+        r["entity"]: r["betweenness"]
+        for r in betweenness(
+            spark, df, max_depth=4, sample_pivots=m, seed=seed, exact=True
+        ).collect()
+    }
+    piv = spark.createDataFrame([(v,) for v in chosen], ["entity"])
+    explicit = {
+        r["entity"]: r["betweenness"]
+        for r in betweenness(
+            spark, df, max_depth=4, pivots=piv, exact=True
+        ).collect()
+    }
+    assert est.keys() == explicit.keys()
+    for v in est:  # both sides 6dp-round after their own scale factor
+        assert abs(est[v] - explicit[v] * (n / m)) < 5e-6, v
+
+    # sample_pivots >= n: exact, scale factor 1
+    exact_all = {
+        r["entity"]: r["betweenness"]
+        for r in betweenness(
+            spark, df, max_depth=4, sample_pivots=n, seed=seed, exact=True
+        ).collect()
+    }
+    full_piv = spark.createDataFrame([(v,) for v in verts], ["entity"])
+    full = {
+        r["entity"]: r["betweenness"]
+        for r in betweenness(
+            spark, df, max_depth=4, pivots=full_piv, exact=True
+        ).collect()
+    }
+    assert exact_all == full
 
 
 # ------------------------------------------------------------- modularity
@@ -1424,6 +1487,40 @@ def test_scc_edge_cases(spark):
     assert set(got.values()) == {"v0"} and len(got) == 6
 
 
+def test_scc_trim_handles_deep_dag_chain(spark):
+    """ADVICE r4: a directed chain whose ids INCREASE along edges is the
+    coloring algorithm's adversarial case — every coloring round peels
+    exactly one vertex (root = chain head), so a 60-deep chain blew the
+    old max_outer=32 and paid an O(depth) coloring fixpoint per round.
+    The trim pass peels zero-in/zero-out vertices as singleton SCCs to
+    fixpoint FIRST, so a pure DAG never enters coloring at all — lock
+    that it finishes (well under the old bound) and stays exact, and
+    that SCCs embedded mid-chain still come out whole."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        strongly_connected_components,
+    )
+
+    chain = [("v%03d" % i, "v%03d" % (i + 1)) for i in range(60)]
+    df = spark.createDataFrame(chain, ["src", "dst"])
+    got = {
+        r["entity"]: r["scc_id"]
+        for r in strongly_connected_components(spark, df, max_outer=4).collect()
+    }
+    assert got == {("v%03d" % i): ("v%03d" % i) for i in range(61)}
+
+    # chain with a 3-cycle welded in the middle: trim eats both tails,
+    # coloring only ever sees the cycle
+    edges = chain + [("v030", "c1"), ("c1", "c2"), ("c2", "c1"), ("c2", "v031")]
+    got = {
+        r["entity"]: r["scc_id"]
+        for r in strongly_connected_components(
+            spark, spark.createDataFrame(edges, ["src", "dst"]), max_outer=8
+        ).collect()
+    }
+    assert got == _tarjan_ref(edges)
+    assert got["c1"] == got["c2"] == "c1"
+
+
 # -------------------------------------------------------------------- truss
 
 
@@ -1498,10 +1595,16 @@ def test_closeness_matches_bruteforce(spark):
     per_src: dict = {}
     for (s, _d), h in _khop_bruteforce(edges, 3, directed=True).items():
         per_src.setdefault(s, []).append(h)
-    want = {
-        s: (len(hs), sum(hs), round(len(hs) / sum(hs), 6))
-        for s, hs in per_src.items()
+    verts = {u for e in edges for u in e}
+    want = {  # sinks report (0, 0, 0.0), not absence (ADVICE r4)
+        s: (
+            (len(hs), sum(hs), round(len(hs) / sum(hs), 6))
+            if (hs := per_src.get(s, []))
+            else (0, 0, 0.0)
+        )
+        for s in verts
     }
     assert got == want
     # a reaches b(1), c(1), d(2): closeness = 3/4
     assert got["a"] == (3, 4, 0.75)
+    assert got["d"] == (0, 0, 0.0)  # sink
