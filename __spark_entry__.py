@@ -13,6 +13,7 @@ oracle_sql()   — exact DuckDB ANSI-SQL twins; column names/aliases match
 from __future__ import annotations
 
 import json
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -437,7 +438,23 @@ def _kg_canonical_full(spark: SparkSession) -> DataFrame:
     (driver_smallmap_max_surfaces=0: minhash blocking → CC kernel →
     election), so every downstream gate compares the real distributed
     implementation against the independent pure-Python twin — not the
-    driver fast path against itself."""
+    driver fast path against itself.
+
+    Bench materialize-once mode (VERDICT r4 task 6): when
+    $SPARK_GRAFT_KG_MATERIALIZED points at an existing parquet dir, the
+    canonical chain is READ from it instead of rebuilt — bench.py writes
+    the (deterministic) table once per process so the ~40 kg_* entries'
+    per-operator timings stop carrying the ~3 s pipeline constant. The
+    driver's correctness runs never set the variable, so every oracle
+    gate still exercises the full extraction → entity-map → canonicalize
+    chain; the rows are identical either way (the chain is a pure
+    function of _KG_DOCS)."""
+    mat = os.environ.get("SPARK_GRAFT_KG_MATERIALIZED")
+    if mat:
+        from cypher_guard_spark.pipeline.lineage import hadoop_path_exists
+
+        if hadoop_path_exists(spark, mat):
+            return spark.read.parquet(mat)
     from cypher_guard_spark.pipeline import synthesize_documents
     from cypher_guard_spark.pipeline.canonicalize import (
         build_entity_map,

@@ -139,12 +139,32 @@ def main() -> None:
         # time (~3x entry growth at 5 reps would pass an hour)
         repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
         qs = entry_mod.queries()
-        samples: dict[str, list] = {name: [] for name in qs}
-        for _ in range(repeats):
-            for name, fn in qs.items():
-                t0 = time.perf_counter()
-                _force(fn(spark, sf_dir))
-                samples[name].append(time.perf_counter() - t0)
+
+        # materialize-once (VERDICT r4 task 6): the ~40 kg_* entries all
+        # derive from the same deterministic canonical-triple chain; in
+        # correctness runs each rebuilds it for oracle isolation, but a
+        # bench timing ~40 entries × repeats would charge every operator
+        # the ~3 s pipeline constant. Write the chain to parquet ONCE and
+        # point the entries at it via $SPARK_GRAFT_KG_MATERIALIZED (read
+        # inside _kg_canonical_full; rows are identical either way).
+        import shutil
+        import tempfile
+
+        mat_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        mat_root = tempfile.mkdtemp(prefix="kgmat_", dir=mat_base)
+        mat_dir = os.path.join(mat_root, "canonical")
+        entry_mod._kg_canonical_full(spark).write.parquet(mat_dir)
+        os.environ["SPARK_GRAFT_KG_MATERIALIZED"] = mat_dir
+        try:
+            samples: dict[str, list] = {name: [] for name in qs}
+            for _ in range(repeats):
+                for name, fn in qs.items():
+                    t0 = time.perf_counter()
+                    _force(fn(spark, sf_dir))
+                    samples[name].append(time.perf_counter() - t0)
+        finally:
+            os.environ.pop("SPARK_GRAFT_KG_MATERIALIZED", None)
+            shutil.rmtree(mat_root, ignore_errors=True)
         for name, ts in samples.items():
             timings[name] = round(min(ts), 3)
             medians[name] = round(statistics.median(ts), 3)

@@ -592,6 +592,16 @@ def train_pq(
     not grow with m. Same determinism contract as kmeans_centroids
     (fixed smallest-id init, (6dp L2², cid) assignment key, value-sorted
     fold means): the codebooks are a pure function of the trainer input.
+
+    Scale note (the kmeans_centroids contract, VERDICT r4 task 5): at
+    10^12 rows the trainer runs on a sample — `train_fraction < 1.0`
+    feeds only `sample(fraction, seed)` of the corpus into init + Lloyd,
+    keeping the per-(s, centroid, dim) collect_list executor-sized;
+    ENCODING of the full corpus happens downstream in `pq_encode` /
+    `pq_topk`, which always code every vector against whatever codebooks
+    came out. fraction=1.0 (default) keeps the exact cross-engine
+    oracle; sampled training trades bit-parity for trainer cost, and
+    `tests/test_pq.py` locks a recall floor for it.
     """
     spark = embeddings.sparkSession
     vecs = embeddings.select(
