@@ -1126,6 +1126,45 @@ FROM r WHERE src <> dst GROUP BY src, dst
 """
 
 
+def q_kg_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truncated neighborhood function N(h) (ANF) over the directed
+    canonical graph (`pipeline/graph_algo.py:neighborhood_function`) —
+    per-hop pair counts, cumulative reach, and the frac_cum curve whose
+    0.9 crossing is the effective diameter; one integer groupBy over the
+    kg_khop materialization plus a k-row window."""
+    from cypher_guard_spark.pipeline.graph_algo import neighborhood_function
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return neighborhood_function(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        k=3,
+    )
+
+
+def _kg_neighborhood_function_sql(k: int = 3) -> str:
+    """Composed oracle: the kg_khop recursive-CTE pair table, grouped by
+    hop, zero-filled over a generated 1..k hop spine, with the same
+    cumulative-window sums and one 6dp rounding on frac_cum."""
+    return f"""
+WITH kh AS ({_kg_khop_sql(k)}),
+levels AS (SELECT CAST(range AS INT) AS hops FROM range(1, {k + 1})),
+per AS (SELECT hops, COUNT(*) AS pairs_at FROM kh GROUP BY hops),
+filled AS (
+  SELECT levels.hops, CAST(COALESCE(per.pairs_at, 0) AS BIGINT) AS pairs_at
+  FROM levels LEFT JOIN per ON levels.hops = per.hops),
+cum AS (
+  SELECT hops, pairs_at,
+         CAST(SUM(pairs_at) OVER (ORDER BY hops) AS BIGINT) AS pairs_cum,
+         SUM(pairs_at) OVER () AS total
+  FROM filled)
+SELECT hops, pairs_at, pairs_cum,
+       COALESCE(ROUND(CAST(pairs_cum AS DOUBLE) / CAST(total AS DOUBLE), 6),
+                0.0) AS frac_cum
+FROM cum
+"""
+
+
 def q_kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-truncated harmonic centrality over the directed canonical graph
     (`pipeline/graph_algo.py:harmonic_centrality`) — one fixed-order
@@ -3804,6 +3843,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_entity_cooccur",
     "kg_fuzzy_surfaces",
     "kg_khop",
+    "kg_neighborhood_function",
     "kg_harmonic",
     "kg_closeness",
     "kg_conflicts",
@@ -4150,6 +4190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cooccur": q_kg_entity_cooccur,
         "kg_fuzzy_surfaces": q_kg_fuzzy_surfaces,
         "kg_khop": q_kg_khop,
+        "kg_neighborhood_function": q_kg_neighborhood_function,
         "kg_harmonic": q_kg_harmonic,
         "kg_closeness": q_kg_closeness,
         "kg_betweenness": q_kg_betweenness,
@@ -5082,6 +5123,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_entity_cooccur": _kg_entity_cooccur_sql(),
         "kg_fuzzy_surfaces": _kg_fuzzy_surfaces_sql(),
         "kg_khop": _kg_khop_sql(),
+        "kg_neighborhood_function": _kg_neighborhood_function_sql(),
         "kg_harmonic": _kg_harmonic_sql(),
         "kg_closeness": _kg_closeness_sql(),
         "kg_betweenness": _kg_betweenness_values(),

@@ -1608,3 +1608,80 @@ def test_closeness_matches_bruteforce(spark):
     # a reaches b(1), c(1), d(2): closeness = 3/4
     assert got["a"] == (3, 4, 0.75)
     assert got["d"] == (0, 0, 0.0)  # sink
+
+
+def test_neighborhood_function_bruteforce(spark):
+    """N(h) on a random sparse digraph matches a per-source BFS brute
+    force, zero-filled to exactly k rows with monotone cum counts."""
+    from cypher_guard_spark.pipeline.graph_algo import neighborhood_function
+
+    edges = _rand_edges(seed=17, n_verts=30, n_edges=45)
+    k = 3
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    verts = sorted({v for e in edges for v in e})
+    per = {h: 0 for h in range(1, k + 1)}
+    for s in verts:
+        dist = {s: 0}
+        frontier = [s]
+        for h in range(1, k + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.append(v)
+            frontier = nxt
+        for v, h in dist.items():
+            if v != s and 1 <= h <= k:
+                per[h] += 1
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    rows = {
+        r["hops"]: r
+        for r in neighborhood_function(spark, e, k=k).collect()
+    }
+    assert sorted(rows) == list(range(1, k + 1))
+    cum = 0
+    total = sum(per.values())
+    for h in range(1, k + 1):
+        cum += per[h]
+        assert rows[h]["pairs_at"] == per[h]
+        assert rows[h]["pairs_cum"] == cum
+        assert rows[h]["frac_cum"] == round(cum / total, 6)
+
+
+def test_neighborhood_function_ring_zero_fill(spark):
+    """A 2-cycle has no pairs at hop 2 or 3 (both orderings are 1 hop):
+    missing hop levels must appear as explicit zero rows and frac_cum
+    saturates at 1.0 from hop 1 on."""
+    from cypher_guard_spark.pipeline.graph_algo import neighborhood_function
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    rows = sorted(
+        neighborhood_function(spark, e, k=3).collect(),
+        key=lambda r: r["hops"],
+    )
+    assert [(r["hops"], r["pairs_at"], r["pairs_cum"], r["frac_cum"])
+            for r in rows] == [
+        (1, 2, 2, 1.0),
+        (2, 0, 2, 1.0),
+        (3, 0, 2, 1.0),
+    ]
+
+
+def test_neighborhood_function_empty_graph(spark):
+    """Empty edge set: k zero rows, frac_cum 0.0 (no 0/0 NaN leak)."""
+    from cypher_guard_spark.pipeline.graph_algo import neighborhood_function
+
+    e = spark.createDataFrame([], "src string, dst string")
+    rows = sorted(
+        neighborhood_function(spark, e, k=2).collect(),
+        key=lambda r: r["hops"],
+    )
+    assert [(r["hops"], r["pairs_at"], r["pairs_cum"], r["frac_cum"])
+            for r in rows] == [(1, 0, 0, 0.0), (2, 0, 0, 0.0)]
