@@ -1438,6 +1438,37 @@ def _kg_triple_history_values() -> str:
     )
 
 
+def q_kg_fact_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-snapshot fact churn timeline (born/died/alive) from the SCD-2
+    validity intervals (`pipeline/graph_store.py:fact_churn`) — an
+    interval sweep: two endpoint partial-aggs + one cumulative window
+    over the snapshot spine, never a per-snapshot rescan."""
+    from cypher_guard_spark.pipeline.graph_store import fact_churn
+
+    hist = q_kg_triple_history(spark, sf_dir)
+    return fact_churn(spark, hist, n_snapshots=len(_HIST_WINDOWS))
+
+
+def _kg_fact_churn_sql() -> str:
+    """Composed oracle: the triple-history VALUES twin swept with the
+    same endpoint aggs + spine window in SQL."""
+    k = len(_HIST_WINDOWS)
+    return f"""
+WITH hist AS ({_kg_triple_history_values()}),
+spine AS (SELECT CAST(range AS BIGINT) AS snapshot_id FROM range(0, {k})),
+b AS (SELECT valid_from AS snapshot_id, COUNT(*) AS n FROM hist GROUP BY 1),
+d AS (SELECT valid_to + 1 AS snapshot_id, COUNT(*) AS n FROM hist GROUP BY 1)
+SELECT spine.snapshot_id,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS facts_born,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS facts_died,
+       CAST(SUM(COALESCE(b.n, 0) - COALESCE(d.n, 0))
+            OVER (ORDER BY spine.snapshot_id) AS BIGINT) AS facts_alive
+FROM spine
+LEFT JOIN b ON spine.snapshot_id = b.snapshot_id
+LEFT JOIN d ON spine.snapshot_id = d.snapshot_id
+"""
+
+
 def q_kg_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relationship-schema inference over the canonical triple stream
     (`pipeline/schema_infer.py:infer_relationship_schema`): per observed
@@ -4196,6 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_betweenness": q_kg_betweenness,
         "kg_conflicts": q_kg_conflicts,
         "kg_triple_history": q_kg_triple_history,
+        "kg_fact_churn": q_kg_fact_churn,
         "kg_schema_infer": q_kg_schema_infer,
         "kg_schema_roundtrip": q_kg_schema_roundtrip,
         "kg_shortest_paths": q_kg_shortest_paths,
@@ -5129,6 +5161,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_betweenness": _kg_betweenness_values(),
         "kg_conflicts": _kg_conflicts_sql(),
         "kg_triple_history": _kg_triple_history_values(),
+        "kg_fact_churn": _kg_fact_churn_sql(),
         "kg_schema_infer": _kg_schema_infer_sql(),
         "kg_schema_roundtrip": _kg_schema_roundtrip_sql(),
         "kg_shortest_paths": _kg_shortest_paths_values(),

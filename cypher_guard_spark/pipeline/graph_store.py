@@ -231,3 +231,65 @@ def triple_history(
         )
         .drop("isl")
     )
+
+
+def fact_churn(
+    spark: SparkSession, history: DataFrame, n_snapshots: int
+) -> DataFrame:
+    """(snapshot_id, facts_born, facts_died, facts_alive) — the KG's fact
+    churn timeline from the SCD-2 validity intervals `triple_history`
+    emits: per snapshot t, how many facts first became valid at t
+    (born: a validity run opening at t), how many ceased entering t
+    (died: a run that closed at t-1), and how many are valid AT t.
+    The one-table freshness/stability report a continuously-crawled KG
+    publishes per crawl — churn spikes localize source changes or
+    extraction regressions without diffing snapshots pairwise.
+
+    Interval sweep, not per-snapshot scans: alive(t) never re-reads the
+    interval table per t. Births and deaths are two partial aggs on the
+    interval endpoints (each yielding ≤ n_snapshots rows), zero-filled
+    over a generated snapshot spine, and alive(t) = Σ_{s≤t}(born−died)
+    is one cumulative window over that spine — n_snapshots rows,
+    driver-scale by construction (same k-row-window economics as
+    `neighborhood_function`). The fact table itself is touched exactly
+    twice, both map-side-combinable integer counts keyed on an endpoint
+    int, so 10^10 intervals spread by hash and hot snapshots cannot skew
+    a shuffle (the snapshot id only ever keys the ≤ n_snapshots-row
+    agg OUTPUT, never a corpus-scaled exchange).
+
+    Deaths are counted entering t (run closed at t-1), so a fact whose
+    run ends at the final snapshot never dies in-range and the identity
+    alive(t) = born(≤t) − died(≤t) holds exactly; intervals are assumed
+    disjoint per fact (what triple_history produces), else a fact counts
+    once per validity run."""
+    from pyspark.sql import Window
+
+    births = history.groupBy(
+        F.col("valid_from").cast("long").alias("snapshot_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("facts_born"))
+    deaths = history.groupBy(
+        (F.col("valid_to").cast("long") + F.lit(1)).alias("snapshot_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("facts_died"))
+    spine = spark.range(n_snapshots).select(
+        F.col("id").cast("long").alias("snapshot_id")
+    )
+    filled = (
+        spine.join(births, "snapshot_id", "left")
+        .join(deaths, "snapshot_id", "left")
+        .select(
+            "snapshot_id",
+            F.coalesce("facts_born", F.lit(0)).cast("long").alias(
+                "facts_born"
+            ),
+            F.coalesce("facts_died", F.lit(0)).cast("long").alias(
+                "facts_died"
+            ),
+        )
+    )
+    w = Window.orderBy("snapshot_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return filled.withColumn(
+        "facts_alive",
+        F.sum(F.col("facts_born") - F.col("facts_died")).over(w).cast("long"),
+    )

@@ -249,3 +249,62 @@ def test_triple_history_generalizes_diff(spark):
     assert added == {
         (r["subj"], r["pred"], r["obj"]) for r in diff if r["status"] == "added"
     }
+
+
+def test_fact_churn_sweep_matches_bruteforce(spark):
+    """Churn from the interval sweep equals per-snapshot brute force:
+    alive(t) = intervals covering t, born(t) = runs opening at t,
+    died(t) = runs that closed at t-1; missing snapshots zero-fill and
+    the born-minus-died telescoping identity holds at every t."""
+    from cypher_guard_spark.pipeline.graph_store import (
+        fact_churn,
+        triple_history,
+    )
+
+    obs = [
+        (0, "a", "R", "x"), (1, "a", "R", "x"), (2, "a", "R", "x"),
+        (4, "a", "R", "x"),                      # a: [0,2], [4,4]
+        (3, "b", "R", "y"),                      # b: [3,3]
+        (0, "c", "R", "z"), (2, "c", "R", "z"),  # c: [0,0], [2,2]
+        (0, "d", "R", "w"), (1, "d", "R", "w"), (2, "d", "R", "w"),
+        (3, "d", "R", "w"), (4, "d", "R", "w"),  # d: [0,4] (never dies)
+    ]
+    df = spark.createDataFrame(
+        obs, "snapshot_id int, subj string, pred string, obj string"
+    )
+    hist = triple_history(df)
+    intervals = [
+        (r["valid_from"], r["valid_to"]) for r in hist.collect()
+    ]
+    k = 5
+    got = {
+        r["snapshot_id"]: (r["facts_born"], r["facts_died"], r["facts_alive"])
+        for r in fact_churn(spark, hist, n_snapshots=k).collect()
+    }
+    assert set(got) == set(range(k))  # zero-filled full spine
+    for t in range(k):
+        born = sum(1 for a, _ in intervals if a == t)
+        died = sum(1 for _, b in intervals if b == t - 1)
+        alive = sum(1 for a, b in intervals if a <= t <= b)
+        assert got[t] == (born, died, alive), f"t={t}"
+    # telescoping identity: alive(t) = cum born - cum died
+    cum_b = cum_d = 0
+    for t in range(k):
+        cum_b += got[t][0]
+        cum_d += got[t][1]
+        assert got[t][2] == cum_b - cum_d
+
+
+def test_fact_churn_empty_history(spark):
+    """Empty interval table yields a zero-filled spine, not an error."""
+    from cypher_guard_spark.pipeline.graph_store import fact_churn
+
+    hist = spark.createDataFrame(
+        [],
+        "subj string, pred string, obj string, "
+        "valid_from long, valid_to long",
+    )
+    rows = fact_churn(spark, hist, n_snapshots=3).collect()
+    assert [(r["snapshot_id"], r["facts_born"], r["facts_died"],
+             r["facts_alive"]) for r in sorted(rows, key=lambda r: r[0])] \
+        == [(0, 0, 0, 0), (1, 0, 0, 0), (2, 0, 0, 0)]
