@@ -869,9 +869,11 @@ def q_kg_triple_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuse_triples(canon, exact=True)
 
 
-def _kg_triple_fusion_values() -> str:
-    """Serial twin: canonical mapping applied to the conf-carrying raw
-    triples, then per-fact sorted-fold noisy-OR."""
+def _py_kg_fused_groups() -> dict:
+    """{(subj, pred, obj): [(doc_id, conf), ...]} — canonical-fact
+    observation groups (the serial twin of the canonicalize->groupBy
+    stage of fuse_triples), shared by the fusion and weighted-PageRank
+    oracles so both verify the same fact multiset."""
     from collections import defaultdict
 
     from cypher_guard_spark.pipeline.canonicalize import _driver_entity_map
@@ -888,17 +890,29 @@ def _kg_triple_fusion_values() -> str:
     for d, s, r, o, sl, ol, conf in raw:
         key = (emap.get((sl, s), s), r, emap.get((ol, o), o))
         groups[key].append((d, conf))
+    return groups
+
+
+def _py_noisy_or(obs: list) -> float:
+    """Sorted-fold noisy-OR of [(doc, conf)] — fuse_triples(exact=True)."""
+    prod = 1.0
+    for c in sorted(1.0 - c for _d, c in obs):
+        prod = prod * c
+    return _round6(1.0 - prod)
+
+
+def _kg_triple_fusion_values() -> str:
+    """Serial twin: canonical mapping applied to the conf-carrying raw
+    triples, then per-fact sorted-fold noisy-OR."""
+    groups = _py_kg_fused_groups()
     rows = []
     for (s, r, o), obs in groups.items():
         docs = [d for d, _c in obs]
-        prod = 1.0
-        for c in sorted(1.0 - c for _d, c in obs):
-            prod = prod * c
         rows.append(
             f"({_sql_quote(s)}, {_sql_quote(r)}, {_sql_quote(o)}, "
             f"{len(obs)}, {len(set(docs))}, {_sql_quote(min(docs))}, "
             f"{_sql_quote(max(docs))}, {max(c for _d, c in obs)!r}::DOUBLE, "
-            f"{_round6(1.0 - prod)!r}::DOUBLE)"
+            f"{_py_noisy_or(obs)!r}::DOUBLE)"
         )
     return (
         "SELECT * FROM (VALUES "
@@ -906,6 +920,68 @@ def _kg_triple_fusion_values() -> str:
         + ") AS t(subj, pred, obj, n_obs, n_docs, first_doc, last_doc,"
         " max_conf, agg_conf)"
     )
+
+
+def q_kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trust-weighted PageRank: the fused fact table's noisy-OR
+    confidences as edge weights (`pipeline/graph_algo.py:pagerank`
+    ``weight=``) — rank splits across out-edges proportionally to
+    evidence, so a single low-confidence extraction can't siphon
+    centrality. Fusion x graph composition, exact mode for the oracle."""
+    from cypher_guard_spark.pipeline.graph_algo import pagerank
+    from cypher_guard_spark.pipeline.graph_store import fuse_triples
+
+    canon = _kg_canonical_full(spark)
+    fused = fuse_triples(canon, exact=True)
+    return pagerank(
+        spark,
+        fused.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"), "agg_conf"
+        ),
+        iters=3,
+        exact=True,
+        weight="agg_conf",
+    )
+
+
+def _kg_pagerank_weighted_values(iters: int = 3, damping: float = 0.85) -> str:
+    """Serial twin: fused-fact edges (one per distinct (subj,pred,obj),
+    weight = sorted-fold noisy-OR rounded 6dp), then weighted PageRank
+    with the value-sorted wsum denominator fold, value-sorted
+    contribution folds, and HALF_UP 6dp per-iteration rounding —
+    bit-identical doubles vs pagerank(exact=True, weight=...)."""
+    from collections import defaultdict
+
+    edges = [
+        (s, o, _py_noisy_or(obs))
+        for (s, _r, o), obs in _py_kg_fused_groups().items()
+    ]
+    verts = sorted({v for s, o, _w in edges for v in (s, o)})
+    n = len(verts)
+    ws: defaultdict = defaultdict(list)
+    for s, _o, w in edges:
+        ws[s].append(w)
+    wsum = {}
+    for s, lst in ws.items():
+        acc = 0.0
+        for v in sorted(lst):
+            acc += v
+        wsum[s] = acc
+    base = (1.0 - damping) / n
+    rank = {v: round(1.0 / n, 6) for v in verts}
+    for _ in range(iters):
+        contribs: defaultdict = defaultdict(list)
+        for s, o, w in edges:
+            contribs[o].append(rank[s] * w / wsum[s])
+        new = {}
+        for v in verts:
+            acc = 0.0
+            for c in sorted(contribs.get(v, [])):
+                acc += c
+            new[v] = _round6(base + damping * acc)
+        rank = new
+    rows = [f"({_sql_quote(v)}, {r!r}::DOUBLE)" for v, r in rank.items()]
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(entity, rank)"
 
 
 def q_kg_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2335,6 +2411,83 @@ def _kg_entity_map_values() -> str:
         "SELECT * FROM (VALUES "
         + ", ".join(rows)
         + ") AS t(label, surface, canonical)"
+    )
+
+
+def q_kg_blocking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking-quality histogram over the pipeline's own surface
+    vocabulary (`pipeline/canonicalize.py:blocking_report`): per LSH
+    block size, bucket count and the candidate join rows those buckets
+    will emit — the pre-flight cost/skew report for the canonicalize
+    self-join, computed with the production banding expression."""
+    from cypher_guard_spark.pipeline import synthesize_documents
+    from cypher_guard_spark.pipeline.canonicalize import blocking_report
+    from cypher_guard_spark.pipeline.mentions import (
+        extract_triples_raw,
+        link_scores,
+        mentions_from_triples,
+    )
+
+    docs = synthesize_documents(spark, _KG_DOCS)
+    tr = extract_triples_raw(docs)
+    surfaces = link_scores(mentions_from_triples(tr)).select(
+        "surface", "label"
+    )
+    return blocking_report(surfaces)
+
+
+def _kg_blocking_report_values(num_hashes: int = 16, bands: int = 8) -> str:
+    """Twin: same surface vocabulary (the entity-map twin's extraction),
+    same abbreviation exclusion, shingles, spark_hash minhashes and
+    xxhash64 band keys via the bit-exact oracle hashes, then the
+    bucket-size histogram counted serially."""
+    import re
+    from collections import Counter
+
+    from cypher_guard_spark.oracle import spark_hash, spark_xxhash64
+    from cypher_guard_spark.pipeline.synth import _render_doc
+
+    pats = [
+        (re.compile(r"^(.+) works for (.+)\.$"), "Person", "Company"),
+        (re.compile(r"^(.+) knows (.+)\.$"), "Person", "Person"),
+        (re.compile(r"^(.+) is located in (.+)\.$"), "Company", "Location"),
+    ]
+    surfaces: set = set()
+    for i in range(_KG_DOCS):
+        _doc_id, spans = _render_doc(i)
+        for span in spans:
+            if span["kind"] != "text":
+                continue
+            for pat, sl, ol in pats:
+                m = pat.match(span["text"])
+                if m:
+                    surfaces.add((sl, m.group(1)))
+                    surfaces.add((ol, m.group(2)))
+                    break
+    abbrev = re.compile(r"^[A-Z]\. ")
+    rows_per_band = num_hashes // bands
+    bucket_sizes: Counter = Counter()
+    for label, surf in surfaces:
+        if abbrev.match(surf):
+            continue
+        sl = surf.lower()
+        n = max(len(sl) - 2, 1)
+        sh = list(dict.fromkeys(sl[i : i + 3] for i in range(n)))
+        for b in range(bands):
+            mh = [
+                min(spark_hash(x, b * rows_per_band + r) for x in sh)
+                for r in range(rows_per_band)
+            ]
+            bucket_sizes[(label, b, spark_xxhash64(*mh))] += 1
+    hist: Counter = Counter(bucket_sizes.values())
+    vals = ", ".join(
+        f"({s}::BIGINT, {nb}::BIGINT, {nb * s * (s - 1) // 2}::BIGINT)"
+        for s, nb in sorted(hist.items())
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(block_size, n_blocks, candidate_rows)"
     )
 
 
@@ -4214,6 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": q_kg_canonical_triples,
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
+        "kg_pagerank_weighted": q_kg_pagerank_weighted,
         "kg_hits": q_kg_hits,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_pairs": q_kg_walk_pairs,
@@ -4249,6 +4403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": q_kg_ppr,
         "kg_neighbor_sample": q_kg_neighbor_sample,
         "kg_entity_map": q_kg_entity_map,
+        "kg_blocking_report": q_kg_blocking_report,
         "kg_entity_map_update": q_kg_entity_map_update,
         "kg_components": q_kg_components,
         "kg_media_links": q_kg_media_links,
@@ -5148,6 +5303,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_canonical_triples": _kg_canonical_triples_values(),
         "kg_entity_degrees": _kg_entity_degrees_values(),
         "kg_pagerank": _kg_pagerank_values(),
+        "kg_pagerank_weighted": _kg_pagerank_weighted_values(),
         "kg_hits": _kg_hits_values(),
         "kg_random_walks": _kg_random_walks_values(),
         "kg_walk_pairs": _kg_walk_pairs_sql(),
@@ -5183,6 +5339,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_ppr": _kg_ppr_values(),
         "kg_neighbor_sample": _kg_neighbor_sample_values(),
         "kg_entity_map": _kg_entity_map_values(),
+        "kg_blocking_report": _kg_blocking_report_values(),
         "kg_entity_map_update": _kg_entity_map_update_values(),
         "kg_components": _kg_components_values(),
         "kg_media_links": _kg_media_links_values(),

@@ -504,6 +504,49 @@ def _banded_surfaces(
     ).select("surface", "label", "bb.band", "bb.band_hash")
 
 
+def blocking_report(
+    surfaces: DataFrame, num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """(block_size, n_blocks, candidate_rows) — the LSH blocking-quality
+    histogram: how many (label, band, band_hash) buckets hold exactly s
+    surfaces, and how many candidate join rows those buckets generate
+    (n_blocks × s·(s−1)/2). This is THE pre-flight diagnostic for the
+    entity-resolution self-join: `candidate_rows` is exactly the row
+    count the band self-join in `minhash_candidate_pairs` will emit
+    before dedup (its cost), and the histogram's tail is the skew report
+    — one 10^6-surface bucket means a 5·10^11-row straggler task that no
+    AQE split fully saves, caught here for the price of one groupBy
+    instead of discovered as a hung stage. Standard ER blocking metrics
+    (block-size distribution / candidate-set size, e.g. Christen's
+    blocking survey, TKDE 2012) computed Spark-side.
+
+    Two partial aggs, no self-join: size per bucket (the banded table is
+    one row per (surface, band), so a count is the size), then the
+    histogram keyed on size — output is ≤ distinct-sizes rows. Runs the
+    SAME `_banded_surfaces` expression the production blocking uses, so
+    the report can never drift from the join it predicts."""
+    banded = _banded_surfaces(surfaces, num_hashes, bands)
+    blocks = banded.groupBy("label", "band", "band_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("block_size")
+    )
+    return (
+        blocks.groupBy("block_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_blocks"))
+        .select(
+            "block_size",
+            "n_blocks",
+            (
+                F.col("n_blocks")
+                * F.col("block_size")
+                * (F.col("block_size") - F.lit(1))
+                / F.lit(2)
+            )
+            .cast("long")
+            .alias("candidate_rows"),
+        )
+    )
+
+
 def update_entity_map(
     spark: SparkSession,
     old_map: DataFrame,

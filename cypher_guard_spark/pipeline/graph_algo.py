@@ -53,6 +53,7 @@ def pagerank(
     damping: float = 0.85,
     exact: bool = False,
     seeds: DataFrame | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """(entity, rank) after `iters` synchronous iterations from a uniform
     start; rank rounded to 6dp per iteration (see module docstring).
@@ -67,15 +68,28 @@ def pagerank(
     walk starts there — "importance relative to this query set", the
     standard KG relevance ranking. Implemented as a per-vertex base
     column on the same kernel: one extra id-only leftsemi + left join up
-    front, zero per-iteration cost difference."""
+    front, zero per-iteration cost difference.
+
+    ``weight`` names an edge-weight column and switches to WEIGHTED
+    PageRank: a vertex's rank splits across its out-edges proportionally
+    to weight instead of uniformly (c = rank·w / Σw(src)) — with the
+    noisy-OR fused confidences as weights this is trust-weighted
+    centrality over the fact table (rank flows along well-evidenced
+    edges, a single low-confidence extraction can't siphon it). Same
+    kernel, same per-iteration cost: the out-degree table becomes an
+    out-WEIGHT table (one partial agg in scale mode; in exact mode the
+    denominator is the value-sorted fold of the edge weights so the
+    double is order-deterministic, with the same bounded-collect_list
+    caveat as the contribution fold). Composes with ``seeds``."""
     # the edge list may sit on an arbitrarily expensive upstream DAG (e.g.
     # extraction UDF -> entity map -> canonicalize); it is referenced by
     # outdeg + every iteration's join, so truncate lineage ONCE up front —
     # lazy localCheckpoint: first action materializes, all later references
     # (2 + iters) read the checkpoint instead of re-running the pipeline
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=False
-    )
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("double").alias("w"))
+    e = edges.select(*cols).localCheckpoint(eager=False)
     verts = (
         e.select(F.col("src").alias("entity"))
         .unionByName(e.select(F.col("dst").alias("entity")))
@@ -86,7 +100,19 @@ def pagerank(
     if n == 0:
         # empty edge set: no vertices, no ranks — guard the 1/n start
         return spark.createDataFrame([], "entity string, rank double")
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    if weight is None:
+        outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    elif exact:
+        # value-sorted fold: the Σw denominator is order-deterministic
+        outdeg = e.groupBy("src").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("w")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("outdeg")
+        )
+    else:
+        outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     if seeds is None:
         base = F.lit((1.0 - damping) / n)
         ranks = verts.select("entity", F.lit(round(1.0 / n, 6)).alias("rank"))
@@ -679,12 +705,15 @@ def _pagerank_round(
     is a float (uniform teleport) or a Column over `verts` (personalized
     per-vertex teleport)."""
     base = F.lit(base) if isinstance(base, float) else base
+    numer = (
+        F.col("rank") * F.col("w") if "w" in e.columns else F.col("rank")
+    )
     contribs = (
         e.join(ranks.withColumnRenamed("entity", "src"), "src")
         .join(outdeg, "src")
         .select(
             F.col("dst").alias("entity"),
-            (F.col("rank") / F.col("outdeg")).alias("c"),
+            (numer / F.col("outdeg")).alias("c"),
         )
     )
     if exact:

@@ -1685,3 +1685,84 @@ def test_neighborhood_function_empty_graph(spark):
     )
     assert [(r["hops"], r["pairs_at"], r["pairs_cum"], r["frac_cum"])
             for r in rows] == [(1, 0, 0, 0.0), (2, 0, 0, 0.0)]
+
+
+def test_pagerank_weighted_matches_bruteforce(spark):
+    """exact=True weighted PageRank is bit-identical to the serial
+    reference (sorted wsum fold, sorted contribution folds, HALF_UP 6dp
+    per round); fast mode agrees to 1e-9."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cypher_guard_spark.pipeline.graph_algo import pagerank
+
+    wedges = [
+        ("a", "b", 0.9), ("a", "c", 0.3), ("b", "c", 0.75),
+        ("c", "a", 1.0), ("c", "d", 0.5), ("d", "a", 0.61),
+        ("b", "d", 0.2), ("d", "b", 0.99),
+    ]
+    e = spark.createDataFrame(wedges, ["src", "dst", "w"])
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    verts = sorted({v for s, d, _ in wedges for v in (s, d)})
+    n = len(verts)
+    wsum = {}
+    for s in verts:
+        acc = 0.0
+        for w in sorted(w for a, _b, w in wedges if a == s):
+            acc += w
+        wsum[s] = acc
+    damping, base = 0.85, 0.15 / n
+    rank = {v: round(1.0 / n, 6) for v in verts}
+    for _ in range(3):
+        new = {}
+        for v in verts:
+            acc = 0.0
+            for c in sorted(
+                rank[s] * w / wsum[s] for s, d, w in wedges if d == v
+            ):
+                acc += c
+            new[v] = r6(base + damping * acc)
+        rank = new
+
+    got = {
+        r["entity"]: r["rank"]
+        for r in pagerank(spark, e, iters=3, exact=True, weight="w").collect()
+    }
+    assert got == rank
+    fast = {
+        r["entity"]: r["rank"]
+        for r in pagerank(
+            spark, e, iters=3, exact=False, weight="w"
+        ).collect()
+    }
+    assert set(fast) == set(got)
+    assert all(abs(fast[v] - got[v]) < 1e-9 for v in got)
+
+
+def test_pagerank_weighted_uniform_equals_unweighted(spark):
+    """Constant power-of-two weights leave the doubles untouched:
+    (rank*2)/(2*outdeg) == rank/outdeg in IEEE — weighted with w=2.0
+    equals the unweighted run bit-for-bit, locking that the weighted
+    path changes nothing but the split proportions."""
+    from pyspark.sql import functions as F
+
+    from cypher_guard_spark.pipeline.graph_algo import pagerank
+
+    edges = _rand_edges(seed=23, n_verts=25, n_edges=60)
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    ew = e.withColumn("w", F.lit(2.0))
+    plain = {
+        r["entity"]: r["rank"]
+        for r in pagerank(spark, e, iters=3, exact=True).collect()
+    }
+    weighted = {
+        r["entity"]: r["rank"]
+        for r in pagerank(
+            spark, ew, iters=3, exact=True, weight="w"
+        ).collect()
+    }
+    assert weighted == plain

@@ -509,3 +509,69 @@ def test_kg_materialized_mode_is_row_identical(spark, tmp_path, monkeypatch):
         map(tuple, entry_mod.queries()["kg_canonical_triples"](spark, sf).collect())
     )
     assert fresh == cached and len(fresh) > 0
+
+
+def test_blocking_report_predicts_band_join_rows(spark):
+    """sum(candidate_rows) equals EXACTLY the row count of the band
+    self-join that minhash_candidate_pairs runs (before dedup), and the
+    histogram matches a serial recomputation via the bit-exact oracle
+    hashes; abbreviation surfaces are excluded just as in production."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from cypher_guard_spark.oracle import spark_hash, spark_xxhash64
+    from cypher_guard_spark.pipeline.canonicalize import (
+        _banded_surfaces,
+        blocking_report,
+    )
+
+    rows = [
+        ("Acme Corp", "Company"), ("Acme Corp Inc", "Company"),
+        ("Acme Corporation", "Company"), ("Globex", "Company"),
+        ("Nina Johnson", "Person"), ("Paula Johnson", "Person"),
+        ("J. Smith", "Person"),  # abbreviation: excluded from blocking
+        ("Acme Corp", "Person"),  # same surface, other label: own blocks
+    ]
+    surfaces = spark.createDataFrame(rows, ["surface", "label"])
+    got = {
+        r["block_size"]: (r["n_blocks"], r["candidate_rows"])
+        for r in blocking_report(surfaces).collect()
+    }
+
+    # invariant: candidate_rows is the band self-join's pre-dedup size
+    banded = _banded_surfaces(surfaces, 16, 8)
+    l, r = banded.alias("l"), banded.alias("r")
+    join_rows = l.join(
+        r,
+        on=[
+            F.col("l.label") == F.col("r.label"),
+            F.col("l.band") == F.col("r.band"),
+            F.col("l.band_hash") == F.col("r.band_hash"),
+            F.col("l.surface") < F.col("r.surface"),
+        ],
+    ).count()
+    assert sum(c for _, c in got.values()) == join_rows
+
+    # serial twin via the oracle hashes
+    buckets: Counter = Counter()
+    for surf, label in rows:
+        if re.match(r"^[A-Z]\. ", surf):
+            continue
+        sl = surf.lower()
+        sh = list(
+            dict.fromkeys(sl[i : i + 3] for i in range(max(len(sl) - 2, 1)))
+        )
+        for b in range(8):
+            mh = [
+                min(spark_hash(x, b * 2 + rr) for x in sh) for rr in range(2)
+            ]
+            buckets[(label, b, spark_xxhash64(*mh))] += 1
+    hist: Counter = Counter(buckets.values())
+    want = {
+        s: (nb, nb * s * (s - 1) // 2) for s, nb in hist.items()
+    }
+    assert got == want
+    # the abbreviation surface contributes no block at all
+    assert sum(nb for nb, _ in got.values()) == sum(hist.values())
