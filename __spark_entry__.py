@@ -1241,6 +1241,30 @@ FROM cum
 """
 
 
+def q_kg_neighborhood_hyperball(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HyperBall estimator of the same N(h) curve
+    (`pipeline/graph_algo.py:neighborhood_function_approx`): per-vertex
+    Datasketches HLL reach-ball sketches merged along edges per round —
+    O(V) state instead of the O(V·deg^k) pair table. No SQL oracle (a
+    sketch estimator has no DuckDB twin); pytest locks it within the
+    sketch error envelope of the exact operator
+    (tests/test_graph_algo.py::test_neighborhood_function_hyperball_close_to_exact),
+    and the exact `kg_neighborhood_function` entry carries the hash
+    gate for the shared contract."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        neighborhood_function_approx,
+    )
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return neighborhood_function_approx(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        k=3,
+    )
+
+
 def q_kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-truncated harmonic centrality over the directed canonical graph
     (`pipeline/graph_algo.py:harmonic_centrality`) — one fixed-order
@@ -4376,6 +4400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fuzzy_surfaces": q_kg_fuzzy_surfaces,
         "kg_khop": q_kg_khop,
         "kg_neighborhood_function": q_kg_neighborhood_function,
+        "kg_neighborhood_hyperball": q_kg_neighborhood_hyperball,
         "kg_harmonic": q_kg_harmonic,
         "kg_closeness": q_kg_closeness,
         "kg_betweenness": q_kg_betweenness,

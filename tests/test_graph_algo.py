@@ -1766,3 +1766,49 @@ def test_pagerank_weighted_uniform_equals_unweighted(spark):
         ).collect()
     }
     assert weighted == plain
+
+
+def test_neighborhood_function_hyperball_close_to_exact(spark):
+    """The HLL HyperBall estimator tracks the exact neighborhood
+    function within the sketch's error envelope on a random digraph
+    (at these cardinalities the Datasketches sketch is in its exact
+    coupon regime, so the curves should nearly coincide), and the
+    output keeps the exact operator's k-row monotone contract."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        neighborhood_function,
+        neighborhood_function_approx,
+    )
+
+    edges = _rand_edges(seed=41, n_verts=40, n_edges=80)
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    k = 3
+    exact = {
+        r["hops"]: (r["pairs_at"], r["pairs_cum"], r["frac_cum"])
+        for r in neighborhood_function(spark, e, k=k).collect()
+    }
+    est = {
+        r["hops"]: (r["pairs_at"], r["pairs_cum"], r["frac_cum"])
+        for r in neighborhood_function_approx(spark, e, k=k).collect()
+    }
+    assert set(est) == set(range(1, k + 1))
+    prev = 0
+    for h in range(1, k + 1):
+        assert est[h][1] >= prev  # monotone cumulative
+        prev = est[h][1]
+        rel = abs(est[h][1] - exact[h][1]) / max(exact[h][1], 1)
+        assert rel < 0.05, f"hop {h}: est {est[h][1]} vs exact {exact[h][1]}"
+    assert est[k][2] == 1.0
+
+
+def test_neighborhood_function_hyperball_empty(spark):
+    from cypher_guard_spark.pipeline.graph_algo import (
+        neighborhood_function_approx,
+    )
+
+    e = spark.createDataFrame([], "src string, dst string")
+    rows = sorted(
+        neighborhood_function_approx(spark, e, k=2).collect(),
+        key=lambda r: r["hops"],
+    )
+    assert [(r["hops"], r["pairs_at"], r["pairs_cum"], r["frac_cum"])
+            for r in rows] == [(1, 0, 0, 0.0), (2, 0, 0, 0.0)]
