@@ -1812,3 +1812,33 @@ def test_neighborhood_function_hyperball_empty(spark):
     )
     assert [(r["hops"], r["pairs_at"], r["pairs_cum"], r["frac_cum"])
             for r in rows] == [(1, 0, 0, 0.0), (2, 0, 0, 0.0)]
+
+
+def test_neighborhood_function_hyperball_partial_agg_plan(spark):
+    """The per-round register merge must be a partial-aggregating
+    hll_union_agg (map-side combine) so hub fan-in collapses in the
+    combiner — lock the ObjectHashAggregate partial/final split for the
+    sketch-union subplan."""
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+    adj = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    state = (
+        adj.select(F.col("u").alias("entity"))
+        .unionByName(adj.select(F.col("v").alias("entity")))
+        .distinct()
+        .groupBy("entity")
+        .agg(F.hll_sketch_agg("entity", F.lit(12)).alias("sk"))
+    )
+    nbr = (
+        adj.join(state.select(F.col("entity").alias("v"), "sk"), "v")
+        .groupBy(F.col("u").alias("entity"))
+        .agg(F.hll_union_agg("sk").alias("nsk"))
+    )
+    plan = nbr._jdf.queryExecution().executedPlan().toString()
+    # partial aggregate before the exchange, final after: two
+    # ObjectHashAggregate nodes with hll_union_agg, one partial_
+    assert plan.count("hll_union_agg") >= 2
+    assert "partial_hll_union_agg" in plan
