@@ -1265,6 +1265,25 @@ def q_kg_neighborhood_hyperball(
     )
 
 
+def q_kg_harmonic_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall estimate of the k-truncated harmonic centrality
+    (`pipeline/graph_algo.py:harmonic_centrality_approx`) — per-vertex
+    ball-size deltas off the same HLL sketches, O(V) state. Rows-only
+    by design (sketch estimator); pytest locks it inside the error
+    envelope of the exact `kg_harmonic` entry, which carries the hash
+    gate."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        harmonic_centrality_approx,
+    )
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return harmonic_centrality_approx(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        k=3,
+    )
+
+
 def q_kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-truncated harmonic centrality over the directed canonical graph
     (`pipeline/graph_algo.py:harmonic_centrality`) — one fixed-order
@@ -4401,6 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_khop": q_kg_khop,
         "kg_neighborhood_function": q_kg_neighborhood_function,
         "kg_neighborhood_hyperball": q_kg_neighborhood_hyperball,
+        "kg_harmonic_hyperball": q_kg_harmonic_hyperball,
         "kg_harmonic": q_kg_harmonic,
         "kg_closeness": q_kg_closeness,
         "kg_betweenness": q_kg_betweenness,

@@ -2252,3 +2252,87 @@ def neighborhood_function_approx(
     return spark.createDataFrame(
         rows, "hops int, pairs_at long, pairs_cum long, frac_cum double"
     )
+
+
+def harmonic_centrality_approx(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+    lgk: int = 12,
+) -> DataFrame:
+    """(entity, harmonic) — HyperBall estimate of the k-truncated
+    harmonic centrality (Boldi & Vigna's headline application): per
+    vertex, Σ_h (|ball_h(v)| − |ball_{h−1}(v)|)/h, with ball sizes read
+    off the SAME per-vertex HLL reach sketches
+    `neighborhood_function_approx` maintains. The ball-size DELTA at hop
+    h is exactly the count of vertices at minimal distance h, so the
+    telescoped sum is the harmonic sum — no pair table, no per-source
+    BFS: O(V) sketch+scalar state, one edge-keyed join + one
+    partial-agg register merge per hop.
+
+    This is the scale path for `harmonic_centrality` (which rides the
+    khop pair materialization — right when consumers also need the
+    pairs): at 10^12 vertices the pair table is the cost, and a
+    centrality consumer that only needs the per-vertex score keeps the
+    sketches instead. Deltas are clamped at 0 against estimator wobble
+    (register maxima only grow); one 6dp rounding at the end. Sinks
+    hold harmonic 0.0 (their ball never grows) — same contract as the
+    exact operator. Estimates are Datasketches-deterministic; pytest
+    locks the estimator inside the sketch error envelope of the exact
+    operator on fixture graphs."""
+    adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        adj = adj.unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    adj = (
+        adj.where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    verts = (
+        adj.select(F.col("u").alias("entity"))
+        .unionByName(adj.select(F.col("v").alias("entity")))
+        .distinct()
+    )
+    state = (
+        verts.groupBy("entity")
+        .agg(F.hll_sketch_agg("entity", F.lit(lgk)).alias("sk"))
+        .select(
+            "entity",
+            "sk",
+            F.hll_sketch_estimate("sk").alias("est"),
+            F.lit(0.0).alias("harm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for h in range(1, k + 1):
+        nbr = (
+            adj.join(state.select(F.col("entity").alias("v"), "sk"), "v")
+            .groupBy(F.col("u").alias("entity"))
+            .agg(F.hll_union_agg("sk").alias("nsk"))
+        )
+        merged = state.join(nbr, "entity", "left").select(
+            "entity",
+            F.when(F.col("nsk").isNull(), F.col("sk"))
+            .otherwise(F.hll_union("sk", "nsk"))
+            .alias("sk"),
+            "est",
+            "harm",
+        )
+        state = merged.select(
+            "entity",
+            "sk",
+            F.hll_sketch_estimate("sk").alias("est"),
+            (
+                F.col("harm")
+                + F.greatest(
+                    F.hll_sketch_estimate("sk") - F.col("est"), F.lit(0.0)
+                )
+                / F.lit(float(h))
+            ).alias("harm"),
+        ).localCheckpoint(eager=False)
+    return state.select("entity", F.round("harm", 6).alias("harmonic"))

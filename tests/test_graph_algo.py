@@ -1842,3 +1842,49 @@ def test_neighborhood_function_hyperball_partial_agg_plan(spark):
     # ObjectHashAggregate nodes with hll_union_agg, one partial_
     assert plan.count("hll_union_agg") >= 2
     assert "partial_hll_union_agg" in plan
+
+
+def test_harmonic_approx_close_to_exact(spark):
+    """HyperBall harmonic tracks the exact khop-derived harmonic on a
+    random digraph (coupon-regime cardinalities: near-coincident), with
+    sinks at 0.0 and every vertex present."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        harmonic_centrality,
+        harmonic_centrality_approx,
+    )
+
+    edges = _rand_edges(seed=53, n_verts=35, n_edges=70)
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    exact = {
+        r["entity"]: r["harmonic"]
+        for r in harmonic_centrality(spark, e, k=3).collect()
+    }
+    est = {
+        r["entity"]: r["harmonic"]
+        for r in harmonic_centrality_approx(spark, e, k=3).collect()
+    }
+    assert set(est) == set(exact)
+    for v in exact:
+        assert abs(est[v] - exact[v]) <= max(0.05 * exact[v], 0.02), (
+            v, est[v], exact[v],
+        )
+
+
+def test_harmonic_approx_hand_value(spark):
+    """Chain a->b->c->d, k=3: a reaches b(1), c(2), d(3) => 1 + 1/2 +
+    1/3; d is a sink => 0.0. Small enough that the sketch is exact."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        harmonic_centrality_approx,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {
+        r["entity"]: r["harmonic"]
+        for r in harmonic_centrality_approx(spark, e, k=3).collect()
+    }
+    assert got["a"] == round(1.0 + 0.5 + 1.0 / 3.0, 6)
+    assert got["b"] == 1.5
+    assert got["c"] == 1.0
+    assert got["d"] == 0.0
