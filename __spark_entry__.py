@@ -1284,6 +1284,24 @@ def q_kg_harmonic_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_closeness_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall estimate of the k-truncated closeness
+    (`pipeline/graph_algo.py:closeness_centrality_approx`) — third of
+    the HyperBall trio off the same HLL sketches. Rows-only by design;
+    pytest locks it inside the exact `kg_closeness` entry's error
+    envelope."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        closeness_centrality_approx,
+    )
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return closeness_centrality_approx(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        k=3,
+    )
+
+
 def q_kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-truncated harmonic centrality over the directed canonical graph
     (`pipeline/graph_algo.py:harmonic_centrality`) — one fixed-order
@@ -4421,6 +4439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighborhood_function": q_kg_neighborhood_function,
         "kg_neighborhood_hyperball": q_kg_neighborhood_hyperball,
         "kg_harmonic_hyperball": q_kg_harmonic_hyperball,
+        "kg_closeness_hyperball": q_kg_closeness_hyperball,
         "kg_harmonic": q_kg_harmonic,
         "kg_closeness": q_kg_closeness,
         "kg_betweenness": q_kg_betweenness,

@@ -1888,3 +1888,49 @@ def test_harmonic_approx_hand_value(spark):
     assert got["b"] == 1.5
     assert got["c"] == 1.0
     assert got["d"] == 0.0
+
+
+def test_closeness_approx_close_to_exact(spark):
+    """HyperBall closeness tracks the exact khop-derived closeness on a
+    random digraph (coupon regime: near-coincident), sinks (0, 0, 0.0),
+    all vertices present."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        closeness_centrality,
+        closeness_centrality_approx,
+    )
+
+    edges = _rand_edges(seed=67, n_verts=35, n_edges=70)
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    exact = {
+        r["entity"]: (r["n_reachable"], r["total_hops"], r["closeness"])
+        for r in closeness_centrality(spark, e, k=3).collect()
+    }
+    est = {
+        r["entity"]: (r["n_reachable"], r["total_hops"], r["closeness"])
+        for r in closeness_centrality_approx(spark, e, k=3).collect()
+    }
+    assert set(est) == set(exact)
+    for v in exact:
+        en, eh, ec = exact[v]
+        gn, gh, gc = est[v]
+        assert abs(gn - en) <= max(0.05 * en, 1)
+        assert abs(gh - eh) <= max(0.05 * eh, 2)
+        assert abs(gc - ec) <= 0.05
+
+
+def test_closeness_approx_hand_value(spark):
+    """Chain a->b->c->d, k=3: a reaches 3 vertices over 1+2+3=6 hops =>
+    closeness 0.5; d is a sink => (0, 0, 0.0)."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        closeness_centrality_approx,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {
+        r["entity"]: (r["n_reachable"], r["total_hops"], r["closeness"])
+        for r in closeness_centrality_approx(spark, e, k=3).collect()
+    }
+    assert got["a"] == (3, 6, 0.5)
+    assert got["d"] == (0, 0, 0.0)
