@@ -1302,6 +1302,28 @@ def q_kg_closeness_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_spectral_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral node embeddings of the canonical entity graph via the
+    distributed randomized range-finder
+    (`pipeline/graph_algo.py:spectral_embeddings`): hash-generated
+    Rademacher sketch (Ω never materialized), one power iteration,
+    driver-side d×d whitening plan-baked back as literals — the
+    graph→vector handoff that feeds the ANN/PQ/SemDeDup suite without a
+    training loop. Rows-only by design (partial-agg FP sums have no
+    bit-stable SQL twin); pytest locks block separation, unit rows,
+    same-seed reproducibility, and the empty graph."""
+    from cypher_guard_spark.pipeline.graph_algo import spectral_embeddings
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return spectral_embeddings(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        dim=8,
+        power_iters=1,
+        seed=42,
+    )
+
+
 def q_kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-truncated harmonic centrality over the directed canonical graph
     (`pipeline/graph_algo.py:harmonic_centrality`) — one fixed-order
@@ -4440,6 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighborhood_hyperball": q_kg_neighborhood_hyperball,
         "kg_harmonic_hyperball": q_kg_harmonic_hyperball,
         "kg_closeness_hyperball": q_kg_closeness_hyperball,
+        "kg_spectral_embeddings": q_kg_spectral_embeddings,
         "kg_harmonic": q_kg_harmonic,
         "kg_closeness": q_kg_closeness,
         "kg_betweenness": q_kg_betweenness,

@@ -2422,3 +2422,127 @@ def closeness_centrality_approx(
             F.lit(0.0),
         ).alias("closeness"),
     )
+
+
+def spectral_embeddings(
+    spark: SparkSession,
+    edges: DataFrame,
+    dim: int = 8,
+    power_iters: int = 1,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(entity, emb: array<double>) — spectral node embeddings via a
+    distributed randomized range-finder (Halko-Martinsson-Tropp): the
+    top-`dim` range directions of the symmetrized adjacency A, i.e.
+    whitened Y = A^(2q+1)·Ω for a Rademacher sketch Ω. Spectral
+    adjacency embeddings are the closed-form cousin of walk-based
+    node2vec (Levy & Goldberg: factorizing the co-occurrence/PMI matrix
+    ≈ skip-gram), and the output feeds the repo's existing embedding
+    suite (ANN, PQ, SemDeDup, kNN) directly — graph → vector handoff in
+    one operator with NO training loop.
+
+    Why this shape at 10^12 edges:
+    - Ω IS NEVER MATERIALIZED: ω[v,j] = ±1 from xxhash64(v, j, seed),
+      so the first multiply Y = A·Ω is ONE partial-aggregating groupBy
+      over the edge list with `dim` map-side sum columns — no join, no
+      Ω table, no shuffle of anything but (vertex, d doubles).
+    - Each power iteration (A·(A·Y)) is two edge-keyed joins + two
+      partial aggs on d columns — state stays O(V·d); hub fan-in
+      collapses in combiners.
+    - The Gram matrix G = YᵀY is d(d+1)/2 driver scalars (one agg);
+      eigendecomposition and the whitening matrix B = V·Λ^(-1/2) are
+      numpy-on-driver at d×d, and the final projection Y·B is a
+      map-only expression with B plan-baked as literals (same pattern
+      as the JL projection / ADC LUTs).
+
+    Power iterations sharpen the spectrum (q=1 default: Y spans
+    A³Ω's range); embeddings are L2-row-normalized and 6dp-rounded so
+    cosine geometry is ready for the ANN/dedup consumers. Sums are
+    partial-agg doubles (last-ulp partition-order variance — property
+    contracts, not bitwise ones; the hash sketch itself is exactly
+    reproducible). Sign of each component is basis-arbitrary, as with
+    any eigendecomposition."""
+    import numpy as np
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if not sym.take(1):
+        return spark.createDataFrame([], "entity string, emb array<double>")
+
+    def omega(col, j):
+        return (
+            F.xxhash64(F.col(col), F.lit(j), F.lit(seed))
+            .bitwiseAND(F.lit(1))
+            .cast("double")
+            * 2.0
+            - 1.0
+        )
+
+    # Y0 = A·Ω — one partial agg, Ω generated inline from the dst id
+    y = sym.groupBy(F.col("a").alias("entity")).agg(
+        *[F.sum(omega("b", j)).alias(f"y{j}") for j in range(dim)]
+    ).localCheckpoint(eager=False)
+    for _ in range(power_iters):
+        # Z = Aᵀ·Y, then Y = A·Z (A symmetric ⇒ same join pattern)
+        for _half in range(2):
+            y = (
+                sym.join(y.withColumnRenamed("entity", "b"), "b")
+                .groupBy(F.col("a").alias("entity"))
+                .agg(
+                    *[F.sum(F.col(f"y{j}")).alias(f"y{j}") for j in range(dim)]
+                )
+                .localCheckpoint(eager=False)
+            )
+    gram = y.agg(
+        *[
+            F.sum(F.col(f"y{i}") * F.col(f"y{j}")).alias(f"g_{i}_{j}")
+            for i in range(dim)
+            for j in range(i, dim)
+        ]
+    ).first()
+    G = np.zeros((dim, dim))
+    for i in range(dim):
+        for j in range(i, dim):
+            G[i, j] = G[j, i] = gram[f"g_{i}_{j}"] or 0.0
+    lam, V = np.linalg.eigh(G)  # ascending
+    order = np.argsort(lam)[::-1]
+    lam, V = lam[order], V[:, order]
+    inv = np.where(lam > 1e-9 * max(lam.max(), 1e-300), 1.0 / np.sqrt(
+        np.maximum(lam, 1e-300)
+    ), 0.0)
+    B = V * inv  # d×d whitening, plan-baked below
+    proj = [
+        sum(
+            (F.col(f"y{i}") * float(B[i, c]) for i in range(1, dim)),
+            F.col("y0") * float(B[0, c]),
+        ).alias(f"e{c}")
+        for c in range(dim)
+    ]
+    q = y.select("entity", *proj)
+    norm = F.sqrt(
+        sum(
+            (F.col(f"e{c}") * F.col(f"e{c}") for c in range(1, dim)),
+            F.col("e0") * F.col("e0"),
+        )
+    )
+    return q.select(
+        "entity",
+        F.array(
+            *[
+                F.round(
+                    F.coalesce(
+                        F.try_divide(F.col(f"e{c}"), norm), F.lit(0.0)
+                    ),
+                    6,
+                )
+                for c in range(dim)
+            ]
+        ).alias("emb"),
+    )
