@@ -1324,6 +1324,25 @@ def q_kg_spectral_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_spectral_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE composition: canonical graph → spectral embeddings →
+    exact cosine top-5 entity neighbors (`ops/similarity.py:
+    brute_force_topk` over `spectral_embeddings` output) — KG-completion
+    candidates ('entities whose graph contexts look alike') in ONE plan
+    crossing the graph and embedding suites. Query side here is the
+    full (entity-scaled) table under the broadcast-queries contract; at
+    10^12 vertices the swap is the IVF/PQ path the embeddings feed
+    directly. Rows-only by design (inherits the FP sums)."""
+    from cypher_guard_spark.ops.similarity import brute_force_topk
+
+    emb = q_kg_spectral_embeddings(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    return brute_force_topk(
+        emb, emb, k=5, id_col="entity", vec_col="emb"
+    )
+
+
 def q_kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-truncated harmonic centrality over the directed canonical graph
     (`pipeline/graph_algo.py:harmonic_centrality`) — one fixed-order
@@ -4463,6 +4482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_harmonic_hyperball": q_kg_harmonic_hyperball,
         "kg_closeness_hyperball": q_kg_closeness_hyperball,
         "kg_spectral_embeddings": q_kg_spectral_embeddings,
+        "kg_spectral_knn": q_kg_spectral_knn,
         "kg_harmonic": q_kg_harmonic,
         "kg_closeness": q_kg_closeness,
         "kg_betweenness": q_kg_betweenness,
