@@ -2003,3 +2003,53 @@ def test_spectral_embeddings_empty(spark):
 
     e = spark.createDataFrame([], "src string, dst string")
     assert spectral_embeddings(spark, e, dim=4).count() == 0
+
+
+def test_pagerank_weighted_personalized_composition(spark):
+    """weight= composes with seeds=: teleport mass returns only to the
+    seeds while rank still splits by edge weight — locked against a
+    serial reference with the same fold conventions."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cypher_guard_spark.pipeline.graph_algo import pagerank
+
+    wedges = [
+        ("a", "b", 0.9), ("b", "c", 0.4), ("c", "a", 0.7),
+        ("c", "d", 0.3), ("d", "b", 1.0),
+    ]
+    e = spark.createDataFrame(wedges, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([("a",)], ["entity"])
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    verts = sorted({v for s, d, _ in wedges for v in (s, d)})
+    wsum = {}
+    for s in verts:
+        acc = 0.0
+        for w in sorted(w for a, _b, w in wedges if a == s):
+            acc += w
+        wsum[s] = acc
+    damping = 0.85
+    base = {v: (0.15 if v == "a" else 0.0) for v in verts}  # ns=1
+    rank = {v: (round(1.0, 6) if v == "a" else 0.0) for v in verts}
+    for _ in range(3):
+        new = {}
+        for v in verts:
+            acc = 0.0
+            for c in sorted(
+                rank[s] * w / wsum[s] for s, d, w in wedges if d == v
+            ):
+                acc += c
+            new[v] = r6(base[v] + damping * acc)
+        rank = new
+
+    got = {
+        r["entity"]: r["rank"]
+        for r in pagerank(
+            spark, e, iters=3, exact=True, seeds=seeds, weight="w"
+        ).collect()
+    }
+    assert got == rank
