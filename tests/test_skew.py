@@ -145,3 +145,28 @@ def test_wedge_join_degree_orientation_bounds_hub_key(spark):
     assert max_fanout <= 3, max_fanout
     # wedges per pivot = C(out_deg, 2) <= 3, vs C(300, 2) unoriented
     assert max(v * (v - 1) // 2 for v in out.values()) <= 3
+
+
+def test_hyperball_hub_star_closed_form(spark):
+    """A 500-spoke directed star (center -> every spoke): the HyperBall
+    register merge must union the hub's full fan-out in the combiner and
+    report the closed form exactly in the sketch's coupon-exact regime
+    at lgk=14 — N(1) = 500 (center's ball), nothing new at deeper hops,
+    frac_cum 1.0 from hop 1. The hub key never explodes: hll_union_agg
+    is a partial agg, so the 500-sketch fan-in collapses map-side
+    (plan-locked in test_graph_algo)."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        neighborhood_function_approx,
+    )
+
+    n = 500
+    e = spark.createDataFrame(
+        [("hub", f"s{i:03d}") for i in range(n)], ["src", "dst"]
+    )
+    rows = {
+        r["hops"]: (r["pairs_at"], r["pairs_cum"], r["frac_cum"])
+        for r in neighborhood_function_approx(spark, e, k=3, lgk=14).collect()
+    }
+    assert rows[1] == (n, n, 1.0)
+    assert rows[2] == (0, n, 1.0)
+    assert rows[3] == (0, n, 1.0)
