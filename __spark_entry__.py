@@ -1519,6 +1519,44 @@ FROM verts v LEFT JOIN agg ON v.entity = agg.entity
 """
 
 
+def q_kg_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truncated per-vertex eccentricity over the directed canonical
+    graph (`pipeline/graph_algo.py:eccentricity`) — MAX minimal-hop +
+    ball size off the kg_khop materialization, integer-only, sinks
+    (0, 0) via the uniform vertex-set left join."""
+    from cypher_guard_spark.pipeline.graph_algo import eccentricity
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return eccentricity(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        k=3,
+    )
+
+
+def _kg_eccentricity_sql(k: int = 3) -> str:
+    """Composed oracle: the kg_khop recursive CTE + MAX(hops)/COUNT(*)
+    per source, left-joined onto the derived vertex set so sinks report
+    (0, 0) — the same shape as the closeness oracle, integers only."""
+    return f"""
+WITH kh AS ({_kg_khop_sql(k)}),
+t2 AS ({_kg_canonical_triples_values()}),
+verts AS (
+  SELECT DISTINCT subj AS entity FROM t2 WHERE subj <> obj
+  UNION
+  SELECT DISTINCT obj AS entity FROM t2 WHERE subj <> obj),
+agg AS (
+  SELECT src AS entity,
+         CAST(MAX(hops) AS INT) AS eccentricity,
+         COUNT(*) AS n_reachable
+  FROM kh GROUP BY src)
+SELECT v.entity,
+       COALESCE(agg.eccentricity, 0) AS eccentricity,
+       COALESCE(agg.n_reachable, 0) AS n_reachable
+FROM verts v LEFT JOIN agg ON v.entity = agg.entity
+"""
+
+
 def q_kg_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality-constraint violations over the canonical triples
     (`pipeline/schema_infer.py:triple_conflicts`): WORKS_FOR declared
@@ -4485,6 +4523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_spectral_knn": q_kg_spectral_knn,
         "kg_harmonic": q_kg_harmonic,
         "kg_closeness": q_kg_closeness,
+        "kg_eccentricity": q_kg_eccentricity,
         "kg_betweenness": q_kg_betweenness,
         "kg_conflicts": q_kg_conflicts,
         "kg_triple_history": q_kg_triple_history,
@@ -5421,6 +5460,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_neighborhood_function": _kg_neighborhood_function_sql(),
         "kg_harmonic": _kg_harmonic_sql(),
         "kg_closeness": _kg_closeness_sql(),
+        "kg_eccentricity": _kg_eccentricity_sql(),
         "kg_betweenness": _kg_betweenness_values(),
         "kg_conflicts": _kg_conflicts_sql(),
         "kg_triple_history": _kg_triple_history_values(),

@@ -2081,6 +2081,52 @@ def closeness_centrality(
     )
 
 
+def eccentricity(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """(entity, eccentricity, n_reachable) — k-truncated eccentricity:
+    the MAXIMUM minimal-hop distance within each vertex's k-hop
+    out-ball, plus the ball size. The per-vertex dual of the global
+    `neighborhood_function` curve: radius/diameter candidates, periphery
+    detection ("which entities sit k hops from everything"), and BFS
+    frontier budgeting all read off this table with one more partial
+    agg (MIN/MAX over the eccentricity column).
+
+    Truncation semantics: the reported value is min(true ecc, k) in the
+    directed reachability order — exact whenever the vertex's ball stops
+    growing before round k (the frontier empties), a lower bound clamped
+    at k otherwise; `k` is the same discipline every khop consumer in
+    this module documents. Integer-only (max over hop counts), so the
+    contract needs no FP fold machinery at all.
+
+    One partial-agg pass over the `khop_neighborhoods` materialization —
+    materialize-once/derive-many: when harmonic/closeness/eccentricity
+    are all published, they share the one khop build. Hub fan-in
+    collapses in the map-side combiner (MAX/COUNT are both partial
+    aggs), so a vertex reaching half the graph costs its own rows, never
+    a hot reduce key.
+
+    Sinks report (0, 0), not absence: left-joined back onto the derived
+    vertex set (the triangle_count/betweenness/harmonic/closeness
+    contract, uniform across the centrality family)."""
+    kh = khop_neighborhoods(spark, edges, k=k, src=src, dst=dst, directed=directed)
+    verts = _vertex_set(edges, src, dst)
+    agg = kh.groupBy(F.col("src").alias("entity")).agg(
+        F.max("hops").cast("int").alias("eccentricity"),
+        F.count("*").cast("long").alias("n_reachable"),
+    )
+    return verts.join(agg, "entity", "left").select(
+        "entity",
+        F.coalesce("eccentricity", F.lit(0)).cast("int").alias("eccentricity"),
+        F.coalesce("n_reachable", F.lit(0)).cast("long").alias("n_reachable"),
+    )
+
+
 def neighborhood_function(
     spark: SparkSession,
     edges: DataFrame,

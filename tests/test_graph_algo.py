@@ -1610,6 +1610,62 @@ def test_closeness_matches_bruteforce(spark):
     assert got["d"] == (0, 0, 0.0)  # sink
 
 
+def test_eccentricity_matches_bruteforce(spark):
+    from cypher_guard_spark.pipeline.graph_algo import eccentricity
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["entity"]: (r["eccentricity"], r["n_reachable"])
+        for r in eccentricity(spark, df, k=3).collect()
+    }
+    per_src: dict = {}
+    for (s, _d), h in _khop_bruteforce(edges, 3, directed=True).items():
+        per_src.setdefault(s, []).append(h)
+    verts = {u for e in edges for u in e}
+    want = {  # sinks report (0, 0), not absence — uniform centrality contract
+        s: ((max(hs), len(hs)) if (hs := per_src.get(s, [])) else (0, 0))
+        for s in verts
+    }
+    assert got == want
+    # a reaches b(1), c(1), d(2): ecc 2 within the 3-ball
+    assert got["a"] == (2, 3)
+    assert got["d"] == (0, 0)  # sink
+    # x -> a -> {b,c} -> d: ecc clamps at k=3 (d is 3 hops out)
+    assert got["x"] == (3, 4)
+
+
+def test_eccentricity_truncation_and_random(spark):
+    """On a random digraph the k-truncated eccentricity equals
+    min(true BFS ecc within the ball, k) per source, and the undirected
+    variant is symmetric."""
+    from cypher_guard_spark.pipeline.graph_algo import eccentricity
+
+    edges = _rand_edges(seed=23, n_verts=25, n_edges=40)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (1, 2, 3):
+        got = {
+            r["entity"]: (r["eccentricity"], r["n_reachable"])
+            for r in eccentricity(spark, df, k=k).collect()
+        }
+        per_src: dict = {}
+        for (s, _d), h in _khop_bruteforce(edges, k, directed=True).items():
+            per_src.setdefault(s, []).append(h)
+        verts = {u for e in edges for u in e if e[0] != e[1]}
+        want = {
+            s: ((max(hs), len(hs)) if (hs := per_src.get(s, [])) else (0, 0))
+            for s in verts
+        }
+        assert got == want, f"k={k}"
+    # undirected: a 2-chain a-b-c gives ecc(a)=ecc(c)=2, ecc(b)=1
+    chain = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    und = {
+        r["entity"]: r["eccentricity"]
+        for r in eccentricity(spark, chain, k=3, directed=False).collect()
+    }
+    assert und == {"a": 2, "b": 1, "c": 2}
+
+
 def test_neighborhood_function_bruteforce(spark):
     """N(h) on a random sparse digraph matches a per-source BFS brute
     force, zero-filled to exactly k rows with monotone cum counts."""
