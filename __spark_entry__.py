@@ -4325,6 +4325,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": lambda s, d: sample.weighted_sample(
             text.quality_scores(_docs(s, d)), weight=F.col("quality")
         ),
+        # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+        # importance lift of every raw doc vs a small target exemplar set
+        # (doc_id % 23 == 0 plays the target domain); exact-integer
+        # ratio-of-means scoring, B=4096 buckets broadcast
+        "doc_dsir_weights": lambda s, d: sample.dsir_weights(
+            _docs(s, d).where(F.col("doc_id") % 23 != 0),
+            _docs(s, d).where(F.col("doc_id") % 23 == 0),
+            buckets=4096,
+        ),
         "doc_training_shards": lambda s, d: sample.shuffle_shards(
             _docs(s, d), 8, seed=0
         ).select("doc_id", "shard", "pos"),
@@ -5339,6 +5348,49 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    round(q.quality * 1048576)::BIGINT AS keep_threshold
             FROM q JOIN hs USING (doc_id)
             WHERE hs.h < round(q.quality * 1048576)::BIGINT
+        """,
+        "doc_dsir_weights": """
+            WITH raw AS (SELECT * FROM documents WHERE doc_id % 23 <> 0),
+            tgt AS (SELECT * FROM documents WHERE doc_id % 23 = 0),
+            rawg AS (
+              SELECT doc_id, unnest(list_concat(W,
+                       list_transform(
+                         generate_series(1, greatest(len(W) - 1, 0)),
+                         i -> W[i] || ' ' || W[i+1]))) AS g
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '\\s+') AS W
+                    FROM raw)),
+            tgtg AS (
+              SELECT unnest(list_concat(W,
+                       list_transform(
+                         generate_series(1, greatest(len(W) - 1, 0)),
+                         i -> W[i] || ' ' || W[i+1]))) AS g
+              FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS W
+                    FROM tgt)),
+            rawb AS (SELECT doc_id,
+                            CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS bucket
+                     FROM rawg),
+            tgtb AS (SELECT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS bucket
+                     FROM tgtg),
+            feats AS (SELECT doc_id, bucket, COUNT(*) AS cnt
+                      FROM rawb GROUP BY doc_id, bucket),
+            rstats AS (SELECT bucket, COUNT(*) AS rcnt FROM rawb GROUP BY bucket),
+            tstats AS (SELECT bucket, COUNT(*) AS tcnt FROM tgtb GROUP BY bucket),
+            tot AS (SELECT (SELECT COUNT(*) FROM rawb) AS r_total,
+                           (SELECT COUNT(*) FROM tgtb) AS t_total),
+            agg AS (
+              SELECT f.doc_id,
+                     CAST(SUM(f.cnt) AS BIGINT) AS n_feats,
+                     CAST(SUM(f.cnt * COALESCE(t.tcnt, 0)) AS BIGINT) AS t_hits,
+                     CAST(SUM(f.cnt * COALESCE(r.rcnt, 0)) AS BIGINT) AS r_hits
+              FROM feats f
+              LEFT JOIN tstats t USING (bucket)
+              LEFT JOIN rstats r USING (bucket)
+              GROUP BY f.doc_id)
+            SELECT doc_id, n_feats, t_hits, r_hits,
+                   ROUND((CAST(t_hits + n_feats AS DOUBLE) * CAST(r_total + 4096 AS DOUBLE)) /
+                         (CAST(r_hits + n_feats AS DOUBLE) * CAST(t_total + 4096 AS DOUBLE)), 6) AS lift
+            FROM agg, tot
         """,
         "doc_dup_ngram_coverage": """
             WITH t AS (

@@ -379,3 +379,122 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+def _hashed_gram_buckets(
+    df: DataFrame, text_col: str, buckets: int
+) -> DataFrame:
+    """(doc_id, bucket) — one row per word unigram AND bigram occurrence,
+    hashed into `buckets` via the engine-portable md5-prefix bucket
+    (conv(substr(md5(g),1,15),16,10) % B — DuckDB computes the identical
+    value as CAST('0x'||substr(md5(g),1,15) AS BIGINT) % B). Map-only:
+    tokenize, build the gram array, explode, hash — no shuffle here."""
+    t = tokens(F.col(text_col))
+    bi = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(t, bi)
+    return df.select("doc_id", F.explode(grams).alias("__g")).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long")
+            % F.lit(buckets)
+        ).alias("bucket"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """(doc_id, n_feats, t_hits, r_hits, lift) — hashed n-gram importance
+    weights for data selection (DSIR — Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score each
+    raw document by how target-like its hashed unigram+bigram feature
+    profile is, where `target` is a small exemplar corpus (the domain you
+    want more of) and `raw` is the crawl you are selecting from.
+    Downstream selection is `weighted_sample(weight=F.col("lift"))` or a
+    top-k — resampling by these weights shifts the raw corpus toward the
+    target distribution, the DSIR recipe.
+
+    Scoring (exact-arithmetic variant): DSIR's per-doc log-likelihood
+    ratio sum Σ_b cnt_b·log(p_t(b)/q_r(b)) is an FP fold whose result is
+    partition-order-dependent and transcendental (libm log differs in the
+    last ULP across engines) — unusable as a bit-stable oracle contract.
+    This operator publishes the cleared-denominator RATIO-OF-MEANS
+    instead (the module's PMI-lift/bigram-cohesion precedent):
+
+        lift = ((t_hits + n_feats) · (r_total + B))
+             / ((r_hits + n_feats) · (t_total + B))
+
+    where t_hits = Σ_b cnt_b·tcnt_b and r_hits = Σ_b cnt_b·rcnt_b are
+    EXACT integer sums (doc feature counts weighted by the corpus bucket
+    counts), n_feats adds Laplace add-1 smoothing in both numerator and
+    denominator, and the totals normalize the two corpora. One pair of
+    correctly-rounded IEEE multiplies + one division + one 6dp rounding:
+    bit-identical in any engine at any partitioning. lift > 1 ⇔ the doc's
+    features are on average more frequent in the target than in the raw
+    corpus; log(lift) is a monotone client-side rescale, so top-k
+    selection is unchanged vs publishing the log.
+
+    Scale posture: feature extraction is map-only explode+hash; the only
+    corpus-sized exchange is the (doc_id, bucket) partial agg. Both
+    distribution tables are ≤ B rows (B = `buckets` caps model state — the
+    entire point of hashed features in DSIR) and broadcast to the per-doc
+    join; totals ride a 1-row crossJoin. Nothing all-pairs, no Python.
+    At extreme corpus sizes (Σ cnt_b·rcnt_b approaching 2^63) swap the two
+    hit sums to double partial aggs and accept FP-assocativity wobble in
+    the 6th decimal, or shrink B — documented tradeoff, same knob family
+    as kmeans_centroids(train_fraction=)."""
+    feats = (
+        _hashed_gram_buckets(raw, text_col, buckets)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rstats = (
+        _hashed_gram_buckets(raw, text_col, buckets)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("rcnt"))
+    )
+    tstats = (
+        _hashed_gram_buckets(target, text_col, buckets)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("tcnt"))
+    )
+    totals = (
+        rstats.agg(F.sum("rcnt").cast("long").alias("r_total"))
+        .crossJoin(tstats.agg(F.sum("tcnt").cast("long").alias("t_total")))
+    )
+    agg = (
+        feats.join(F.broadcast(tstats), "bucket", "left")
+        .join(F.broadcast(rstats), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("cnt") * F.coalesce("tcnt", F.lit(0)))
+            .cast("long")
+            .alias("t_hits"),
+            F.sum(F.col("cnt") * F.coalesce("rcnt", F.lit(0)))
+            .cast("long")
+            .alias("r_hits"),
+        )
+    )
+    num = (F.col("t_hits") + F.col("n_feats")).cast("double") * (
+        F.col("r_total") + F.lit(buckets)
+    ).cast("double")
+    den = (F.col("r_hits") + F.col("n_feats")).cast("double") * (
+        F.col("t_total") + F.lit(buckets)
+    ).cast("double")
+    return agg.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "n_feats",
+        "t_hits",
+        "r_hits",
+        F.round(num / den, 6).alias("lift"),
+    )

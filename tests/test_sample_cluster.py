@@ -274,3 +274,67 @@ def test_write_training_shards_roundtrip(spark, docs, tmp_path):
         for r in back.select("doc_id", "text", "shard", "pos").collect()
     }
     assert stored == live
+
+
+def test_dsir_weights_separates_domains(spark):
+    """Target-like raw docs out-lift off-domain ones; smoothing keeps
+    zero-overlap docs finite and < 1; values match a serial twin."""
+    from cypher_guard_spark.ops.sample import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "quantum flux capacitor entangles qubit lattices") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quantum flux capacitor entangles qubit arrays"),  # on-domain
+            (2, "cheap shoes buy now discount shoes sale"),  # off-domain
+            (3, "quantum lattices and qubit flux"),  # partial overlap
+        ],
+        ["doc_id", "text"],
+    )
+    B = 64
+    got = {
+        r["doc_id"]: (r["n_feats"], r["t_hits"], r["r_hits"], r["lift"])
+        for r in dsir_weights(raw, target, buckets=B).collect()
+    }
+
+    # serial twin with the same md5-prefix bucketing
+    import hashlib
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    def grams(text):
+        w = text.lower().strip().split()
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    tgt_rows = [r["text"] for r in target.collect()]
+    raw_rows = {r["doc_id"]: r["text"] for r in raw.collect()}
+    from collections import Counter
+
+    tcnt = Counter(bucket(g) for t in tgt_rows for g in grams(t))
+    rcnt = Counter(bucket(g) for t in raw_rows.values() for g in grams(t))
+    t_total, r_total = sum(tcnt.values()), sum(rcnt.values())
+    want = {}
+    for did, text in raw_rows.items():
+        fc = Counter(bucket(g) for g in grams(text))
+        n = sum(fc.values())
+        th = sum(c * tcnt.get(b, 0) for b, c in fc.items())
+        rh = sum(c * rcnt.get(b, 0) for b, c in fc.items())
+        lift = round(
+            (float(th + n) * float(r_total + B))
+            / (float(rh + n) * float(t_total + B)),
+            6,
+        )
+        want[did] = (n, th, rh, lift)
+    assert got == want
+    # ranking: on-domain > partial > off-domain, and off-domain < 1
+    assert got[1][3] > got[3][3] > got[2][3]
+    assert got[2][3] < 1.0
+    # partition invariance: same bit-exact result at a different layout
+    got7 = {
+        r["doc_id"]: (r["n_feats"], r["t_hits"], r["r_hits"], r["lift"])
+        for r in dsir_weights(raw.repartition(7), target, buckets=B).collect()
+    }
+    assert got7 == got
