@@ -1557,6 +1557,99 @@ FROM verts v LEFT JOIN agg ON v.entity = agg.entity
 """
 
 
+def q_kg_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyad reciprocity of the directed canonical graph
+    (`pipeline/graph_algo.py:reciprocity`) — one row, exact integers +
+    one try_divide."""
+    from cypher_guard_spark.pipeline.graph_algo import reciprocity
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return reciprocity(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+    )
+
+
+def _kg_reciprocity_sql() -> str:
+    """Same swapped-key semi-join + counts over the canonical twin."""
+    return f"""
+WITH t AS ({_kg_canonical_triples_values()}),
+e AS (SELECT DISTINCT subj AS u, obj AS v FROM t WHERE subj <> obj),
+r AS (SELECT COUNT(*) AS n_reciprocal
+      FROM e WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.u = e.v AND e2.v = e.u)),
+n AS (SELECT COUNT(*) AS n_edges FROM e)
+SELECT CAST(n.n_edges AS BIGINT) AS n_edges,
+       CAST(r.n_reciprocal AS BIGINT) AS n_reciprocal,
+       CASE WHEN n.n_edges = 0 THEN 0.0
+            ELSE ROUND(CAST(r.n_reciprocal AS DOUBLE) / CAST(n.n_edges AS DOUBLE), 6)
+       END AS reciprocity
+FROM n, r
+"""
+
+
+def q_kg_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truncated Katz centrality (α=0.1) over the directed canonical
+    graph (`pipeline/graph_algo.py:katz_centrality`) — exact integer
+    walk counts per hop, fixed-order α^h fold, sinks (0, 0.0)."""
+    from cypher_guard_spark.pipeline.graph_algo import katz_centrality
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return katz_centrality(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        k=3,
+        alpha=0.1,
+    )
+
+
+def _kg_katz_sql(k: int = 3, alpha: float = 0.1) -> str:
+    """Walk-counting oracle: a UNION ALL recursive CTE enumerates every
+    directed walk of length ≤ k over the canonical twin's distinct edge
+    set (a genuinely different evaluation strategy — materialized walks
+    vs the engine's per-hop count vectors), then the SAME fixed-order
+    α^h fold with the engine's exact double literals (repr-baked so both
+    engines parse identical bits)."""
+    # CAST('<repr>' AS DOUBLE): the string→double parse is correctly
+    # rounded, so both engines hold bit-identical α^h (a bare decimal
+    # literal would go through DuckDB's DECIMAL type first)
+    a = [
+        f"CAST('{float(alpha) ** h!r}' AS DOUBLE)" for h in range(1, k + 1)
+    ]
+    fold = f"({a[0]} * CAST(c1 AS DOUBLE))"
+    for h in range(2, k + 1):
+        fold = f"({fold} + ({a[h - 1]} * CAST(c{h} AS DOUBLE)))"
+    csum = " + ".join(f"c{h}" for h in range(1, k + 1))
+    ccols = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN h = {h} THEN c END), 0) AS BIGINT) AS c{h}"
+        for h in range(1, k + 1)
+    )
+    return f"""
+WITH RECURSIVE t AS ({_kg_canonical_triples_values()}),
+e AS (SELECT DISTINCT subj AS u, obj AS v FROM t WHERE subj <> obj),
+w AS (
+  SELECT u, v, 1 AS h FROM e
+  UNION ALL
+  SELECT w.u, e.v, w.h + 1 FROM w JOIN e ON w.v = e.u WHERE w.h < {k}
+),
+cnt AS (SELECT v AS entity, h, COUNT(*) AS c FROM w GROUP BY v, h),
+-- SELECT DISTINCT over UNION ALL, not a bare UNION: inside a WITH
+-- RECURSIVE list DuckDB compiles a top-level UNION CTE body through the
+-- recursive-union machinery and emits duplicate rows
+verts AS (
+  SELECT DISTINCT entity FROM (
+    SELECT subj AS entity FROM t WHERE subj <> obj
+    UNION ALL
+    SELECT obj AS entity FROM t WHERE subj <> obj)),
+pivoted AS (
+  SELECT entity, {ccols}
+  FROM cnt GROUP BY entity)
+SELECT v.entity,
+       COALESCE(p.{csum.replace(' + ', ' + p.')}, 0) AS n_walks,
+       COALESCE(ROUND({fold.replace('CAST(c', 'CAST(p.c')}, 6), 0.0) AS katz
+FROM verts v LEFT JOIN pivoted p ON v.entity = p.entity
+"""
+
+
 def q_kg_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality-constraint violations over the canonical triples
     (`pipeline/schema_infer.py:triple_conflicts`): WORKS_FOR declared
@@ -3583,6 +3676,56 @@ def _emb_projected_values(out_dim: int = 8, seed: int = 0) -> str:
     )
 
 
+def _doc_dsir_sql(buckets: int = 4096, mod: int = 23) -> str:
+    """Shared DSIR oracle: hashed unigram+bigram buckets via the
+    portable md5-prefix hash, add-1 ratio-of-means lift — mirrors
+    ops.sample.dsir_weights arithmetic exactly (used by both the
+    weights entry and the selection composition)."""
+    return """
+            WITH raw AS (SELECT * FROM documents WHERE doc_id % 23 <> 0),
+            tgt AS (SELECT * FROM documents WHERE doc_id % 23 = 0),
+            rawg AS (
+              SELECT doc_id, unnest(list_concat(W,
+                       list_transform(
+                         generate_series(1, greatest(len(W) - 1, 0)),
+                         i -> W[i] || ' ' || W[i+1]))) AS g
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '\\s+') AS W
+                    FROM raw)),
+            tgtg AS (
+              SELECT unnest(list_concat(W,
+                       list_transform(
+                         generate_series(1, greatest(len(W) - 1, 0)),
+                         i -> W[i] || ' ' || W[i+1]))) AS g
+              FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS W
+                    FROM tgt)),
+            rawb AS (SELECT doc_id,
+                            CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS bucket
+                     FROM rawg),
+            tgtb AS (SELECT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS bucket
+                     FROM tgtg),
+            feats AS (SELECT doc_id, bucket, COUNT(*) AS cnt
+                      FROM rawb GROUP BY doc_id, bucket),
+            rstats AS (SELECT bucket, COUNT(*) AS rcnt FROM rawb GROUP BY bucket),
+            tstats AS (SELECT bucket, COUNT(*) AS tcnt FROM tgtb GROUP BY bucket),
+            tot AS (SELECT (SELECT COUNT(*) FROM rawb) AS r_total,
+                           (SELECT COUNT(*) FROM tgtb) AS t_total),
+            agg AS (
+              SELECT f.doc_id,
+                     CAST(SUM(f.cnt) AS BIGINT) AS n_feats,
+                     CAST(SUM(f.cnt * COALESCE(t.tcnt, 0)) AS BIGINT) AS t_hits,
+                     CAST(SUM(f.cnt * COALESCE(r.rcnt, 0)) AS BIGINT) AS r_hits
+              FROM feats f
+              LEFT JOIN tstats t USING (bucket)
+              LEFT JOIN rstats r USING (bucket)
+              GROUP BY f.doc_id)
+            SELECT doc_id, n_feats, t_hits, r_hits,
+                   ROUND((CAST(t_hits + n_feats AS DOUBLE) * CAST(r_total + 4096 AS DOUBLE)) /
+                         (CAST(r_hits + n_feats AS DOUBLE) * CAST(t_total + 4096 AS DOUBLE)), 6) AS lift
+            FROM agg, tot
+        """
+
+
 def _doc_hash_values() -> str:
     """VALUES (doc_id, h) with h = pmod(xxhash64(doc_id), 2^20) from the
     twin — the per-row draw weighted_sample compares to its threshold."""
@@ -4278,6 +4421,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neardup_report": lambda s, d: dedup.neardup_report(
             s, _docs(s, d), threshold=0.3
         ),
+        # corpus-governance duplication matrix: near-dup mass per SOURCE
+        # pair (who re-hosts whom), composed off the same LSH pair list
+        "doc_source_dup_matrix": lambda s, d: dedup.cross_source_dup_matrix(
+            _docs(s, d), threshold=0.3
+        ),
         "doc_decontam": lambda s, d: decontam.contamination_report(
             _docs(s, d).where(F.col("doc_id") % 97 != 0),
             _docs(s, d).where(F.col("doc_id") % 97 == 0),
@@ -4333,6 +4481,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d).where(F.col("doc_id") % 23 != 0),
             _docs(s, d).where(F.col("doc_id") % 23 == 0),
             buckets=4096,
+        ),
+        # the DSIR RESAMPLING step: importance lift (capped at 1) becomes
+        # the per-row keep probability of the deterministic hash-Bernoulli
+        # sampler — weights → weighted_sample, the full Xie et al. recipe
+        "doc_dsir_selected": lambda s, d: sample.weighted_sample(
+            sample.dsir_weights(
+                _docs(s, d).where(F.col("doc_id") % 23 != 0),
+                _docs(s, d).where(F.col("doc_id") % 23 == 0),
+                buckets=4096,
+            ),
+            weight=F.least(F.col("lift"), F.lit(1.0)),
         ),
         "doc_training_shards": lambda s, d: sample.shuffle_shards(
             _docs(s, d), 8, seed=0
@@ -4394,6 +4553,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the vocab_size survivor set only, never the corpus
         "corpus_vocab": lambda s, d: text.build_vocab(
             _docs(s, d), vocab_size=200, min_count=2
+        ),
+        # Heaps-law vocabulary growth: distinct token types vs corpus
+        # prefix at 10 doc-id checkpoints — pure-integer contract
+        "corpus_vocab_growth": lambda s, d: text.vocab_growth(
+            _docs(s, d), n_checkpoints=10
         ),
         # tokenizer QA: per-doc OOV share against the corpus_vocab table
         # (top-200/min-2), same tokens() expression on both sides
@@ -4533,6 +4697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_harmonic": q_kg_harmonic,
         "kg_closeness": q_kg_closeness,
         "kg_eccentricity": q_kg_eccentricity,
+        "kg_katz": q_kg_katz,
+        "kg_reciprocity": q_kg_reciprocity,
         "kg_betweenness": q_kg_betweenness,
         "kg_conflicts": q_kg_conflicts,
         "kg_triple_history": q_kg_triple_history,
@@ -4760,6 +4926,35 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             FROM counts
             ORDER BY n_occurrences DESC, token ASC
             LIMIT 200
+        """,
+        "corpus_vocab_growth": """
+            WITH mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mxid FROM documents),
+            spine AS (
+              SELECT CAST(range AS INT) AS i,
+                     CAST((range * mxid) // 10 AS BIGINT) AS checkpoint
+              FROM range(1, 11), mx),
+            pd AS (
+              SELECT greatest(CAST((CAST(doc_id AS BIGINT) * 10 + mxid - 1) // mxid AS INT), 1) AS i,
+                     COUNT(*) AS docs,
+                     CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS toks
+              FROM documents, mx GROUP BY 1),
+            fo AS (
+              SELECT tok, MIN(doc_id) AS fd
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+                    FROM documents)
+              GROUP BY tok),
+            fv AS (
+              SELECT greatest(CAST((CAST(fd AS BIGINT) * 10 + mxid - 1) // mxid AS INT), 1) AS i,
+                     COUNT(*) AS vocab
+              FROM fo, mx GROUP BY 1)
+            SELECT spine.checkpoint,
+                   CAST(SUM(COALESCE(pd.docs, 0)) OVER (ORDER BY spine.i) AS BIGINT) AS n_docs_cum,
+                   CAST(SUM(COALESCE(pd.toks, 0)) OVER (ORDER BY spine.i) AS BIGINT) AS n_tokens_cum,
+                   CAST(SUM(COALESCE(fv.vocab, 0)) OVER (ORDER BY spine.i) AS BIGINT) AS vocab_cum
+            FROM spine
+            LEFT JOIN pd ON spine.i = pd.i
+            LEFT JOIN fv ON spine.i = fv.i
         """,
         "doc_compression": _doc_compression_values(),
         "doc_pii_redacted": """
@@ -5349,48 +5544,15 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             FROM q JOIN hs USING (doc_id)
             WHERE hs.h < round(q.quality * 1048576)::BIGINT
         """,
-        "doc_dsir_weights": """
-            WITH raw AS (SELECT * FROM documents WHERE doc_id % 23 <> 0),
-            tgt AS (SELECT * FROM documents WHERE doc_id % 23 = 0),
-            rawg AS (
-              SELECT doc_id, unnest(list_concat(W,
-                       list_transform(
-                         generate_series(1, greatest(len(W) - 1, 0)),
-                         i -> W[i] || ' ' || W[i+1]))) AS g
-              FROM (SELECT doc_id,
-                           regexp_split_to_array(lower(trim(text)), '\\s+') AS W
-                    FROM raw)),
-            tgtg AS (
-              SELECT unnest(list_concat(W,
-                       list_transform(
-                         generate_series(1, greatest(len(W) - 1, 0)),
-                         i -> W[i] || ' ' || W[i+1]))) AS g
-              FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS W
-                    FROM tgt)),
-            rawb AS (SELECT doc_id,
-                            CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS bucket
-                     FROM rawg),
-            tgtb AS (SELECT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS bucket
-                     FROM tgtg),
-            feats AS (SELECT doc_id, bucket, COUNT(*) AS cnt
-                      FROM rawb GROUP BY doc_id, bucket),
-            rstats AS (SELECT bucket, COUNT(*) AS rcnt FROM rawb GROUP BY bucket),
-            tstats AS (SELECT bucket, COUNT(*) AS tcnt FROM tgtb GROUP BY bucket),
-            tot AS (SELECT (SELECT COUNT(*) FROM rawb) AS r_total,
-                           (SELECT COUNT(*) FROM tgtb) AS t_total),
-            agg AS (
-              SELECT f.doc_id,
-                     CAST(SUM(f.cnt) AS BIGINT) AS n_feats,
-                     CAST(SUM(f.cnt * COALESCE(t.tcnt, 0)) AS BIGINT) AS t_hits,
-                     CAST(SUM(f.cnt * COALESCE(r.rcnt, 0)) AS BIGINT) AS r_hits
-              FROM feats f
-              LEFT JOIN tstats t USING (bucket)
-              LEFT JOIN rstats r USING (bucket)
-              GROUP BY f.doc_id)
-            SELECT doc_id, n_feats, t_hits, r_hits,
-                   ROUND((CAST(t_hits + n_feats AS DOUBLE) * CAST(r_total + 4096 AS DOUBLE)) /
-                         (CAST(r_hits + n_feats AS DOUBLE) * CAST(t_total + 4096 AS DOUBLE)), 6) AS lift
-            FROM agg, tot
+        "doc_dsir_weights": _doc_dsir_sql(),
+        "doc_dsir_selected": f"""
+            WITH d AS ({_doc_dsir_sql()}),
+            hs AS (SELECT * FROM {_doc_hash_values()})
+            SELECT d.doc_id, d.n_feats, d.t_hits, d.r_hits, d.lift,
+                   CAST(ROUND(least(d.lift, 1.0) * 1048576) AS BIGINT)
+                     AS keep_threshold
+            FROM d JOIN hs ON d.doc_id = hs.doc_id
+            WHERE hs.h < CAST(ROUND(least(d.lift, 1.0) * 1048576) AS BIGINT)
         """,
         "doc_dup_ngram_coverage": """
             WITH t AS (
@@ -5513,6 +5675,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_harmonic": _kg_harmonic_sql(),
         "kg_closeness": _kg_closeness_sql(),
         "kg_eccentricity": _kg_eccentricity_sql(),
+        "kg_katz": _kg_katz_sql(),
+        "kg_reciprocity": _kg_reciprocity_sql(),
         "kg_betweenness": _kg_betweenness_values(),
         "kg_conflicts": _kg_conflicts_sql(),
         "kg_triple_history": _kg_triple_history_values(),
@@ -5543,6 +5707,19 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_components": _kg_components_values(),
         "kg_media_links": _kg_media_links_values(),
         "doc_minhash_near_dups": _doc_minhash_values(),
+        "doc_source_dup_matrix": f"""
+            WITH pairs AS ({_doc_minhash_values()}),
+            lab AS (SELECT doc_id, source FROM documents)
+            SELECT least(la.source, lb.source) AS source_a,
+                   greatest(la.source, lb.source) AS source_b,
+                   COUNT(*) AS n_pairs,
+                   MIN(sim) AS min_sim,
+                   MAX(sim) AS max_sim
+            FROM pairs
+            JOIN lab la ON pairs.a = la.doc_id
+            JOIN lab lb ON pairs.b = lb.doc_id
+            GROUP BY 1, 2
+        """,
         "doc_neardup_incremental": _doc_neardup_incremental_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),
         "doc_neardup_clusters": _doc_neardup_clusters_values(),

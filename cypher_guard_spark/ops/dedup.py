@@ -866,3 +866,52 @@ def neardup_against_index(
     return neardup_incremental(
         new_df, spark.read.parquet(index_path), corpus_df, **kwargs
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    threshold: float = 0.3,
+    **minhash_kwargs,
+) -> DataFrame:
+    """(source_a, source_b, n_pairs, min_sim, max_sim) — the corpus-
+    governance duplication matrix: how much near-duplicate mass each
+    PAIR of ingestion sources shares. The report that decides "crawl B
+    is 80% re-hosted crawl A — drop it from the mixture" and prices the
+    marginal value of a new source before it enters the token budget;
+    the diagonal (source_a = source_b) is each source's internal
+    near-dup load.
+
+    Composition, not new machinery: `minhash_near_duplicates` produces
+    the verified pair list (its LSH band join is the only corpus-sized
+    exchange, already skew-hardened); this joins the two id columns to
+    the source labels and folds to a ≤|sources|² matrix. Pair direction
+    is normalized with least/greatest on the SOURCE names so (A,B) and
+    (B,A) collapse to one row regardless of doc-id order. Only
+    order-independent aggregates (COUNT/MIN/MAX over already-6dp sims),
+    so the contract needs no FP fold machinery.
+
+    Scale: the labels join is id-keyed against the near-dup pair set
+    (O(near-dups), not O(corpus)); the matrix groupBy carries
+    (source_a, source_b) keys only — at 10^12 docs the output is still
+    |sources|² rows."""
+    pairs = minhash_near_duplicates(
+        df, text_col=text_col, threshold=threshold, **minhash_kwargs
+    )
+    lab = df.select(F.col("doc_id"), F.col(source_col).alias("__src"))
+    la = lab.withColumnsRenamed({"doc_id": "a", "__src": "sa"})
+    lb = lab.withColumnsRenamed({"doc_id": "b", "__src": "sb"})
+    return (
+        pairs.join(la, "a")
+        .join(lb, "b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("sim").alias("min_sim"),
+            F.max("sim").alias("max_sim"),
+        )
+    )

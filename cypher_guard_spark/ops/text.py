@@ -1151,3 +1151,74 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_redactions"
         ),
     )
+
+
+def vocab_growth(df: DataFrame, text_col: str = "text", n_checkpoints: int = 10) -> DataFrame:
+    """(checkpoint, n_docs_cum, n_tokens_cum, vocab_cum) — the Heaps-law
+    vocabulary-growth curve: at each of `n_checkpoints` doc-id
+    checkpoints, how many documents and token occurrences the corpus
+    prefix holds and how many DISTINCT token types have appeared. The
+    curve's shape (V ≈ K·N^β, β≈0.4-0.6 for natural language) is a
+    corpus health check — a crawl whose vocabulary grows linearly is
+    exploding with noise (serial numbers, boilerplate mutations), one
+    whose curve flattens early is template spam; it also sizes tokenizer
+    vocabularies and predicts OOV rates at larger data scales.
+
+    Checkpoints are id-order prefixes: c_i = floor(max_id·i/n), and a
+    row with id v belongs to the first checkpoint ≥ v via EXACT integer
+    ceil division ((v·n + max_id - 1) div max_id, clamped to ≥ 1) — no
+    FP anywhere in the operator, so the oracle contract is pure-integer.
+    Doc ids are ingestion-ordered in this corpus, making the prefix
+    curve a time curve; any other order is a caller-side id remap.
+
+    Scale: one vocabulary-sized partial agg (token → MIN(doc_id), the
+    first-occurrence table — the same exchange build_vocab pays), one
+    map-only per-doc token count, and two n-row cumulative windows over
+    the checkpoint spine. The corpus-sized shuffle carries (token,
+    partial min) pairs only; MIN is skew-immune (map-side combine).
+    max_id rides a 1-row broadcast crossJoin."""
+    toks = tokens(F.col(text_col))
+    mx = df.agg(F.max("doc_id").cast("long").alias("__mx"))
+    n = int(n_checkpoints)
+
+    def _ck(col_name: str):  # first checkpoint index covering id v (1-based)
+        return F.expr(
+            f"greatest(CAST((CAST({col_name} AS BIGINT) * {n} + __mx - 1)"
+            f" div __mx AS INT), 1)"
+        )
+
+    # spine: checkpoint i ↦ doc-id bound floor(max_id*i/n)
+    spine = mx.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n))).alias("__i"), "__mx"
+    ).select(
+        "__i",
+        F.expr(f"(__i * __mx) div {n}").cast("long").alias("checkpoint"),
+    )
+    per_doc = (
+        df.select(F.col("doc_id"), F.size(toks).cast("long").alias("__nt"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(_ck("doc_id").alias("__i"))
+        .agg(
+            F.count("*").cast("long").alias("__docs"),
+            F.sum("__nt").cast("long").alias("__toks"),
+        )
+    )
+    first = (
+        df.select("doc_id", F.explode(toks).alias("__t"))
+        .groupBy("__t")
+        .agg(F.min("doc_id").cast("long").alias("__fd"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(_ck("__fd").alias("__i"))
+        .agg(F.count("*").cast("long").alias("__vocab"))
+    )
+    w = Window.orderBy("__i").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(per_doc, "__i", "left")
+        .join(first, "__i", "left")
+        .select(
+            "checkpoint",
+            F.sum(F.coalesce("__docs", F.lit(0))).over(w).alias("n_docs_cum"),
+            F.sum(F.coalesce("__toks", F.lit(0))).over(w).alias("n_tokens_cum"),
+            F.sum(F.coalesce("__vocab", F.lit(0))).over(w).alias("vocab_cum"),
+        )
+    )

@@ -2127,6 +2127,133 @@ def eccentricity(
     )
 
 
+def reciprocity(
+    spark: SparkSession,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """ONE row (n_edges, n_reciprocal, reciprocity) — the fraction of
+    directed edges whose reverse edge also exists (Newman's dyad-level
+    reciprocity). On a KG this separates genuinely symmetric relations
+    (KNOWS mined from co-mentions) from hierarchical ones (WORKS_FOR),
+    and a sudden reciprocity jump after an extraction-model change is a
+    classic regression signal — the graph-shape cousin of
+    `graph_profile`'s degree stats.
+
+    Exact integers + one rounded division: n_reciprocal counts edges
+    (u,v) with (v,u) present via a leftsemi self-join on the swapped
+    key — an equi-join on (dst, src), skew lands on AQE like every
+    other edge-keyed join here; nothing quadratic, output is one row."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    recip = e.join(rev, ["u", "v"], "leftsemi")
+    return (
+        e.agg(F.count("*").cast("long").alias("n_edges"))
+        .crossJoin(
+            recip.agg(F.count("*").cast("long").alias("n_reciprocal"))
+        )
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.coalesce(
+                F.round(
+                    F.try_divide(F.col("n_reciprocal"), F.col("n_edges")), 6
+                ),
+                F.lit(0.0),
+            ).alias("reciprocity"),
+        )
+    )
+
+
+def katz_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 3,
+    alpha: float = 0.1,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """(entity, n_walks, katz) — k-truncated Katz centrality: katz(v) =
+    Σ_{h=1..k} α^h · walks_h(v), where walks_h(v) counts directed WALKS
+    of length h ending at v (walks revisit vertices — this is Katz's
+    attenuated-influence model, not reachability: a vertex fed by many
+    short chains outranks one fed by a single long one). The classic
+    prestige score that, unlike PageRank, does not normalize by
+    out-degree — useful on KGs where a prolific subject should not
+    dilute each assertion it makes. `n_walks` is the raw Σ walks_h
+    (integer), published so consumers re-weight with their own α.
+
+    Exactness contract: walk counts are INTEGERS maintained exactly
+    (partial-agg sums), and the final score is a FIXED-ORDER fold
+    ((α·c_1 + α²·c_2) + α³·c_3 ...) of count-times-literal terms with
+    one 6dp rounding — each term one correctly-rounded IEEE multiply,
+    addition order a plan constant, so the result is bit-identical in
+    any engine at any partitioning (the harmonic/BM25 chain contract).
+    The α^h literals are Python-computed doubles baked into the plan;
+    the oracle embeds their repr() so both engines parse the identical
+    bits.
+
+    Iteration shape: cnt_h(v) = Σ_{u→v} cnt_{h-1}(u) — one edge-keyed
+    equi-join + one partial-agg groupBy per hop, O(k) rounds, per-round
+    lineage truncation. State is O(V) longs per hop; hub fan-in
+    collapses in map-side combiners (a sum agg, skew-immune). Walk
+    counts grow like deg^h — at k=3 on a 10^9-vertex KG the counts stay
+    far inside int64 for any real degree distribution, and the raise is
+    arithmetic overflow, not silent wrap (Spark ANSI sum overflow), the
+    honest-failure pattern. Sinks with no inbound walks report (0, 0.0)
+    via the uniform vertex-set left join."""
+    adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        adj = adj.unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    adj = (
+        adj.where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    verts = _vertex_set(edges, src, dst)
+    hop_counts = []
+    cur = adj.groupBy(F.col("v").alias("entity")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    hop_counts.append(cur.localCheckpoint(eager=False))
+    for _h in range(2, k + 1):
+        prev = hop_counts[-1]
+        cur = (
+            prev.join(adj, prev["entity"] == adj["u"])
+            .groupBy(F.col("v").alias("entity"))
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        hop_counts.append(cur.localCheckpoint(eager=False))
+    out = verts
+    for h, cdf in enumerate(hop_counts, start=1):
+        out = out.join(
+            cdf.select("entity", F.col("c").alias(f"__c{h}")), "entity", "left"
+        )
+    cols = [
+        F.coalesce(F.col(f"__c{h}"), F.lit(0)).cast("long")
+        for h in range(1, k + 1)
+    ]
+    n_walks = cols[0]
+    for c in cols[1:]:
+        n_walks = n_walks + c
+    katz = F.lit(float(alpha)) * cols[0].cast("double")
+    for h, c in enumerate(cols[1:], start=2):
+        katz = katz + F.lit(float(alpha) ** h) * c.cast("double")
+    return out.select(
+        "entity",
+        n_walks.alias("n_walks"),
+        F.round(katz, 6).alias("katz"),
+    )
+
+
 def neighborhood_function(
     spark: SparkSession,
     edges: DataFrame,

@@ -1666,6 +1666,78 @@ def test_eccentricity_truncation_and_random(spark):
     assert und == {"a": 2, "b": 1, "c": 2}
 
 
+def _katz_dp(edges, k, alpha):
+    """Serial DP twin: walks_h(v) = Σ_{u→v} walks_{h-1}(u) with
+    walks_0 ≡ 1, then the same left-to-right α^h fold + 6dp rounding."""
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    verts = sorted({v for e in edges for v in e if e[0] != e[1]})
+    prev = {v: 1 for v in verts}
+    per_hop = []
+    for _h in range(1, k + 1):
+        cur = {v: 0 for v in verts}
+        for u, outs in adj.items():
+            for v in outs:
+                cur[v] += prev[u]
+        per_hop.append(cur)
+        prev = cur
+    out = {}
+    for v in verts:
+        counts = [hop[v] for hop in per_hop]
+        katz = 0.0
+        for h, c in enumerate(counts, start=1):
+            katz = katz + (alpha**h) * float(c)
+        out[v] = (sum(counts), round(katz, 6))
+    return out
+
+
+def test_katz_matches_dp(spark):
+    """Katz on a graph with a 2-cycle (walks revisit vertices — the
+    semantics that separates Katz from reachability) matches the serial
+    DP bit-for-bit, including the fixed fold order."""
+    from cypher_guard_spark.pipeline.graph_algo import katz_centrality
+
+    edges = [
+        ("a", "b"),
+        ("b", "a"),  # 2-cycle: length-3 walks a→b→a→b exist
+        ("b", "c"),
+        ("c", "d"),
+        ("x", "b"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["entity"]: (r["n_walks"], r["katz"])
+        for r in katz_centrality(spark, df, k=3, alpha=0.1).collect()
+    }
+    assert got == _katz_dp(edges, 3, 0.1)
+    # hand check: walks ending at b — h1: a→b, x→b (2); h2: b→a→b (1);
+    # h3: a→b→a→b, x→b→a→b (2) ⇒ n_walks=5
+    assert got["b"][0] == 5
+    assert got["x"] == (0, 0.0)  # source-only vertex: no inbound walks
+
+
+def test_katz_random_and_partition_invariance(spark):
+    from cypher_guard_spark.pipeline.graph_algo import katz_centrality
+
+    edges = _rand_edges(seed=31, n_verts=20, n_edges=45)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    want = _katz_dp(sorted(set((s, d) for s, d in edges if s != d)), 3, 0.1)
+    got = {
+        r["entity"]: (r["n_walks"], r["katz"])
+        for r in katz_centrality(spark, df, k=3, alpha=0.1).collect()
+    }
+    assert got == want
+    got9 = {
+        r["entity"]: (r["n_walks"], r["katz"])
+        for r in katz_centrality(
+            spark, df.repartition(9), k=3, alpha=0.1
+        ).collect()
+    }
+    assert got9 == got
+
+
 def test_neighborhood_function_bruteforce(spark):
     """N(h) on a random sparse digraph matches a per-source BFS brute
     force, zero-filled to exactly k rows with monotone cum counts."""
@@ -2109,3 +2181,20 @@ def test_pagerank_weighted_personalized_composition(spark):
         ).collect()
     }
     assert got == rank
+
+
+def test_reciprocity_hand_and_empty(spark):
+    from cypher_guard_spark.pipeline.graph_algo import reciprocity
+
+    # 4 distinct directed edges; (a,b)/(b,a) reciprocal pair → 2 of 4
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("a", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r = reciprocity(spark, df).collect()[0]
+    assert (r["n_edges"], r["n_reciprocal"], r["reciprocity"]) == (4, 2, 0.5)
+    empty = spark.createDataFrame([], "src string, dst string")
+    r0 = reciprocity(spark, empty).collect()[0]
+    assert (r0["n_edges"], r0["n_reciprocal"], r0["reciprocity"]) == (0, 0, 0.0)
+    # self-loops never count as reciprocal
+    loops = spark.createDataFrame([("a", "a"), ("a", "b")], ["src", "dst"])
+    rl = reciprocity(spark, loops).collect()[0]
+    assert (rl["n_edges"], rl["n_reciprocal"], rl["reciprocity"]) == (1, 0, 0.0)

@@ -1611,3 +1611,82 @@ def test_redact_pii_chain_semantics(spark):
     assert got["b"] == ("see <URL> for info", 1)
     assert got["c"] == ("clean text with no sensitive content", 0)
     assert got["d"] == ("<EMAIL> <EMAIL> <DIGITS>", 3)
+
+
+def test_cross_source_dup_matrix(spark):
+    """Matrix rows = unordered source pairs of the verified near-dup
+    pair list; counts/min/max match a serial composition off the same
+    minhash_near_duplicates output."""
+    from cypher_guard_spark.ops.dedup import (
+        cross_source_dup_matrix,
+        minhash_near_duplicates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [
+        (1, base * 4, "crawlA"),
+        (2, base * 4 + "tail", "crawlB"),       # cross-source near-dup
+        (3, base * 4 + "other tail", "crawlB"),  # in-B near-dup
+        (4, "completely different text about spark shuffles " * 5, "crawlA"),
+        (5, "completely different text about spark shuffles " * 5, "crawlA"),  # in-A dup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_pairs"],
+            r["min_sim"],
+            r["max_sim"],
+        )
+        for r in cross_source_dup_matrix(df, threshold=0.3).collect()
+    }
+    pairs = minhash_near_duplicates(df, threshold=0.3).collect()
+    src = {d: s for d, _t, s in rows}
+    want: dict = {}
+    for p in pairs:
+        key = tuple(sorted((src[p["a"]], src[p["b"]])))
+        n, lo, hi = want.get(key, (0, float("inf"), float("-inf")))
+        want[key] = (n + 1, min(lo, p["sim"]), max(hi, p["sim"]))
+    assert got == want
+    # the fixture guarantees all three cells exist
+    assert {("crawlA", "crawlB"), ("crawlB", "crawlB"), ("crawlA", "crawlA")} <= set(got)
+
+
+def test_vocab_growth_serial_twin(spark):
+    """Heaps-curve checkpoints match a serial prefix scan: exact integer
+    checkpoint assignment, cumulative monotonicity, final row = corpus
+    totals."""
+    from cypher_guard_spark.ops.text import vocab_growth
+
+    rows = [
+        (1, "alpha beta"),
+        (3, "alpha gamma gamma"),
+        (5, "delta"),
+        (8, "alpha epsilon zeta"),
+        (10, "zeta eta"),
+    ]
+    n = 5
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        (r["checkpoint"], r["n_docs_cum"], r["n_tokens_cum"], r["vocab_cum"])
+        for r in vocab_growth(df, n_checkpoints=n)
+        .orderBy("checkpoint")
+        .collect()
+    ]
+    mx = max(d for d, _t in rows)
+    ck = lambda v: max((v * n + mx - 1) // mx, 1)  # noqa: E731
+    spine = [(i, (i * mx) // n) for i in range(1, n + 1)]
+    first_seen: dict = {}
+    for d, t in sorted(rows):
+        for tok in t.lower().strip().split():
+            first_seen.setdefault(tok, d)
+    want = []
+    for i, cp in spine:
+        docs = [(d, t) for d, t in rows if ck(d) <= i]
+        toks = sum(len(t.lower().strip().split()) for _d, t in docs)
+        vocab = sum(1 for v in first_seen.values() if ck(v) <= i)
+        want.append((cp, len(docs), toks, vocab))
+    assert got == want
+    # monotone and totals
+    for a, b in zip(got, got[1:]):
+        assert b[1] >= a[1] and b[2] >= a[2] and b[3] >= a[3]
+    assert got[-1][1:] == (len(rows), 11, len(first_seen))

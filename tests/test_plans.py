@@ -302,3 +302,57 @@ def test_entity_cooccurrence_broadcasts_freq_tables(spark):
     plan = plan_of(entity_cooccurrence(triples))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # both freq joins broadcast
+
+
+def test_dsir_broadcasts_distributions_no_python(spark):
+    """DSIR: both ≤B-row distribution tables ride BroadcastHashJoins,
+    totals ride broadcast-loop joins (1-row), the corpus never sorts
+    through a SortMergeJoin, and no Python UDF appears anywhere."""
+    from cypher_guard_spark.ops.sample import dsir_weights
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dsir_weights(
+        docs.where(F.col("doc_id") % 23 != 0),
+        docs.where(F.col("doc_id") % 23 == 0),
+        buckets=256,
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_katz_no_python_no_cartesian(spark):
+    """Katz: per-hop joins are equi-joins (no cartesian beyond none at
+    all — the vertex-set fold joins are keyed), pure JVM."""
+    from cypher_guard_spark.pipeline.graph_algo import katz_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d")], ["src", "dst"]
+    )
+    plan = plan_of(katz_centrality(spark, edges, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_growth_single_corpus_exchange_and_broadcast_max(spark):
+    """vocab_growth: max_id rides a broadcast nested loop (1 row); the
+    only corpus-sized exchanges are the two partial aggs (first-occurrence
+    + per-doc checkpoint); no sort-merge join, no Python."""
+    from cypher_guard_spark.ops.text import vocab_growth
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(vocab_growth(docs, n_checkpoints=10))
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row max_id crossJoin
+
+
+def test_cross_source_matrix_pairs_side_joins_keyed(spark):
+    """Matrix joins are id-keyed (no cartesian); the near-dup pair list
+    is the only thing flowing into the final grouping."""
+    from cypher_guard_spark.ops.dedup import cross_source_dup_matrix
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(cross_source_dup_matrix(docs, threshold=0.3))
+    assert "CartesianProduct" not in plan

@@ -711,3 +711,79 @@ def test_stream_fusion_restart_recovery(spark, tmp_path):
     assert len(out) == 1
     assert out.iloc[0]["n_obs"] == 2
     assert abs(out.iloc[0]["agg_conf"] - round(1 - 0.25, 6)) < 1e-12
+
+
+def test_stream_windowed_cardinality(spark, tmp_path):
+    """Windowed HLL distinct counts: cross-microbatch sketch merge (one
+    window's keys split over two files must produce the SAME estimate as
+    a batch pass over the union — register-max merge is trigger-slicing
+    independent), append emission after watermark close, exact n_events,
+    and the estimate inside the rsd envelope of the true cardinality."""
+    from cypher_guard_spark.streaming.cardinality_stream import (
+        stream_windowed_cardinality,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    schema = "user_id long, event_time timestamp"
+
+    def ev(uid, mins):
+        return (uid, t0 + dt.timedelta(minutes=mins))
+
+    # window [0h,1h): users 1..40 split across the two files (overlap on
+    # purpose — dup users must not double count); window [1h,2h): 5 users;
+    # sentinel advances the watermark past everything
+    part_a = [ev(u, u % 50) for u in range(1, 26)]
+    part_b = [ev(u, (u * 7) % 55) for u in range(15, 41)] + [
+        ev(u, 65 + u % 20) for u in range(100, 105)
+    ] + [ev(999, 48 * 60)]
+    src = tmp_path / "card_src"
+    spark.createDataFrame(part_a, schema).coalesce(1).write.parquet(
+        str(src / "p=a")
+    )
+    spark.createDataFrame(part_b, schema).coalesce(1).write.parquet(
+        str(src / "p=b")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "p=*"))
+    )
+    out = stream_windowed_cardinality(
+        stream, window="1 hour", watermark="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_card")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_card"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["window_start"]: (r["n_events"], r["approx_keys"])
+        for r in spark.sql("SELECT * FROM t_card").collect()
+    }
+    # batch twin: the same operator is batch-applicable verbatim
+    batch = spark.createDataFrame(part_a + part_b, schema)
+    want = {
+        r["window_start"]: (r["n_events"], r["approx_keys"])
+        for r in stream_windowed_cardinality(
+            batch, window="1 hour", watermark="30 minutes"
+        ).collect()
+        if r["window_start"] < t0 + dt.timedelta(hours=3)  # sentinel window
+    }
+    # the stream never emits the sentinel's window (watermark can't pass
+    # it); every REAL window must match the batch twin bit-for-bit
+    assert got == want
+    # exact event counts + rsd envelope vs true cardinalities
+    all_ev = part_a + part_b
+    for ws, (n_ev, approx) in got.items():
+        evs = [
+            e
+            for e in all_ev
+            if ws <= e[1] < ws + dt.timedelta(hours=1)
+        ]
+        assert n_ev == len(evs)
+        true = len({e[0] for e in evs})
+        assert abs(approx - true) <= max(3, 0.25 * true)
