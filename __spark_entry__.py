@@ -4521,6 +4521,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": lambda s, d: text.quality_scores(_docs(s, d)),
         "doc_language_id": lambda s, d: text.language_id(_docs(s, d)),
         "doc_fingerprints": lambda s, d: text.fingerprints(_docs(s, d)),
+        # lexical diversity: type-token ratio + Simpson repeat
+        # concentration — exact-integer ratios, spam/template signal
+        "doc_lexical_diversity": lambda s, d: text.lexical_diversity(
+            _docs(s, d)
+        ),
         "doc_subword_counts": lambda s, d: text.bpe_ish_token_count(_docs(s, d)),
         "doc_top_bigrams": lambda s, d: text.top_ngrams(_docs(s, d), n=2, k=20),
         "doc_pii_counts": lambda s, d: text.pii_counts(_docs(s, d)),
@@ -5157,6 +5162,27 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[1:8], ' ')) AS fingerprint
             FROM documents
+        """,
+        "doc_lexical_diversity": """
+            WITH tf AS (
+              SELECT doc_id, tok, COUNT(*) AS tf
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+                    FROM documents)
+              GROUP BY doc_id, tok),
+            agg AS (
+              SELECT doc_id,
+                     CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_types,
+                     CAST(SUM(tf * (tf - 1)) AS BIGINT) AS rep
+              FROM tf GROUP BY doc_id)
+            SELECT doc_id, n_tokens, n_types,
+                   ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+                   CASE WHEN n_tokens < 2 THEN 0.0
+                        ELSE ROUND(CAST(rep AS DOUBLE) /
+                                   CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 6)
+                   END AS simpson
+            FROM agg
         """,
         "doc_subword_counts": """
             SELECT doc_id,

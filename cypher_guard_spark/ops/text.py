@@ -1222,3 +1222,51 @@ def vocab_growth(df: DataFrame, text_col: str = "text", n_checkpoints: int = 10)
             F.sum(F.coalesce("__vocab", F.lit(0))).over(w).alias("vocab_cum"),
         )
     )
+
+
+def lexical_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_types, ttr, simpson) — per-document lexical
+    diversity: type-token ratio and the Simpson repeat-concentration
+    index D = Σ tf_t·(tf_t−1) / (N·(N−1)) (the probability two tokens
+    drawn without replacement are the same type). Low-TTR/high-D docs
+    are keyword-stuffed or template spam even when `repetition_scores`'
+    line/n-gram duplication misses them (the repeats need not be
+    adjacent); D is also the collision rate a downstream hashed-feature
+    consumer (DSIR, minhash shingles) will actually see.
+
+    Exactness: both indices are ratios of EXACT integers (tf sums) with
+    one correctly-rounded division + 6dp rounding each — no FP fold, no
+    transcendental, deterministic at any partitioning (the module's
+    bigram-cohesion pattern). Sub-2-token docs report simpson 0.0
+    (try_divide null → coalesce), single-type docs report D = 1.0.
+
+    Scale: one corpus-sized (doc_id, token) partial-agg exchange + a
+    per-doc re-agg — the same shuffle shape as rarity_scores, nothing
+    vocabulary-broadcast, no Python."""
+    tf = (
+        df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("__t"))
+        .groupBy("doc_id", "__t")
+        .agg(F.count("*").alias("__tf"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("__tf").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("__tf") * (F.col("__tf") - 1)).cast("long").alias("__rep"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.try_divide(F.col("n_types"), F.col("n_tokens")), 6).alias(
+            "ttr"
+        ),
+        F.coalesce(
+            F.round(
+                F.try_divide(
+                    F.col("__rep"), F.col("n_tokens") * (F.col("n_tokens") - 1)
+                ),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("simpson"),
+    )

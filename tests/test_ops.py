@@ -1690,3 +1690,23 @@ def test_vocab_growth_serial_twin(spark):
     for a, b in zip(got, got[1:]):
         assert b[1] >= a[1] and b[2] >= a[2] and b[3] >= a[3]
     assert got[-1][1:] == (len(rows), 11, len(first_seen))
+
+
+def test_lexical_diversity_hand_values(spark):
+    from cypher_guard_spark.ops.text import lexical_diversity
+
+    rows = [
+        (1, "a a a a"),            # single type: ttr=0.25, simpson=1.0
+        (2, "a b c d"),            # all distinct: simpson=0.0
+        (3, "a a b"),              # rep=2, N=3 → 2/6
+        (4, "solo"),               # N=1 → simpson 0.0 (try_divide guard)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_types"], r["ttr"], r["simpson"])
+        for r in lexical_diversity(df).collect()
+    }
+    assert got[1] == (4, 1, 0.25, 1.0)
+    assert got[2] == (4, 4, 1.0, 0.0)
+    assert got[3] == (3, 2, round(2 / 3, 6), round(2 / 6, 6))
+    assert got[4] == (1, 1, 1.0, 0.0)
