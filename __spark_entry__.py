@@ -944,18 +944,15 @@ def q_kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kg_pagerank_weighted_values(iters: int = 3, damping: float = 0.85) -> str:
-    """Serial twin: fused-fact edges (one per distinct (subj,pred,obj),
-    weight = sorted-fold noisy-OR rounded 6dp), then weighted PageRank
-    with the value-sorted wsum denominator fold, value-sorted
-    contribution folds, and HALF_UP 6dp per-iteration rounding —
-    bit-identical doubles vs pagerank(exact=True, weight=...)."""
+def _py_weighted_pagerank(
+    edges: list, iters: int, damping: float
+) -> dict:
+    """Serial weighted-PageRank kernel shared by the trust- and
+    recency-weighted twins: value-sorted wsum denominator fold,
+    value-sorted contribution folds, HALF_UP 6dp per-iteration rounding
+    — bit-identical doubles vs pagerank(exact=True, weight=...)."""
     from collections import defaultdict
 
-    edges = [
-        (s, o, _py_noisy_or(obs))
-        for (s, _r, o), obs in _py_kg_fused_groups().items()
-    ]
     verts = sorted({v for s, o, _w in edges for v in (s, o)})
     n = len(verts)
     ws: defaultdict = defaultdict(list)
@@ -980,6 +977,18 @@ def _kg_pagerank_weighted_values(iters: int = 3, damping: float = 0.85) -> str:
                 acc += c
             new[v] = _round6(base + damping * acc)
         rank = new
+    return rank
+
+
+def _kg_pagerank_weighted_values(iters: int = 3, damping: float = 0.85) -> str:
+    """Serial twin: fused-fact edges (one per distinct (subj,pred,obj),
+    weight = sorted-fold noisy-OR rounded 6dp), then the shared serial
+    weighted-PageRank kernel."""
+    edges = [
+        (s, o, _py_noisy_or(obs))
+        for (s, _r, o), obs in _py_kg_fused_groups().items()
+    ]
+    rank = _py_weighted_pagerank(edges, iters, damping)
     rows = [f"({_sql_quote(v)}, {r!r}::DOUBLE)" for v, r in rank.items()]
     return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(entity, rank)"
 
@@ -1713,9 +1722,11 @@ def q_kg_triple_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triple_history(obs)
 
 
-def _kg_triple_history_values() -> str:
-    """Serial twin: same sliding windows over the canonical twin, per-fact
-    sorted snapshot runs split at gaps."""
+def _py_triple_history_rows() -> list:
+    """Serial twin of the SCD-2 history: same sliding windows over the
+    canonical twin, per-fact sorted snapshot runs split at gaps —
+    (subj, pred, obj, valid_from, valid_to) rows shared by the history
+    VALUES twin and the recency-weighted PageRank twin."""
     from collections import defaultdict
 
     snaps: dict = defaultdict(set)
@@ -1735,6 +1746,12 @@ def _kg_triple_history_values() -> str:
                     rows.append((s, r, o, run[0], run[1]))
                 run = (k, k)
         rows.append((s, r, o, run[0], run[1]))
+    return rows
+
+
+def _kg_triple_history_values() -> str:
+    """Serial twin: `_py_triple_history_rows` as a VALUES relation."""
+    rows = _py_triple_history_rows()
     vals = ", ".join(
         f"({_sql_quote(s)}, {_sql_quote(r)}, {_sql_quote(o)}, "
         f"{a}::BIGINT, {b}::BIGINT)"
@@ -1745,6 +1762,50 @@ def _kg_triple_history_values() -> str:
         + vals
         + ") AS t(subj, pred, obj, valid_from, valid_to)"
     )
+
+
+def q_kg_pagerank_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted PageRank — the temporal × graph composition: the
+    SCD-2 fact history's validity intervals become edge weights
+    w = (1 + max valid_to) / n_snapshots (a fact last seen in the newest
+    crawl carries full weight, one that died after snapshot 0 carries
+    1/n), so rank flows preferentially through CURRENT facts and stale
+    re-hosted assertions decay instead of accumulating centrality
+    forever. One integer MAX per (subj, obj) over the history table +
+    one exact IEEE division — no transcendentals, the weighted-exact
+    kernel's bit-stable contract holds (weights take one of n distinct
+    values; the value-sorted folds are tie-insensitive because equal
+    doubles sum identically in any order)."""
+    from cypher_guard_spark.pipeline.graph_algo import pagerank
+
+    hist = q_kg_triple_history(spark, sf_dir)
+    n = float(len(_HIST_WINDOWS))
+    edges = (
+        hist.groupBy("subj", "obj")
+        .agg(F.max("valid_to").cast("long").alias("__vt"))
+        .select(
+            F.col("subj").alias("src"),
+            F.col("obj").alias("dst"),
+            ((F.col("__vt") + 1).cast("double") / F.lit(n)).alias("w"),
+        )
+    )
+    return pagerank(spark, edges, iters=3, exact=True, weight="w")
+
+
+def _kg_pagerank_recency_values(iters: int = 3, damping: float = 0.85) -> str:
+    """Serial twin: per-(subj,obj) max valid_to over the serial history
+    rows → the same (vt+1)/n weight → the shared serial weighted-PageRank
+    kernel."""
+    vt: dict = {}
+    for s, _r, o, _a, b in _py_triple_history_rows():
+        key = (s, o)
+        if key not in vt or b > vt[key]:
+            vt[key] = b
+    n = float(len(_HIST_WINDOWS))
+    edges = [(s, o, (b + 1) / n) for (s, o), b in vt.items()]
+    rank = _py_weighted_pagerank(edges, iters, damping)
+    rows = [f"({_sql_quote(v)}, {r!r}::DOUBLE)" for v, r in rank.items()]
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(entity, rank)"
 
 
 def q_kg_fact_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4392,6 +4453,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_anomalies": lambda s, d: temporal.rate_anomalies(
             relational.load(s, d, "events"), z_threshold=2.0
         ),
+        # exponentially-decayed per-user activity — exact dyadic weights
+        # (2^-age via bit shifts, int64 partial agg, one binary re-scale)
+        "events_activity_decay": lambda s, d: temporal.activity_decay(
+            relational.load(s, d, "events"), cap_days=30
+        ),
         "events_rollup_incremental": q_events_rollup_incremental,
         "events_funnel": q_events_funnel,
         "events_retention": relational.events_retention,
@@ -4686,6 +4752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
+        "kg_pagerank_recency": q_kg_pagerank_recency,
         "kg_hits": q_kg_hits,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_pairs": q_kg_walk_pairs,
@@ -5017,6 +5084,22 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                      AS sum_fp
             FROM events
             GROUP BY 1, 2, 3
+        """,
+        "events_activity_decay": """
+            WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS refd FROM events),
+            per AS (
+              SELECT user_id,
+                     datediff('day', CAST(ts AS DATE), refd) AS age
+              FROM events, ref),
+            agg AS (
+              SELECT user_id,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CASE WHEN age <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+                     CAST(SUM(CASE WHEN age <= 30 THEN (1::BIGINT << (30 - age)) ELSE 0 END) AS BIGINT) AS scaled
+              FROM per GROUP BY user_id)
+            SELECT user_id, n_events, n_recent,
+                   ROUND(CAST(scaled AS DOUBLE) / 1073741824.0, 6) AS activity
+            FROM agg
         """,
         "events_rate_anomalies": """
             WITH counts AS (
@@ -5690,6 +5773,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_entity_degrees": _kg_entity_degrees_values(),
         "kg_pagerank": _kg_pagerank_values(),
         "kg_pagerank_weighted": _kg_pagerank_weighted_values(),
+        "kg_pagerank_recency": _kg_pagerank_recency_values(),
         "kg_hits": _kg_hits_values(),
         "kg_random_walks": _kg_random_walks_values(),
         "kg_walk_pairs": _kg_walk_pairs_sql(),

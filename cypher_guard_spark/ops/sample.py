@@ -457,11 +457,11 @@ def dsir_weights(
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
-    rstats = (
-        _hashed_gram_buckets(raw, text_col, buckets)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("rcnt"))
-    )
+    # raw distribution DERIVED from the per-doc features, not a second
+    # tokenize+hash pass over the corpus: the (doc_id, bucket) exchange is
+    # shared (ReuseExchange), so the raw corpus is scanned/hashed once and
+    # rstats is one extra partial agg over it (measured ~2× on the bench)
+    rstats = feats.groupBy("bucket").agg(F.sum("cnt").alias("rcnt"))
     tstats = (
         _hashed_gram_buckets(target, text_col, buckets)
         .groupBy("bucket")

@@ -446,3 +446,60 @@ def rollup_apply_batch(spark, batch: DataFrame, path: str) -> None:
         .option("partitionOverwriteMode", "dynamic")
         .parquet(path)
     )
+
+
+def activity_decay(
+    events: DataFrame,
+    cap_days: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """(user_id, n_events, n_recent, activity) — exponentially-decayed
+    activity score: activity = Σ_events 2^(−age_days), age measured in
+    whole days back from the corpus's max event DATE, events older than
+    `cap_days` contributing 0 (the cutoff that bounds the arithmetic).
+    The standard recency-weighted engagement feature (churn prediction,
+    freshness-weighted user sampling) with a one-day half-life.
+
+    The dyadic trick — why this is EXACT where the textbook exp(-λ·age)
+    is not: each weight is a power of two, so the per-event integer
+    2^(cap−age) (a bit shift, `shiftleft`) sums with NO rounding ever —
+    the fold is an exact int64 partial agg, order-independent, and the
+    final activity = scaled / 2^cap is one exact binary re-scale (a
+    power-of-two division of an integer < 2^53 is lossless in IEEE
+    double). No transcendentals, no FP fold, bit-stable in any engine —
+    the PMI-lift/Katz exactness family, applied to time decay.
+    Headroom: Σ ≤ n_events·2^cap; at cap 30 an int64 holds 8.5e9 events
+    per user — document-scale safe, and `cap_days` is the knob.
+
+    Scale: ref date rides a 1-row broadcast crossJoin; one user-keyed
+    partial-agg exchange (combiners absorb hot users); map-only
+    otherwise."""
+    ref = events.agg(F.max(F.to_date(F.col(ts_col))).alias("__ref"))
+    # shiftleft's numBits must be a literal in the DataFrame API — the
+    # column-shift form goes through expr() on a named age column
+    aged = events.crossJoin(F.broadcast(ref)).withColumn(
+        "__age", F.datediff(F.col("__ref"), F.to_date(F.col(ts_col)))
+    )
+    age = F.col("__age")
+    scaled = F.when(
+        age <= cap_days,
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {int(cap_days)} - __age)"),
+    ).otherwise(F.lit(0).cast("long"))
+    denom = float(1 << cap_days)
+    return (
+        aged.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum((age <= cap_days).cast("long")).cast("long").alias("n_recent"),
+            F.sum(scaled).cast("long").alias("__scaled"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_recent",
+            F.round(F.col("__scaled").cast("double") / F.lit(denom), 6).alias(
+                "activity"
+            ),
+        )
+    )

@@ -490,3 +490,41 @@ def test_rollup_empty_batch_noop(spark, tmp_path):
     before = spark.read.parquet(path).collect()
     rollup_apply_batch(spark, spark.createDataFrame([], schema), path)
     assert spark.read.parquet(path).collect() == before
+
+
+def test_activity_decay_exact_dyadic(spark):
+    """Hand-valued decayed activity: per-event 2^-age weights sum with
+    zero rounding (integer bit-shift partial agg + one binary re-scale),
+    cutoff beyond cap, ref date = corpus max event date."""
+    import datetime as dt
+
+    from cypher_guard_spark.ops.temporal import activity_decay
+
+    t0 = dt.datetime(2026, 3, 31, 12, 0, 0)  # ref date = 2026-03-31
+
+    def ev(uid, days_back, hour=1):
+        return (uid, t0 - dt.timedelta(days=days_back, hours=hour))
+
+    rows = [
+        ev(1, 0),            # weight 1 (but hour offset crosses a date? no: 12:00-1h = same day)
+        ev(1, 1),            # 0.5
+        ev(1, 2),            # 0.25
+        ev(2, 0), ev(2, 0),  # two same-day events: 2.0
+        ev(3, 31),           # beyond cap: 0
+        ev(3, 30),           # exactly cap: 2^-30
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["user_id"]: (r["n_events"], r["n_recent"], r["activity"])
+        for r in activity_decay(df, cap_days=30).collect()
+    }
+    assert got[1] == (3, 3, 1.75)
+    assert got[2] == (2, 2, 2.0)
+    # 2^-30 rounds to 0.0 at 6dp; the cutoff event contributes nothing
+    assert got[3] == (2, 1, 0.0)
+    # partition invariance (exact integer agg — bit-identical any layout)
+    got7 = {
+        r["user_id"]: (r["n_events"], r["n_recent"], r["activity"])
+        for r in activity_decay(df.repartition(7), cap_days=30).collect()
+    }
+    assert got7 == got
