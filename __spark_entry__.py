@@ -2223,6 +2223,145 @@ def _kg_modularity_values(iters: int = 5) -> str:
     )
 
 
+def q_kg_community_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance report over the kg_communities
+    partition (`pipeline/graph_algo.py:community_quality`) — size,
+    internal/cut edges, volume and φ(C) = cut/min(vol, 2m−vol), ranking
+    WHICH communities are real modules where kg_modularity is the
+    one-number gate."""
+    from cypher_guard_spark.pipeline.graph_algo import (
+        community_quality,
+        label_propagation,
+    )
+
+    canon = q_kg_canonical_triples(spark, sf_dir).localCheckpoint(eager=False)
+    e = canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    com = label_propagation(spark, e, iters=5)
+    return community_quality(e, com)
+
+
+def _kg_community_quality_sql(iters: int = 5) -> str:
+    """Composed oracle: the LPA serial-twin VALUES labels + the canonical
+    twin's a<b undirected edge set, aggregated with CASE sums — a plain
+    GROUP BY formulation instead of the engine's explode-to-both-sides
+    union, so the two engines agree on the math, not the plan."""
+    return f"""
+WITH lab AS ({_kg_communities_values(iters)}),
+t AS ({_kg_canonical_triples_values()}),
+und AS (SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+        FROM t WHERE subj <> obj),
+m AS (SELECT COUNT(*) AS m_edges FROM und),
+le AS (SELECT la.community AS ca, lb.community AS cb
+       FROM und JOIN lab la ON la.entity = und.a
+                JOIN lab lb ON lb.entity = und.b),
+internal AS (SELECT ca AS community, COUNT(*) AS ie FROM le
+             WHERE ca = cb GROUP BY ca),
+cuts AS (SELECT community, COUNT(*) AS ce FROM (
+           SELECT ca AS community FROM le WHERE ca <> cb
+           UNION ALL
+           SELECT cb AS community FROM le WHERE ca <> cb)
+         GROUP BY community),
+sz AS (SELECT community, COUNT(*) AS n_vertices FROM lab GROUP BY community),
+base AS (
+  SELECT sz.community,
+         CAST(sz.n_vertices AS BIGINT) AS n_vertices,
+         CAST(COALESCE(internal.ie, 0) AS BIGINT) AS internal_edges,
+         CAST(COALESCE(cuts.ce, 0) AS BIGINT) AS cut_edges,
+         CAST(2 * COALESCE(internal.ie, 0) + COALESCE(cuts.ce, 0) AS BIGINT)
+           AS volume,
+         m.m_edges
+  FROM sz LEFT JOIN internal ON internal.community = sz.community
+          LEFT JOIN cuts ON cuts.community = sz.community
+          CROSS JOIN m)
+SELECT community, n_vertices, internal_edges, cut_edges, volume,
+       CASE WHEN LEAST(volume, 2 * m_edges - volume) = 0 THEN 0.0
+            ELSE CAST(cut_edges AS DOUBLE)
+                 / CAST(LEAST(volume, 2 * m_edges - volume) AS DOUBLE)
+       END AS conductance
+FROM base
+"""
+
+
+def q_kg_metapaths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-2 metapath profile of the canonical KG
+    (`pipeline/schema_infer.py:metapath_profile`) — per ordered
+    predicate pair, exact path counts via the degree-product identity
+    (never enumerating paths) plus distinct midpoints: the signal that
+    picks metapaths for heterogeneous embeddings and candidate chain
+    rules for `pipeline/reasoning.saturate`."""
+    from cypher_guard_spark.pipeline.schema_infer import metapath_profile
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return metapath_profile(canon.select("subj", "pred", "obj"))
+
+
+_KG_METAPATHS_SQL_TMPL = """
+WITH t AS ({canon}),
+f AS (SELECT DISTINCT subj, pred, obj FROM t)
+SELECT a.pred AS p1, b.pred AS p2,
+       CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(COUNT(DISTINCT a.obj) AS BIGINT) AS n_mid
+FROM f a JOIN f b ON a.obj = b.subj
+GROUP BY a.pred, b.pred
+"""
+
+
+def q_kg_entailed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology saturation over the canonical KG
+    (`pipeline/reasoning.py:saturate`): NEW facts entailed by KNOWS
+    transitivity (depth ≤ 4, minimal derivation depth — semi-naive
+    datalog, the khop kernel) and by the OWL2-style property chain
+    WORKS_FOR ∘ LOCATED_IN ⇒ BASED_IN, each row carrying rule
+    provenance — the inference layer a KG materializer unions with the
+    asserted facts before serving."""
+    from cypher_guard_spark.pipeline.reasoning import saturate
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return saturate(
+        spark,
+        canon.select("subj", "pred", "obj"),
+        transitive_preds=["KNOWS"],
+        chains=[("WORKS_FOR", "LOCATED_IN", "BASED_IN")],
+        max_depth=4,
+    )
+
+
+def _kg_entailed_sql(max_depth: int = 4) -> str:
+    """Recursive-CTE oracle: naive walk-fixpoint closure over the KNOWS
+    slice with MIN(hops) (a different evaluation strategy from the
+    engine's semi-naive frontier/anti-join — the kg_khop argument), plus
+    the chain join; hops ≥ 2 IS the new-facts filter (an asserted pair
+    has minimal depth 1)."""
+    return f"""
+WITH RECURSIVE t AS ({_kg_canonical_triples_values()}),
+ke AS (SELECT DISTINCT subj AS u, obj AS v FROM t
+       WHERE pred = 'KNOWS' AND subj <> obj),
+r AS (
+  SELECT u AS src, v AS dst, 1 AS hops FROM ke
+  UNION
+  SELECT r.src, ke.v AS dst, r.hops + 1
+  FROM r JOIN ke ON r.dst = ke.u
+  WHERE r.hops < {max_depth}
+),
+tc AS (SELECT src, dst, MIN(hops) AS h FROM r
+       WHERE src <> dst GROUP BY src, dst),
+f AS (SELECT DISTINCT subj, pred, obj FROM t),
+tnew AS (
+  SELECT src AS subj, 'KNOWS' AS pred, dst AS obj,
+         'transitive:KNOWS' AS rule, CAST(h AS INT) AS depth
+  FROM tc WHERE h >= 2),
+cnew AS (
+  SELECT DISTINCT w.subj AS subj, 'BASED_IN' AS pred, l.obj AS obj,
+         'chain:WORKS_FOR*LOCATED_IN' AS rule, CAST(2 AS INT) AS depth
+  FROM f w JOIN f l ON w.obj = l.subj
+  WHERE w.pred = 'WORKS_FOR' AND l.pred = 'LOCATED_IN'
+    AND NOT EXISTS (SELECT 1 FROM f e
+                    WHERE e.pred = 'BASED_IN'
+                      AND e.subj = w.subj AND e.obj = l.obj))
+SELECT * FROM tnew UNION ALL SELECT * FROM cnew
+"""
+
+
 def q_kg_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row shape/health report of the directed canonical graph
     (`pipeline/graph_algo.py:graph_profile`) — the per-snapshot stats a
@@ -4784,6 +4923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_similarity": q_kg_entity_similarity,
         "kg_communities": q_kg_communities,
         "kg_modularity": q_kg_modularity,
+        "kg_community_quality": q_kg_community_quality,
+        "kg_metapaths": q_kg_metapaths,
+        "kg_entailed": q_kg_entailed,
         "kg_graph_profile": q_kg_graph_profile,
         "kg_assortativity": q_kg_assortativity,
         "kg_scc": q_kg_scc,
@@ -5800,6 +5942,11 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_entity_similarity": _kg_entity_similarity_values(),
         "kg_communities": _kg_communities_values(),
         "kg_modularity": _kg_modularity_values(),
+        "kg_community_quality": _kg_community_quality_sql(),
+        "kg_metapaths": _KG_METAPATHS_SQL_TMPL.format(
+            canon=_kg_canonical_triples_values()
+        ),
+        "kg_entailed": _kg_entailed_sql(),
         "kg_graph_profile": _kg_graph_profile_values(),
         "kg_assortativity": _kg_assortativity_values(),
         "kg_scc": _kg_scc_values(),

@@ -2719,3 +2719,94 @@ def spectral_embeddings(
             ]
         ).alias("emb"),
     )
+
+
+def community_quality(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(community, n_vertices, internal_edges, cut_edges, volume,
+    conductance) — the per-community quality report over the undirected
+    distinct graph, where `modularity` is the one-number gate: size,
+    intra-community edge count, boundary edge count, volume
+    (Σ degrees = 2·internal + cut) and conductance
+    φ(C) = cut / min(vol(C), 2m − vol(C)) — low φ means a real module,
+    φ → 1 means a random slice.  Run after `label_propagation` to rank
+    WHICH communities are trustworthy before anyone consumes them.
+
+    Plan: a<b undirected distinct pairs, two vertex-keyed community
+    joins (the `modularity` shape), one partial agg for internal edges,
+    one for cut edges (each boundary edge explodes to exactly its two
+    communities — 2·cut rows, id-sized), sizes from the label table, m
+    as a one-row broadcast.  All integers; the single final division is
+    one IEEE op (bit-identical cross-engine); try_divide guards the
+    all-self-loop community whose volume is 0."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    com = communities.select(
+        F.col(communities.columns[0]).alias("v"),
+        F.col(communities.columns[1]).alias("c"),
+    )
+    tagged = (
+        und.join(com.select(F.col("v").alias("a"), F.col("c").alias("ca")), "a")
+        .join(com.select(F.col("v").alias("b"), F.col("c").alias("cb")), "b")
+        .localCheckpoint(eager=False)
+    )
+    internal = (
+        tagged.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    boundary = tagged.where(F.col("ca") != F.col("cb"))
+    cut = (
+        boundary.select(F.col("ca").alias("community"))
+        .unionByName(boundary.select(F.col("cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count("*").alias("cut_edges"))
+    )
+    sizes = com.groupBy(F.col("c").alias("community")).agg(
+        F.count("*").alias("n_vertices")
+    )
+    m = und.agg(F.count("*").cast("long").alias("m_edges"))
+    out = (
+        sizes.join(internal, "community", "left")
+        .join(cut, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            F.coalesce("internal_edges", F.lit(0))
+            .cast("long")
+            .alias("internal_edges"),
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+            F.col("m_edges"),
+        )
+        .withColumn(
+            "volume", (2 * F.col("internal_edges") + F.col("cut_edges"))
+        )
+    )
+    return out.select(
+        "community",
+        "n_vertices",
+        "internal_edges",
+        "cut_edges",
+        F.col("volume").cast("long").alias("volume"),
+        F.coalesce(
+            F.try_divide(
+                F.col("cut_edges").cast("double"),
+                F.least(
+                    F.col("volume"), 2 * F.col("m_edges") - F.col("volume")
+                ).cast("double"),
+            ),
+            F.lit(0.0),
+        ).alias("conductance"),
+    )

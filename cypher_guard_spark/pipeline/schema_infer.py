@@ -226,3 +226,44 @@ def triple_conflicts(
         )
         .where(F.col("n_values") > 1)
     )
+
+
+def metapath_profile(triples: DataFrame) -> DataFrame:
+    """(p1, p2, n_paths, n_mid) — how many length-2 metapath instances
+    ``· -[p1]-> mid -[p2]-> ·`` the distinct fact set contains, per
+    ordered predicate pair, plus the number of distinct midpoints.
+
+    The schema-level path profile of a heterogeneous KG: which predicate
+    compositions actually occur (WORKS_FOR∘LOCATED_IN but never
+    LOCATED_IN∘KNOWS), with what mass — the signal that picks metapaths
+    for heterogeneous-graph embeddings (metapath2vec) and candidate
+    property-chain rules for `pipeline/reasoning.saturate`.
+
+    NEVER enumerates paths: n_paths(p1,p2) = Σ_mid in_deg_p1(mid) ·
+    out_deg_p2(mid), so the plan is two per-(vertex,pred) partial-agg
+    degree tables joined on the midpoint — the wedge-counting trick
+    (`graph_algo._enumerate_triangles` orientation note) applied at the
+    schema level.  A hub midpoint contributes one ROW carrying a large
+    product instead of deg² join rows; rows entering the final agg are
+    bounded by |vertices|·|preds|², not path count.  Exact integers
+    throughout (int64 headroom: deg_in·deg_out per vertex summed — at
+    10^9-degree hubs switch the product to double, same trade as
+    `modularity`).
+    """
+    facts = triples.select("subj", "pred", "obj").distinct()
+    fan_in = facts.groupBy(
+        F.col("obj").alias("mid"), F.col("pred").alias("p1")
+    ).agg(F.count("*").alias("fan_in"))
+    fan_out = facts.groupBy(
+        F.col("subj").alias("mid"), F.col("pred").alias("p2")
+    ).agg(F.count("*").alias("fan_out"))
+    return (
+        fan_in.join(fan_out, "mid")
+        .groupBy("p1", "p2")
+        .agg(
+            F.sum(F.col("fan_in") * F.col("fan_out"))
+            .cast("long")
+            .alias("n_paths"),
+            F.countDistinct("mid").cast("long").alias("n_mid"),
+        )
+    )
