@@ -715,6 +715,102 @@ def _kg_random_walks_values(
     )
 
 
+def q_kg_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order BIASED walk corpus over the canonical graph
+    (`pipeline/graph_algo.py:node2vec_walks`) — node2vec with the
+    cleared-denominator integer weight triple (w_return, w_in, w_out) =
+    (1, 2, 4) ≡ (p=2, q=0.5), the exploratory setting: the weighted
+    draw is the hash-min over per-class virtual copies, so
+    P(candidate) = w/Σw exactly with no rand()/ln()/alias table and the
+    min combines map-side on hubs."""
+    from cypher_guard_spark.pipeline.graph_algo import node2vec_walks
+
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    return node2vec_walks(
+        spark,
+        canon.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        length=4,
+        walks_per_node=2,
+        w_return=1,
+        w_in=2,
+        w_out=4,
+        seed=7,
+    )
+
+
+def _py_kg_node2vec_walks(
+    length: int = 4,
+    walks_per_node: int = 2,
+    w_return: int = 1,
+    w_in: int = 2,
+    w_out: int = 4,
+    seed: int = 7,
+) -> list:
+    """Pure-Python twin of node2vec_walks over the canonical edge set:
+    step 1 uniform hash-min, steps ≥2 the virtual-copy weighted hash-min
+    with node2vec classification (return / in / out by (prev,nbr) edge
+    membership), truncation at out-degree-0 and all-zero-weight
+    candidate sets."""
+    from cypher_guard_spark.oracle import spark_xxhash64
+
+    adj: dict = {}
+    for _d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        if s != o:
+            adj.setdefault(s, set()).add(o)
+    rows = []
+    for start in adj:
+        for rep in range(walks_per_node):
+            rows.append((start, rep, 0, start))
+            prev, cur = None, start
+            for t in range(1, length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                if t == 1:
+                    nxt = min(
+                        nbrs,
+                        key=lambda nb: (
+                            spark_xxhash64(start, rep, 1, nb, seed), nb,
+                        ),
+                    )
+                else:
+                    best = None
+                    for nb in nbrs:
+                        if nb == prev:
+                            w = w_return
+                        elif nb in adj.get(prev, set()):
+                            w = w_in
+                        else:
+                            w = w_out
+                        for copy in range(1, w + 1):
+                            k = (
+                                spark_xxhash64(
+                                    start, rep, t, nb, copy, seed
+                                ),
+                                nb,
+                            )
+                            if best is None or k < best[0]:
+                                best = (k, nb)
+                    if best is None:
+                        break
+                    nxt = best[1]
+                rows.append((start, rep, t, nxt))
+                prev, cur = cur, nxt
+    return rows
+
+
+def _kg_node2vec_walks_values() -> str:
+    rows = [
+        f"({_sql_quote(s)}, {rep}, {t}, {_sql_quote(v)})"
+        for s, rep, t, v in _py_kg_node2vec_walks()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(start, rep, step, vertex)"
+    )
+
+
 def q_kg_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted shortest distances from the hub entity (max-degree,
     min-name tie — same seed rule as kg_bfs_depths) over the undirected
@@ -4894,6 +4990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_recency": q_kg_pagerank_recency,
         "kg_hits": q_kg_hits,
         "kg_random_walks": q_kg_random_walks,
+        "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_walk_pairs": q_kg_walk_pairs,
         "kg_walk_negatives": q_kg_walk_negatives,
         "kg_entity_cooccur": q_kg_entity_cooccur,
@@ -5918,6 +6015,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_pagerank_recency": _kg_pagerank_recency_values(),
         "kg_hits": _kg_hits_values(),
         "kg_random_walks": _kg_random_walks_values(),
+        "kg_node2vec_walks": _kg_node2vec_walks_values(),
         "kg_walk_pairs": _kg_walk_pairs_sql(),
         "kg_walk_negatives": _kg_walk_negatives_values(),
         "kg_entity_cooccur": _kg_entity_cooccur_sql(),

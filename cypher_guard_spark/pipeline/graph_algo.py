@@ -2810,3 +2810,143 @@ def community_quality(
             F.lit(0.0),
         ).alias("conductance"),
     )
+
+
+def node2vec_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    length: int = 4,
+    walks_per_node: int = 1,
+    w_return: int = 1,
+    w_in: int = 1,
+    w_out: int = 1,
+    seed: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(start, rep, step, vertex) — second-order BIASED random walks
+    (node2vec, Grover & Leskovec 2016) over the distinct directed graph
+    sans self-loops: the next hop from ``prev -> cur`` weights each
+    out-neighbor ``nbr`` of ``cur`` by its node2vec class —
+    ``w_return`` if ``nbr == prev`` (backtrack), ``w_in`` if the edge
+    ``prev -> nbr`` exists (stay near), else ``w_out`` (explore).
+    Integer weights ARE the (1/p, 1, 1/q) triple with the denominators
+    cleared — (w_return, w_in, w_out) = (2, 4, 1) is p=2, q=4 — which
+    keeps the draw exact instead of FP-transcendental.
+
+    The weighted draw stays hash-min and therefore deterministic,
+    engine-portable and HUB-SAFE: each candidate explodes into
+    ``w_class`` virtual copies and the walk takes the candidate owning
+    argmin xxhash64(start, rep, t, nbr, copy, seed).  All Σw copies
+    carry i.i.d. hashes, the global min is uniform over them, so
+    P(candidate) = w/Σw EXACTLY — weighted sampling with no alias
+    table, no rand(), no ln(); the min is a partial agg, so a
+    10^8-degree hub's candidate rows combine map-side.  A zero weight
+    excludes its class outright (w_out=0 pins the walk to the previous
+    neighborhood — the BFS-like limit).  Step 1 has no prev and draws
+    uniformly (the `random_walks` rule).  Walks truncate at
+    out-degree-0 vertices.
+
+    Per step: one adjacency equi-join (fan-out = out-degree), one
+    (prev, nbr)-keyed membership left join against the edge list, a
+    ≤max(w)-way explode, one partial-agg min; lineage truncated per
+    round. Output rows ≤ verts · walks_per_node · (length+1)."""
+    for name, w in (("w_return", w_return), ("w_in", w_in), ("w_out", w_out)):
+        if not isinstance(w, int) or w < 0:
+            raise ValueError(f"{name} must be a non-negative int, got {w!r}")
+    if w_return + w_in + w_out == 0:
+        raise ValueError("at least one node2vec weight must be positive")
+    adj = (
+        edges.select(F.col(src).alias("cur"), F.col(dst).alias("nbr"))
+        .where(F.col("cur") != F.col("nbr"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    verts = adj.select(F.col("cur").alias("start")).distinct()
+    reps = F.explode(
+        F.array(*[F.lit(r) for r in range(walks_per_node)])
+    ).alias("rep")
+    first = (
+        verts.select("start", reps)
+        .select("start", "rep", F.col("start").alias("cur"))
+        .join(adj, "cur")
+        .select(
+            "start",
+            "rep",
+            "cur",
+            "nbr",
+            F.xxhash64(
+                F.col("start"), F.col("rep"), F.lit(1), F.col("nbr"),
+                F.lit(seed),
+            ).alias("h"),
+        )
+        .groupBy("start", "rep")
+        .agg(F.min(F.struct("h", "nbr"))["nbr"].alias("cur"))
+        .select("start", "rep", F.col("start").alias("prev"), "cur")
+        .localCheckpoint(eager=False)
+    )
+    out = verts.select("start", reps).select(
+        "start", "rep", F.lit(0).alias("step"), F.col("start").alias("vertex")
+    ).unionByName(
+        first.select(
+            "start", "rep", F.lit(1).alias("step"),
+            F.col("cur").alias("vertex"),
+        )
+    )
+    frontier = first
+    member = adj.select(
+        F.col("cur").alias("prev"), "nbr", F.lit(1).alias("is_in")
+    )
+    for t in range(2, length + 1):
+        cand = (
+            frontier.join(adj, "cur")
+            .join(member, ["prev", "nbr"], "left")
+            .select(
+                "start",
+                "rep",
+                "prev",
+                "cur",
+                "nbr",
+                F.when(F.col("nbr") == F.col("prev"), F.lit(w_return))
+                .when(F.col("is_in").isNotNull(), F.lit(w_in))
+                .otherwise(F.lit(w_out))
+                .alias("w"),
+            )
+            .where(F.col("w") > 0)
+        )
+        drawn = (
+            cand.select(
+                "start",
+                "rep",
+                "cur",
+                "nbr",
+                F.explode(F.sequence(F.lit(1), F.col("w"))).alias("copy"),
+            )
+            .select(
+                "start",
+                "rep",
+                "cur",
+                "nbr",
+                F.xxhash64(
+                    F.col("start"), F.col("rep"), F.lit(t), F.col("nbr"),
+                    F.col("copy"), F.lit(seed),
+                ).alias("h"),
+            )
+            .groupBy("start", "rep", "cur")
+            .agg(F.min(F.struct("h", "nbr"))["nbr"].alias("nxt"))
+            .select(
+                "start",
+                "rep",
+                F.col("cur").alias("prev"),
+                F.col("nxt").alias("cur"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        frontier = drawn
+        out = out.unionByName(
+            frontier.select(
+                "start", "rep", F.lit(t).alias("step"),
+                F.col("cur").alias("vertex"),
+            )
+        )
+    return out
