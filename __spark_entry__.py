@@ -256,6 +256,10 @@ def _guard_error_codes_values() -> str:
 # ---------------------------------------------------------------------------
 
 _KG_DOCS = 120
+# kg_extraction_pr's corpus size — matches the pytest gate
+# (tests/test_pipeline.py N_DOCS): election quality is evidence-driven,
+# so the ≥0.95 contract point is measured at the gate's scale.
+_PR_DOCS = 400
 
 # the BM25 demo query over the synthetic ops-vocabulary corpus
 _BM25_TERMS = ["broadcast", "shuffle", "join", "partition"]
@@ -480,6 +484,166 @@ def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's core output, driver-verified end-to-end (see
     `_kg_canonical_full`): canonicalized (doc_id, subj, pred, obj)."""
     return _kg_canonical_full(spark).select("doc_id", "subj", "pred", "obj")
+
+
+def q_kg_extraction_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's headline metric as a queryable one-row DataFrame:
+    doc-level (doc_id, subj, pred, obj) precision/recall/F1 of the full
+    distributed pipeline (extraction → entity map → canonicalize, forced
+    through the distributed CC path) against the corpus's planted
+    ground-truth facts (`pipeline/synth.py:ground_truth_triples` — the
+    same oracle `tests/test_pipeline.py::test_triple_precision_recall`
+    gates at ≥0.95, per BASELINE.md; reference parity contract
+    `eval/rust` golden corpus, cypher-guard has no triple emitter of its
+    own so the synthesized facts ARE the reference triples).
+
+    Runs at `_PR_DOCS` = the pytest gate's corpus size (400), NOT the
+    `_KG_DOCS` = 120 the other kg_* entries share: canonicalization
+    election quality is evidence-driven, and at 120 docs several rare
+    entities have too few mention variants for the majority form to win
+    (P/R 0.847 — measured, not a bug; 0.964 at 200, 0.982 at 400). The
+    ≥0.95 contract is defined at the gate's scale and improves with
+    corpus size, so the queryable metric reports the contract point.
+
+    Shape: ONE full-outer join on the 4-tuple key with presence flags,
+    then a single-row partial agg — the three counts (emitted, ground
+    truth, matched) come out of one exchange instead of three separate
+    count() actions. P/R/F1 are single divisions over exact integers
+    (f1 = 2·matched/(emitted+ground_truth), the cleared-denominator
+    identity — no nested rounded divisions), each rounded once at 6dp,
+    so the DuckDB twin reproduces them bit-for-bit."""
+    from cypher_guard_spark.pipeline import synthesize_documents
+    from cypher_guard_spark.pipeline.canonicalize import (
+        build_entity_map,
+        canonicalize_triples,
+    )
+    from cypher_guard_spark.pipeline.mentions import (
+        extract_triples_raw,
+        link_scores,
+        mentions_from_triples,
+    )
+    from cypher_guard_spark.pipeline.synth import ground_truth_triples
+
+    keys = ["doc_id", "subj", "pred", "obj"]
+    docs = synthesize_documents(spark, _PR_DOCS)
+    tr = extract_triples_raw(docs)
+    em = build_entity_map(
+        spark,
+        link_scores(mentions_from_triples(tr)),
+        driver_smallmap_max_surfaces=0,
+    )
+    e = (
+        canonicalize_triples(tr, em)
+        .select(*keys)
+        .dropDuplicates()
+        .withColumn("in_e", F.lit(1))
+    )
+    g = (
+        ground_truth_triples(spark, _PR_DOCS)
+        .select(*keys)
+        .dropDuplicates()
+        .withColumn("in_g", F.lit(1))
+    )
+    j = e.join(g, keys, "full")
+    agg = j.agg(
+        F.coalesce(F.sum("in_e"), F.lit(0)).cast("long").alias("emitted"),
+        F.coalesce(F.sum("in_g"), F.lit(0)).cast("long").alias("ground_truth"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("in_e").isNotNull() & F.col("in_g").isNotNull(), 1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("matched"),
+    )
+    return agg.select(
+        "emitted",
+        "ground_truth",
+        "matched",
+        F.coalesce(
+            F.round(
+                F.expr("try_divide(CAST(matched AS DOUBLE), CAST(emitted AS DOUBLE))"),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("triple_precision"),
+        F.coalesce(
+            F.round(
+                F.expr(
+                    "try_divide(CAST(matched AS DOUBLE), CAST(ground_truth AS DOUBLE))"
+                ),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("triple_recall"),
+        F.coalesce(
+            F.round(
+                F.expr(
+                    "try_divide(2.0 * CAST(matched AS DOUBLE),"
+                    " CAST(emitted + ground_truth AS DOUBLE))"
+                ),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("triple_f1"),
+    )
+
+
+def _py_gt_triples(n_docs: int) -> list:
+    """Serial ground-truth twin: the planted facts, straight from the
+    synthesis grammar (`pipeline/synth.py:_gt_for_doc`)."""
+    from cypher_guard_spark.pipeline.synth import _gt_for_doc
+
+    return [row for i in range(n_docs) for row in _gt_for_doc(i)]
+
+
+def _kg_extraction_pr_sql() -> str:
+    """Composed oracle: the canonical-pipeline serial twin AND the planted
+    ground truth both baked as VALUES; DuckDB does the distinct, the
+    intersection join, the counts, and the same three rounded divisions."""
+    gt_rows = [
+        f"({_sql_quote(d)}, {_sql_quote(s)}, {_sql_quote(r)}, {_sql_quote(o)})"
+        for d, s, r, o in _py_gt_triples(_PR_DOCS)
+    ]
+    gt = (
+        "SELECT DISTINCT * FROM (VALUES "
+        + ", ".join(gt_rows)
+        + ") AS t(doc_id, subj, pred, obj)"
+    )
+    e_rows = [
+        f"({_sql_quote(d)}, {_sql_quote(s)}, {_sql_quote(r)}, {_sql_quote(o)})"
+        for d, s, r, o, _sl, _ol in _py_kg_canonical_triples(_PR_DOCS)
+    ]
+    e_vals = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(e_rows)
+        + ") AS t(doc_id, subj, pred, obj)"
+    )
+    return f"""
+WITH e AS (SELECT DISTINCT doc_id, subj, pred, obj
+           FROM ({e_vals})),
+g AS ({gt}),
+c AS (SELECT
+        (SELECT COUNT(*) FROM e) AS emitted,
+        (SELECT COUNT(*) FROM g) AS ground_truth,
+        (SELECT COUNT(*) FROM e JOIN g
+           USING (doc_id, subj, pred, obj)) AS matched)
+SELECT CAST(emitted AS BIGINT) AS emitted,
+       CAST(ground_truth AS BIGINT) AS ground_truth,
+       CAST(matched AS BIGINT) AS matched,
+       CASE WHEN emitted = 0 THEN 0.0
+            ELSE ROUND(CAST(matched AS DOUBLE) / CAST(emitted AS DOUBLE), 6)
+       END AS triple_precision,
+       CASE WHEN ground_truth = 0 THEN 0.0
+            ELSE ROUND(CAST(matched AS DOUBLE) / CAST(ground_truth AS DOUBLE), 6)
+       END AS triple_recall,
+       CASE WHEN emitted + ground_truth = 0 THEN 0.0
+            ELSE ROUND(2.0 * CAST(matched AS DOUBLE)
+                       / CAST(emitted + ground_truth AS DOUBLE), 6)
+       END AS triple_f1
+FROM c
+"""
 
 
 def q_kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3345,7 +3509,7 @@ def _kg_pagerank_values(iters: int = 3, damping: float = 0.85) -> str:
     return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(entity, rank)"
 
 
-def _py_kg_raw_triples_conf() -> list:
+def _py_kg_raw_triples_conf(n_docs: int | None = None) -> list:
     """Regex-extraction twin over the synthesized corpus (same render as
     `_kg_triples_raw_values`), with the extraction UDF's confidence
     formula (mentions.py: 0.9 + 0.1*min(len/80, 1) — identical IEEE op
@@ -3353,6 +3517,9 @@ def _py_kg_raw_triples_conf() -> list:
     import re
 
     from cypher_guard_spark.pipeline.synth import _render_doc
+
+    if n_docs is None:
+        n_docs = _KG_DOCS
 
     pats = [
         (re.compile(r"^(.+) works for (.+)\.$"), "WORKS_FOR", "Person", "Company"),
@@ -3365,7 +3532,7 @@ def _py_kg_raw_triples_conf() -> list:
         ),
     ]
     triples = []
-    for i in range(_KG_DOCS):
+    for i in range(n_docs):
         doc_id, spans = _render_doc(i)
         for span in spans:
             if span["kind"] != "text":
@@ -3381,9 +3548,9 @@ def _py_kg_raw_triples_conf() -> list:
     return triples
 
 
-def _py_kg_raw_triples() -> list:
+def _py_kg_raw_triples(n_docs: int | None = None) -> list:
     """[(doc_id, subj, pred, obj, sl, ol)] — conf stripped."""
-    return [t[:6] for t in _py_kg_raw_triples_conf()]
+    return [t[:6] for t in _py_kg_raw_triples_conf(n_docs)]
 
 
 def _py_mention_counts(triples) -> dict:
@@ -3396,7 +3563,7 @@ def _py_mention_counts(triples) -> dict:
     return counts
 
 
-def _py_kg_canonical_triples() -> list:
+def _py_kg_canonical_triples(n_docs: int | None = None) -> list:
     """Pure-Python twin of the whole canonicalization pipeline: the same
     render → regex extraction as `_kg_triples_raw_values`, mention counts
     per (label, surface), the `_driver_entity_map` twin (itself equality-
@@ -3405,7 +3572,7 @@ def _py_kg_canonical_triples() -> list:
     [(doc_id, subj, pred, obj, subj_label, obj_label)]."""
     from cypher_guard_spark.pipeline.canonicalize import _driver_entity_map
 
-    triples = _py_kg_raw_triples()
+    triples = _py_kg_raw_triples(n_docs)
     counts: dict = {}
     for _d, s, _r, o, sl, ol in triples:
         counts[(sl, s)] = counts.get((sl, s), 0) + 1
@@ -4586,6 +4753,7 @@ def _cached_coarse_centroids(spark: SparkSession, sf_dir: str, k: int = 8,
 # last three (transitively exercised / map-only ops) are the ones that
 # overflow a strict 50-entry window.
 _DRIVER_WINDOW_PRIORITY = [
+    "kg_extraction_pr",
     "kg_scc",
     "kg_ktruss",
     "kg_betweenness",
@@ -4984,6 +5152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG pipeline extraction (exact oracle); full pipeline is bench/pytest
         "kg_triples_raw": q_kg_triples_raw,
         "kg_canonical_triples": q_kg_canonical_triples,
+        "kg_extraction_pr": q_kg_extraction_pr,
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
@@ -6009,6 +6178,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "guard_accuracy": _guard_accuracy_values(),
         "kg_triples_raw": _kg_triples_raw_values(),
         "kg_canonical_triples": _kg_canonical_triples_values(),
+        "kg_extraction_pr": _kg_extraction_pr_sql(),
         "kg_entity_degrees": _kg_entity_degrees_values(),
         "kg_pagerank": _kg_pagerank_values(),
         "kg_pagerank_weighted": _kg_pagerank_weighted_values(),

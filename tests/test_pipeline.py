@@ -84,6 +84,29 @@ def test_triple_precision_recall(spark, corpus, result):
     assert variants > 0
 
 
+def test_extraction_pr_entry_reports_contract(spark):
+    """kg_extraction_pr — the north rule's headline metric as a queryable
+    one-row entry — must clear the ≥0.95 floor at its contract corpus
+    size (_PR_DOCS == this module's N_DOCS) and agree exactly with the
+    serial twin's integer counts."""
+    import __spark_entry__ as entry_mod
+
+    assert entry_mod._PR_DOCS == N_DOCS
+    row = entry_mod.q_kg_extraction_pr(spark, "").collect()[0].asDict()
+    assert row["triple_precision"] >= 0.95, row
+    assert row["triple_recall"] >= 0.95, row
+    # exact-count agreement with the pure-Python twin
+    e = {
+        t[:4] for t in entry_mod._py_kg_canonical_triples(entry_mod._PR_DOCS)
+    }
+    g = set(entry_mod._py_gt_triples(entry_mod._PR_DOCS))
+    assert row["emitted"] == len(e)
+    assert row["ground_truth"] == len(g)
+    assert row["matched"] == len(e & g)
+    # f1 is the cleared-denominator identity over the same integers
+    assert row["triple_f1"] == round(2.0 * len(e & g) / (len(e) + len(g)), 6)
+
+
 def test_all_merge_batches_validate(result):
     out, _ = result
     v = out["verdicts"]
