@@ -646,6 +646,145 @@ FROM c
 """
 
 
+_CYPHER_MATCH_Q = (
+    "MATCH (a:Person)-[:WORKS_FOR]->(c:Company)-[:LOCATED_IN]->(l:Location) "
+    "WHERE a.lastName <> 'Smith' "
+    "RETURN a.firstName, a.lastName, c.companyName, l.city"
+)
+
+_CYPHER_VARLEN_Q = (
+    "MATCH (a:Person)-[:KNOWS*1..2]-(b:Person) "
+    "WHERE a.firstName = 'John' "
+    "RETURN a.lastName, b.firstName, b.lastName"
+)
+
+
+def q_kg_cypher_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher MATCH *execution* over the materialized property graph
+    (`pipeline/executor.py`): the canonical triples become the exact
+    node/edge set the MERGE batches create in Neo4j, the query is
+    validated by the guard's own ladder first, and the 2-hop directed
+    chain compiles to two keyed equi-joins. The reference can only
+    validate this query (lib.rs has no evaluator); here it runs."""
+    from cypher_guard_spark.pipeline.executor import execute_cypher
+
+    return execute_cypher(spark, _kg_canonical_full(spark), _CYPHER_MATCH_Q)
+
+
+def q_kg_cypher_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected variable-length Cypher execution: `[:KNOWS*1..2]`
+    expands to a union of fixed chains (1-hop ∪ 2-hop), each edge binds
+    in both orientations (self-loops once), and openCypher relationship
+    uniqueness holds via pairwise edge-id inequality — bag semantics,
+    duplicates kept."""
+    from cypher_guard_spark.pipeline.executor import execute_cypher
+
+    return execute_cypher(spark, _kg_canonical_full(spark), _CYPHER_VARLEN_Q)
+
+
+def _kg_canonical_labeled_values() -> str:
+    rows = [
+        f"({_sql_quote(s)}, {_sql_quote(r)}, {_sql_quote(o)},"
+        f" {_sql_quote(sl)}, {_sql_quote(ol)})"
+        for _d, s, r, o, sl, ol in _py_kg_canonical_triples()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(subj, pred, obj, subj_label, obj_label)"
+    )
+
+
+def _node_fields_sql(col: str, prefix: str) -> str:
+    """The executor's node-identity fields (label, firstName, lastName,
+    companyName, city) as DuckDB expressions over a surface column —
+    byte-identical to `pipeline/executor.py:_node_id_expr` /
+    `pipeline/codegen.py:_entity_props` (limit-2 split on the FIRST
+    space, then quote-stripping)."""
+
+    def clean(x: str) -> str:
+        return f"replace(replace({x}, chr(39), ''), chr(34), '')"
+
+    lbl = f"{col}_label"
+    first = (
+        f"CASE WHEN strpos({col}, ' ') > 0"
+        f" THEN substr({col}, 1, strpos({col}, ' ') - 1) ELSE {col} END"
+    )
+    last = (
+        f"CASE WHEN strpos({col}, ' ') > 0"
+        f" THEN substr({col}, strpos({col}, ' ') + 1) ELSE '' END"
+    )
+    return (
+        f"{lbl} AS {prefix}label,\n"
+        f"  CASE WHEN {lbl} = 'Person' THEN {clean(first)} ELSE '' END"
+        f" AS {prefix}first,\n"
+        f"  CASE WHEN {lbl} = 'Person' THEN {clean(last)} ELSE '' END"
+        f" AS {prefix}last,\n"
+        f"  CASE WHEN {lbl} = 'Company' THEN {clean(col)} ELSE '' END"
+        f" AS {prefix}company,\n"
+        f"  CASE WHEN {lbl} NOT IN ('Person', 'Company') THEN {clean(col)}"
+        f" ELSE '' END AS {prefix}city"
+    )
+
+
+def _kg_cypher_match_sql() -> str:
+    """Same 2-hop chain over the labeled canonical twin: node identity
+    derived with the executor's exact field expressions, join keyed on
+    the full identity tuple, label + WHERE filters mirrored."""
+    return f"""
+WITH t AS ({_kg_canonical_labeled_values()}),
+e AS (SELECT DISTINCT
+  {_node_fields_sql("subj", "s_")},
+  pred,
+  {_node_fields_sql("obj", "o_")}
+FROM t)
+SELECT w.s_first AS a_firstName,
+       w.s_last AS a_lastName,
+       w.o_company AS c_companyName,
+       l.o_city AS l_city
+FROM e w JOIN e l
+  ON l.pred = 'LOCATED_IN'
+ AND w.o_label = l.s_label AND w.o_first = l.s_first
+ AND w.o_last = l.s_last AND w.o_company = l.s_company
+ AND w.o_city = l.s_city
+WHERE w.pred = 'WORKS_FOR'
+  AND w.s_label = 'Person' AND w.o_label = 'Company'
+  AND l.o_label = 'Location'
+  AND w.s_last <> 'Smith'
+"""
+
+
+def _kg_cypher_varlen_sql() -> str:
+    """1-hop ∪ 2-hop undirected KNOWS with relationship uniqueness:
+    both orientations per edge (self-loops once), eid inequality on the
+    2-hop join — the same alternatives the executor unions."""
+    return f"""
+WITH t AS ({_kg_canonical_labeled_values()}),
+e AS (SELECT DISTINCT
+  {_node_fields_sql("subj", "s_")},
+  pred,
+  {_node_fields_sql("obj", "o_")}
+FROM t WHERE pred = 'KNOWS'),
+eu AS (
+  SELECT s_first AS uf, s_last AS ul, o_first AS vf, o_last AS vl,
+         s_first || chr(31) || s_last || chr(31) || o_first || chr(31) || o_last AS eid
+  FROM e
+  UNION ALL
+  SELECT o_first, o_last, s_first, s_last,
+         s_first || chr(31) || s_last || chr(31) || o_first || chr(31) || o_last
+  FROM e WHERE NOT (s_first = o_first AND s_last = o_last)
+),
+u AS (
+  SELECT uf, ul, vf, vl FROM eu
+  UNION ALL
+  SELECT x.uf, x.ul, y.vf, y.vl
+  FROM eu x JOIN eu y ON x.vf = y.uf AND x.vl = y.ul AND x.eid <> y.eid
+)
+SELECT ul AS a_lastName, vf AS b_firstName, vl AS b_lastName
+FROM u WHERE uf = 'John'
+"""
+
+
 def q_kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(entity, label, degree, n_neighbors) over the canonical graph —
     degree = triple endpoints, n_neighbors = distinct canonical peers."""
@@ -4754,6 +4893,8 @@ def _cached_coarse_centroids(spark: SparkSession, sf_dir: str, k: int = 8,
 # overflow a strict 50-entry window.
 _DRIVER_WINDOW_PRIORITY = [
     "kg_extraction_pr",
+    "kg_cypher_match",
+    "kg_cypher_varlen",
     "kg_scc",
     "kg_ktruss",
     "kg_betweenness",
@@ -5153,6 +5294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_raw": q_kg_triples_raw,
         "kg_canonical_triples": q_kg_canonical_triples,
         "kg_extraction_pr": q_kg_extraction_pr,
+        "kg_cypher_match": q_kg_cypher_match,
+        "kg_cypher_varlen": q_kg_cypher_varlen,
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
@@ -6179,6 +6322,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_triples_raw": _kg_triples_raw_values(),
         "kg_canonical_triples": _kg_canonical_triples_values(),
         "kg_extraction_pr": _kg_extraction_pr_sql(),
+        "kg_cypher_match": _kg_cypher_match_sql(),
+        "kg_cypher_varlen": _kg_cypher_varlen_sql(),
         "kg_entity_degrees": _kg_entity_degrees_values(),
         "kg_pagerank": _kg_pagerank_values(),
         "kg_pagerank_weighted": _kg_pagerank_weighted_values(),

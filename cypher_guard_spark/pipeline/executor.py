@@ -1,0 +1,460 @@
+"""Cypher MATCH execution over the materialized property graph.
+
+The reference (neo4j-field/cypher-guard) validates Cypher but cannot run
+it — lib.rs has no evaluator; execution happens in the Neo4j the MERGE
+batches are shipped to. This module completes that surface natively: a
+validated read-only MATCH query compiles to a Spark DataFrame join plan
+over the canonical triple table, returning the same rows Neo4j would
+return for that query AFTER loading our emitted batches.
+
+Read-side parity with the write-side codegen (`pipeline/codegen.py`):
+node identity and properties are EXACTLY what the MERGE statements
+create — Person {firstName, lastName} via a limit-2 split of the
+canonical surface with quote characters stripped (the grammar has no
+escapes), Company {companyName}, any other label {city}; an edge exists
+per distinct (src node, rel_type, dst node). Two canonical surfaces that
+render to the same property map are therefore the SAME node here, just
+as MERGE would unify them in Neo4j.
+
+Execution gate: the query must pass the guard's own validation ladder
+(`guard.api.get_cypher_validation_errors` — parse errors raise the typed
+exception taxonomy; schema violations raise CypherExecutionRefused with
+the guard's error strings). Only then is a plan built: the validator and
+the executor can never disagree about what a query means.
+
+Semantics (Neo4j/openCypher parity for the supported subset):
+- bag semantics — one output row per pattern binding, duplicates kept;
+- relationship uniqueness — no edge is traversed twice in one pattern
+  (pairwise edge-id inequality filters, the openCypher rule); node
+  re-visits are allowed;
+- undirected hops bind each edge in both orientations;
+- variable-length hops `[:T*a..b]` expand to a union of fixed-length
+  chains (b must be explicit and total pattern hops are capped —
+  unbounded expansion is plan-hostile at any scale);
+- properties the schema allows but the codegen never materializes
+  (e.g. Person.age) evaluate to NULL, so comparisons on them match
+  nothing and `IS NULL` matches everything — exactly a Neo4j graph
+  loaded from our batches;
+- comparisons follow Cypher ternary logic (NULL never matches) and the
+  reference's operator quirk Q1 (`<=`/`>=` do not survive the parser)
+  is inherited verbatim, because parsing IS the reference parser.
+
+Scale shape: the graph frames are two narrow tables derived from the
+triple stream with one distinct each; every hop is an equi-join keyed on
+a node-id string, so Catalyst plans ordinary shuffled/broadcast hash
+joins, pushes node filters below the joins, and AQE handles hub-entity
+skew the same way the link-scoring stage documents. Nothing in the
+compiled plan is quadratic in the graph; a k-hop pattern is k keyed
+joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..guard.ast import (
+    LengthRange,
+    MatchClause,
+    NodePattern,
+    PropertyValue,
+    QuantifiedPathPattern,
+    RelationshipPattern,
+    WhereCondition,
+)
+
+_SEP = "\x1f"
+# node-id layout: label SEP firstName SEP lastName SEP companyName SEP city
+_PROP_FIELD = {"firstName": 2, "lastName": 3, "companyName": 4, "city": 5}
+# which label materializes the property (codegen.py:_entity_props).
+# city is the codegen's `otherwise` branch — any label that is neither
+# Person nor Company — mirrored by owner=None meaning "not Person/Company".
+_PROP_OWNER = {
+    "firstName": "Person",
+    "lastName": "Person",
+    "companyName": "Company",
+    "city": None,
+}
+
+
+class CypherExecutionRefused(Exception):
+    """The guard's validation ladder rejected the query; `.errors` carries
+    the guard's own error strings (same list the reference returns)."""
+
+    def __init__(self, errors: list):
+        super().__init__("; ".join(errors))
+        self.errors = list(errors)
+
+
+class UnsupportedCypherFeature(Exception):
+    """Parses and validates, but uses a construct outside the executable
+    subset (write clauses, WITH/UNWIND/CALL, comma patterns, quantified
+    path patterns, unbounded var-length, rel property maps...)."""
+
+
+def _clean(col):
+    # codegen.py:_clean — grammar has no escapes, quotes are dropped
+    return F.translate(col, "'\"", "")
+
+
+def _node_id_expr(label_col, surface_col):
+    """The node's identity string: label + the exact property values the
+    MERGE batch renders (codegen.py:_entity_props, same split-then-clean
+    order). concat_ws keeps empty strings, so the 5-field layout is
+    stable under split."""
+    first = F.element_at(F.split(surface_col, " ", 2), 1)
+    last = F.try_element_at(F.split(surface_col, " ", 2), F.lit(2))
+    is_person = label_col == "Person"
+    is_company = label_col == "Company"
+    return F.concat_ws(
+        _SEP,
+        label_col,
+        F.when(is_person, _clean(first)).otherwise(F.lit("")),
+        F.when(is_person, _clean(F.coalesce(last, F.lit("")))).otherwise(F.lit("")),
+        F.when(is_company, _clean(surface_col)).otherwise(F.lit("")),
+        F.when(~is_person & ~is_company, _clean(surface_col)).otherwise(F.lit("")),
+    )
+
+
+def graph_frames(triples: DataFrame) -> tuple:
+    """(nodes, edges) of the materialized property graph.
+
+    nodes: (node_id) distinct — properties live INSIDE the id string, so
+    hops and filters never join a side table (split beats a join: the id
+    is already on every row).
+    edges: (src, dst, pred, edge_id) distinct at node-id granularity —
+    exactly one edge per distinct rendered MERGE path statement.
+    """
+    src = _node_id_expr(F.col("subj_label"), F.col("subj"))
+    dst = _node_id_expr(F.col("obj_label"), F.col("obj"))
+    edges = (
+        triples.select(
+            src.alias("src"), F.col("pred").alias("pred"), dst.alias("dst")
+        )
+        .dropDuplicates()
+        .withColumn("edge_id", F.concat_ws(_SEP, "src", "pred", "dst"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .dropDuplicates()
+    )
+    return nodes, edges
+
+
+def _field(col_name: str, idx: int):
+    return F.element_at(F.split(F.col(col_name), _SEP, -1), idx)
+
+
+def _prop_col(var: str, prop: str):
+    """`var.prop` as a Column — NULL when the node's label doesn't
+    materialize the property (Neo4j parity: the loaded graph simply has
+    no such key on that node)."""
+    if prop not in _PROP_FIELD:
+        return F.lit(None).cast("string")
+    owner = _PROP_OWNER[prop]
+    label = _field(var, 1)
+    cond = (
+        (label == owner)
+        if owner is not None
+        else (label != "Person") & (label != "Company")
+    )
+    return F.when(cond, _field(var, _PROP_FIELD[prop])).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+def _value_expr(pv: PropertyValue, bound_vars: set):
+    if pv.kind == "string":
+        return F.lit(pv.value)
+    if pv.kind == "number":
+        # every materialized property is a STRING; Cypher cross-type
+        # comparisons are never-equal, not errors (and under ANSI mode a
+        # string-to-int cast would raise) — surface the Cypher answer
+        return None
+    if pv.kind == "boolean":
+        return None
+    if pv.kind == "null":
+        return F.lit(None).cast("string")
+    if pv.kind == "identifier":
+        name = pv.value
+        if "." in name:
+            var, prop = name.split(".", 1)
+            if var not in bound_vars:
+                raise UnsupportedCypherFeature(f"unbound variable: {var}")
+            return _prop_col(var, prop)
+        if name in bound_vars:
+            return F.col(name)  # node identity comparison
+        raise UnsupportedCypherFeature(f"unbound identifier: {name}")
+    raise UnsupportedCypherFeature(f"WHERE value kind: {pv.kind}")
+
+
+_OPS = {
+    "=": lambda a, b: a == b,
+    "<>": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    ">": lambda a, b: a > b,
+    "<=": lambda a, b: a <= b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _condition_col(c: WhereCondition, bound_vars: set):
+    if c.kind == "comparison":
+        left = _value_expr(c.left, bound_vars)
+        if c.operator == "IS NULL":
+            return left.isNull() if left is not None else F.lit(True)
+        if c.operator == "IS NOT NULL":
+            return left.isNotNull() if left is not None else F.lit(False)
+        right = _value_expr(c.right, bound_vars)
+        if left is None or right is None:
+            # cross-type comparison against a string property: no match
+            return F.lit(None).cast("boolean")
+        if c.operator not in _OPS:
+            raise UnsupportedCypherFeature(f"operator: {c.operator}")
+        return _OPS[c.operator](left, right)
+    if c.kind == "and":
+        return _condition_col(c.lhs, bound_vars) & _condition_col(c.rhs, bound_vars)
+    if c.kind == "or":
+        return _condition_col(c.lhs, bound_vars) | _condition_col(c.rhs, bound_vars)
+    if c.kind == "not":
+        return ~_condition_col(c.inner, bound_vars)
+    if c.kind == "parenthesized":
+        return _condition_col(c.inner, bound_vars)
+    raise UnsupportedCypherFeature(f"WHERE condition kind: {c.kind}")
+
+
+def _node_filter(col_name: str, np: NodePattern):
+    """Label + pattern-property-map constraints for a bound node column."""
+    cond = None
+    if np.label:
+        c = _field(col_name, 1) == np.label
+        cond = c if cond is None else cond & c
+    for p in np.properties or ():
+        val = _value_expr(p.value, set())
+        pc = _prop_col(col_name, p.key)
+        c = (pc == val) if val is not None else F.lit(None).cast("boolean")
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def _expand_pattern(pattern: list) -> tuple:
+    """Linear alternating [Node, Rel, Node, ...] → (nodes, rels);
+    rejects anything outside the executable subset."""
+    nodes, rels = [], []
+    for el in pattern:
+        if isinstance(el, QuantifiedPathPattern):
+            raise UnsupportedCypherFeature("quantified path pattern")
+        if isinstance(el, NodePattern):
+            nodes.append(el)
+        elif isinstance(el, RelationshipPattern):
+            d = el.details
+            if el.optional or d.is_optional:
+                raise UnsupportedCypherFeature("optional relationship")
+            if d.properties:
+                raise UnsupportedCypherFeature("relationship property map")
+            if d.where_clause is not None:
+                raise UnsupportedCypherFeature("inline relationship WHERE")
+            rels.append(el)
+        else:
+            raise UnsupportedCypherFeature(type(el).__name__)
+    if len(nodes) != len(rels) + 1:
+        raise UnsupportedCypherFeature("non-linear pattern")
+    return nodes, rels
+
+
+def _hop_lengths(length: LengthRange | None, max_total_hops: int) -> list:
+    if length is None:
+        return [1]
+    lo = length.min if length.min is not None else 1
+    hi = length.max if length.max is not None else length.min
+    if hi is None:
+        raise UnsupportedCypherFeature(
+            "unbounded variable-length pattern — give an explicit upper "
+            "bound (unbounded expansion is plan-hostile at any scale)"
+        )
+    if lo < 1 or hi < lo:
+        raise UnsupportedCypherFeature(f"variable-length range *{lo}..{hi}")
+    if hi > max_total_hops:
+        raise UnsupportedCypherFeature(
+            f"variable-length upper bound {hi} exceeds max_total_hops="
+            f"{max_total_hops}"
+        )
+    return list(range(lo, hi + 1))
+
+
+def _compile_chain(
+    edges: DataFrame, names: list, nodes: list, rels: list, nodes_df: DataFrame
+):
+    """Fixed-length linear chain → DataFrame with one node-id column per
+    distinct variable plus one __e{i} edge-id column per hop. Node
+    filters are applied on the hop frame BEFORE the join (Catalyst would
+    push them anyway; being explicit keeps the plan readable)."""
+    if not rels:  # single-node pattern: scan the node table
+        frame = nodes_df.select(F.col("node_id").alias(names[0]))
+        flt = _node_filter(names[0], nodes[0])
+        return frame.where(flt) if flt is not None else frame
+    cur = None
+    bound = []  # column names bound so far, in order
+    for i, rel in enumerate(rels):
+        e = edges
+        rt = rel.details.rel_type
+        if rt:
+            types = rt.split("|")  # reference joins "A|B" into one string
+            e = e.where(F.col("pred").isin(types))
+        d = rel.details.direction
+        if d == "right":
+            pairs = e.select("src", "dst", "edge_id")
+        elif d == "left":
+            pairs = e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "edge_id"
+            )
+        else:  # undirected: each edge binds in both orientations; a
+            # self-loop's orientations coincide, so it binds once (Neo4j)
+            pairs = e.select("src", "dst", "edge_id").unionByName(
+                e.where(F.col("src") != F.col("dst")).select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "edge_id"
+                )
+            )
+        a, b = names[i], names[i + 1]
+        if a == b:  # self-loop pattern (x)-[:T]->(x)
+            frame = pairs.where(F.col("src") == F.col("dst")).select(
+                F.col("src").alias(a), F.col("edge_id").alias(f"__e{i}")
+            )
+        else:
+            frame = pairs.select(
+                F.col("src").alias(a),
+                F.col("dst").alias(b),
+                F.col("edge_id").alias(f"__e{i}"),
+            )
+        for name, np in ((a, nodes[i]), (b, nodes[i + 1])):
+            if name in frame.columns:
+                flt = _node_filter(name, np)
+                if flt is not None:
+                    frame = frame.where(flt)
+        if cur is None:
+            cur = frame
+        else:
+            on = [c for c in frame.columns if c in set(bound)]
+            cur = cur.join(frame, on=on) if on else cur.crossJoin(frame)
+        bound = list(dict.fromkeys(bound + frame.columns))
+    # relationship uniqueness (openCypher): no edge traversed twice
+    for i in range(len(rels)):
+        for j in range(i + 1, len(rels)):
+            cur = cur.where(F.col(f"__e{i}") != F.col(f"__e{j}"))
+    return cur.drop(*[f"__e{i}" for i in range(len(rels))])
+
+
+def execute_cypher(
+    spark: SparkSession,
+    triples: DataFrame,
+    query: str,
+    db_schema=None,
+    max_total_hops: int = 6,
+) -> DataFrame:
+    """Validate `query` with the guard, then run it against the property
+    graph materialized from `triples` (columns subj, pred, obj,
+    subj_label, obj_label — the canonical triple stream).
+
+    Output columns: one per RETURN item — `a` → node identity string
+    (column `a`), `a.firstName` → the property (column `a_firstName`).
+    """
+    from ..guard.api import get_cypher_validation_errors
+    from ..guard.parser.clauses import parse_query
+    from .synth import pipeline_db_schema
+
+    schema = db_schema if db_schema is not None else pipeline_db_schema()
+    errors = get_cypher_validation_errors(query, schema)  # raises on parse
+    if errors:
+        raise CypherExecutionRefused(errors)
+    q = parse_query(query)
+
+    for attr, label in (
+        ("merge_clauses", "MERGE"),
+        ("create_clauses", "CREATE"),
+        ("with_clauses", "WITH"),
+        ("unwind_clauses", "UNWIND"),
+        ("call_clauses", "CALL"),
+    ):
+        if getattr(q, attr):
+            raise UnsupportedCypherFeature(f"{label} clause (read-only executor)")
+    if len(q.match_clauses) != 1:
+        raise UnsupportedCypherFeature("exactly one MATCH clause is executable")
+    if not q.return_clauses:
+        raise UnsupportedCypherFeature("RETURN clause required")
+    mc: MatchClause = q.match_clauses[0]
+    if mc.is_optional:
+        raise UnsupportedCypherFeature("OPTIONAL MATCH")
+    if len(mc.elements) != 1:
+        raise UnsupportedCypherFeature("comma-separated patterns")
+    nodes, rels = _expand_pattern(mc.elements[0].pattern)
+
+    nodes_df, edges = graph_frames(triples)
+
+    # variable-length hops expand to a union of fixed chains; at most one
+    # var-length rel keeps the alternative count linear in the range.
+    # The reference parser stores `[*a..b]` in `quantifier` (length_range
+    # is the `*a..b`-inside-details variant) — accept either.
+    var_idx = [
+        i
+        for i, r in enumerate(rels)
+        if r.details.length is not None or r.details.quantifier is not None
+    ]
+    if len(var_idx) > 1:
+        raise UnsupportedCypherFeature("multiple variable-length relationships")
+    if len(rels) > max_total_hops:
+        raise UnsupportedCypherFeature(f"more than {max_total_hops} hops")
+
+    def chain_for(lengths_at: dict) -> DataFrame:
+        xnames, xnodes, xrels = [], [], []
+        anon = 0
+        for i, np in enumerate(nodes):
+            xnodes.append(np)
+            xnames.append(np.variable or f"__n{len(xnames)}")
+            if i < len(rels):
+                L = lengths_at.get(i, 1)
+                for k in range(L):
+                    xrels.append(rels[i])
+                    if k < L - 1:  # fresh anonymous intermediate node
+                        xnodes.append(NodePattern())
+                        anon += 1
+                        xnames.append(f"__v{anon}")
+        # names must be unique except deliberate variable reuse (cycles)
+        return _compile_chain(edges, xnames, xnodes, xrels, nodes_df)
+
+    if var_idx:
+        i = var_idx[0]
+        spec = rels[i].details.length or rels[i].details.quantifier
+        lengths = _hop_lengths(spec, max_total_hops)
+        if len(rels) - 1 + max(lengths) > max_total_hops:
+            raise UnsupportedCypherFeature(f"more than {max_total_hops} hops")
+        frames = [chain_for({i: L}) for L in lengths]
+    else:
+        frames = [chain_for({})]
+
+    named = {n.variable for n in nodes if n.variable}
+
+    def finish(df: DataFrame) -> DataFrame:
+        for wc in q.where_clauses:
+            for cond in wc.conditions:
+                df = df.where(_condition_col(cond, named))
+        out_cols = []
+        for item in q.return_clauses[0].items:
+            item = item.strip()
+            if "(" in item:
+                raise UnsupportedCypherFeature(f"RETURN expression: {item}")
+            if "." in item:
+                var, prop = item.split(".", 1)
+                if var not in named:
+                    raise UnsupportedCypherFeature(f"RETURN of unbound: {item}")
+                out_cols.append(_prop_col(var, prop).alias(f"{var}_{prop}"))
+            else:
+                if item not in named:
+                    raise UnsupportedCypherFeature(f"RETURN of unbound: {item}")
+                out_cols.append(F.col(item).alias(item))
+        return df.select(*out_cols)
+
+    out = finish(frames[0])
+    for f in frames[1:]:
+        out = out.unionByName(finish(f))
+    return out

@@ -1,0 +1,243 @@
+"""Cypher MATCH executor (pipeline/executor.py): validated queries compile
+to DataFrame join plans over the property graph the MERGE codegen
+materializes — read-side parity with the write side.
+
+Reference parity note: cypher-guard validates but cannot execute
+(rust/cypher_guard/src/lib.rs has no evaluator); execution semantics here
+are Neo4j/openCypher for the supported subset — bag semantics,
+relationship uniqueness, undirected = both orientations (self-loops
+once), unmaterialized-but-schema-valid properties are NULL.
+"""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cypher_guard_spark.pipeline.executor import (  # noqa: E402
+    CypherExecutionRefused,
+    UnsupportedCypherFeature,
+    execute_cypher,
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from cypher_guard_spark.spark import build_session
+
+    spark = build_session("executor-tests", cores=4, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        # (doc, subj, pred, obj, subj_label, obj_label)
+        ("d1", "John Smith", "WORKS_FOR", "Acme Corp", "Person", "Company"),
+        ("d1", "Acme Corp", "LOCATED_IN", "Berlin", "Company", "Location"),
+        ("d2", "Jane Doe", "WORKS_FOR", "Acme Corp", "Person", "Company"),
+        ("d2", "John Smith", "KNOWS", "Jane Doe", "Person", "Person"),
+        ("d3", "Jane Doe", "KNOWS", "Bob Stone", "Person", "Person"),
+        # duplicate triple in another doc: ONE edge after MERGE semantics
+        ("d4", "John Smith", "WORKS_FOR", "Acme Corp", "Person", "Company"),
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "subj", "pred", "obj", "subj_label", "obj_label"]
+    ).cache()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_directed_chain(spark, triples):
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:WORKS_FOR]->(c:Company)-[:LOCATED_IN]->(l:Location) "
+        "RETURN a.firstName, a.lastName, c.companyName, l.city",
+    )
+    assert out.columns == ["a_firstName", "a_lastName", "c_companyName", "l_city"]
+    assert _rows(out) == [
+        ("Jane", "Doe", "Acme Corp", "Berlin"),
+        ("John", "Smith", "Acme Corp", "Berlin"),
+    ]
+
+
+def test_merge_semantics_dedupe_edges(spark, triples):
+    """The duplicate d4 WORKS_FOR triple is ONE edge — a MERGE-loaded
+    Neo4j graph has one relationship per distinct (src, type, dst)."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:WORKS_FOR]->(c:Company) RETURN a.firstName",
+    )
+    assert sorted(r[0] for r in out.collect()) == ["Jane", "John"]
+
+
+def test_undirected_binds_both_orientations(spark, triples):
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:KNOWS]-(b:Person) RETURN a.firstName, b.firstName",
+    )
+    assert _rows(out) == [
+        ("Bob", "Jane"),
+        ("Jane", "Bob"),
+        ("Jane", "John"),
+        ("John", "Jane"),
+    ]
+
+
+def test_varlen_relationship_uniqueness(spark, triples):
+    """[:KNOWS*1..2] undirected: John—Jane—Bob chain. 2-hop John→Bob via
+    two distinct edges matches; John→Jane→John (same edge twice) must
+    NOT — openCypher relationship uniqueness."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:KNOWS*1..2]-(b:Person) "
+        "WHERE a.firstName = 'John' RETURN b.firstName",
+    )
+    assert sorted(r[0] for r in out.collect()) == ["Bob", "Jane"]
+
+
+def test_cycle_variable_reuse(spark, triples):
+    """(a)-[:KNOWS]->(b)-[:KNOWS]->(a) on a 2-cycle: variable reuse
+    compiles to a natural-join equality; distinct edges satisfy
+    uniqueness."""
+    extra = triples.sparkSession.createDataFrame(
+        [("d9", "Jane Doe", "KNOWS", "John Smith", "Person", "Person")],
+        triples.columns,
+    )
+    out = execute_cypher(
+        spark,
+        triples.unionByName(extra),
+        "MATCH (a:Person)-[:KNOWS]->(b:Person)-[:KNOWS]->(a) "
+        "RETURN a.firstName, b.firstName",
+    )
+    assert _rows(out) == [("Jane", "John"), ("John", "Jane")]
+
+
+def test_self_loop_binds_once_undirected(spark):
+    one = pytest.importorskip("pyspark").sql.SparkSession.getActiveSession()
+    t = one.createDataFrame(
+        [("d1", "Ann Bell", "KNOWS", "Ann Bell", "Person", "Person")],
+        ["doc_id", "subj", "pred", "obj", "subj_label", "obj_label"],
+    )
+    out = execute_cypher(
+        one, t, "MATCH (a:Person)-[:KNOWS]-(b:Person) RETURN b.firstName"
+    )
+    assert [r[0] for r in out.collect()] == ["Ann"]
+
+
+def test_single_node_pattern_and_node_return(spark, triples):
+    out = execute_cypher(spark, triples, "MATCH (a:Location) RETURN a.city")
+    assert [r[0] for r in out.collect()] == ["Berlin"]
+    ids = execute_cypher(spark, triples, "MATCH (a:Location) RETURN a")
+    assert ids.columns == ["a"]
+    assert ids.collect()[0][0].startswith("Location\x1f")
+
+
+def test_pattern_property_map_filter(spark, triples):
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person {firstName: 'Jane'})-[:WORKS_FOR]->(c:Company) "
+        "RETURN a.lastName",
+    )
+    assert [r[0] for r in out.collect()] == ["Doe"]
+
+
+def test_where_boolean_combinators(spark, triples):
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:WORKS_FOR]->(c:Company) "
+        "WHERE a.firstName = 'Jane' OR a.lastName = 'Smith' "
+        "RETURN a.firstName",
+    )
+    assert sorted(r[0] for r in out.collect()) == ["Jane", "John"]
+    out2 = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:WORKS_FOR]->(c:Company) "
+        "WHERE NOT a.lastName = 'Smith' RETURN a.firstName",
+    )
+    assert [r[0] for r in out2.collect()] == ["Jane"]
+
+
+def test_unmaterialized_property_is_null(spark, triples):
+    """Schema-valid properties the codegen never writes (Person.age)
+    behave like missing keys in Neo4j: comparisons never match, IS NULL
+    always does, RETURN yields NULL."""
+    none = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) WHERE a.age > 30 "
+        "RETURN a.firstName",
+    )
+    assert none.count() == 0
+    nulls = execute_cypher(
+        spark, triples, "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.age"
+    )
+    # two directed KNOWS edges in the fixture → two bindings, both NULL
+    assert [r[0] for r in nulls.collect()] == [None, None]
+
+
+def test_validation_gate_refuses(spark, triples):
+    with pytest.raises(CypherExecutionRefused) as ei:
+        execute_cypher(spark, triples, "MATCH (a:Nope) RETURN a")
+    assert ei.value.errors == ["Invalid node label: Nope"]
+
+
+def test_write_and_unsupported_clauses_raise(spark, triples):
+    with pytest.raises(UnsupportedCypherFeature):
+        execute_cypher(
+            spark, triples, "MERGE (a:Person {firstName: 'X'}) RETURN a"
+        )
+    with pytest.raises(UnsupportedCypherFeature):
+        execute_cypher(
+            spark,
+            triples,
+            "MATCH (a:Person) WITH a.firstName AS f RETURN f",
+        )
+    with pytest.raises(UnsupportedCypherFeature):
+        execute_cypher(
+            spark,
+            triples,
+            "MATCH (a:Person)-[:KNOWS*1..9]-(b:Person) RETURN a.firstName",
+        )
+
+
+def test_quote_stripped_identity_unifies(spark):
+    """Surfaces rendering to the same property map are the same node —
+    the grammar has no escapes, codegen strips quotes, and MERGE in
+    Neo4j would unify them."""
+    one = pyspark.sql.SparkSession.getActiveSession()
+    t = one.createDataFrame(
+        [
+            ("d1", "O'Hara Inc", "LOCATED_IN", "Berlin", "Company", "Location"),
+            ("d2", 'OHara" Inc', "LOCATED_IN", "Berlin", "Company", "Location"),
+        ],
+        ["doc_id", "subj", "pred", "obj", "subj_label", "obj_label"],
+    )
+    out = execute_cypher(
+        one, t, "MATCH (c:Company)-[:LOCATED_IN]->(l:Location) RETURN c.companyName"
+    )
+    assert [r[0] for r in out.collect()] == ["OHara Inc"]
+
+
+def test_chain_plan_has_no_cartesian(spark, triples):
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:WORKS_FOR]->(c:Company)-[:LOCATED_IN]->(l:Location) "
+        "RETURN a.firstName, a.lastName, c.companyName, l.city",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
