@@ -785,6 +785,47 @@ FROM u WHERE uf = 'John'
 """
 
 
+_CYPHER_COWORKERS_Q = (
+    "MATCH (a:Person)-[:WORKS_FOR]->(c:Company), "
+    "(b:Person)-[:WORKS_FOR]->(c:Company) "
+    "RETURN a.firstName, a.lastName, b.firstName, b.lastName, c.companyName"
+)
+
+
+def q_kg_cypher_coworkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comma-pattern Cypher execution: two patterns share the variable c
+    (a natural join) AND the openCypher relationship-uniqueness scope —
+    the two WORKS_FOR hops must bind DISTINCT edges, so self-pairs
+    (a = b) are excluded without any WHERE. Co-worker pairs, both
+    orientations, bag semantics."""
+    from cypher_guard_spark.pipeline.executor import execute_cypher
+
+    return execute_cypher(spark, _kg_canonical_full(spark), _CYPHER_COWORKERS_Q)
+
+
+def _kg_cypher_coworkers_sql() -> str:
+    """Same co-worker join: WORKS_FOR edges at node granularity, joined
+    on the full company identity; edge inequality ⇔ src differs (pred and
+    dst are equal by the join), i.e. NOT(same first AND same last)."""
+    return f"""
+WITH t AS ({_kg_canonical_labeled_values()}),
+e AS (SELECT DISTINCT
+  {_node_fields_sql("subj", "s_")},
+  pred,
+  {_node_fields_sql("obj", "o_")}
+FROM t WHERE pred = 'WORKS_FOR'),
+w AS (SELECT * FROM e WHERE s_label = 'Person' AND o_label = 'Company')
+SELECT x.s_first AS a_firstName, x.s_last AS a_lastName,
+       y.s_first AS b_firstName, y.s_last AS b_lastName,
+       x.o_company AS c_companyName
+FROM w x JOIN w y
+  ON x.o_label = y.o_label AND x.o_first = y.o_first
+ AND x.o_last = y.o_last AND x.o_company = y.o_company
+ AND x.o_city = y.o_city
+ AND NOT (x.s_first = y.s_first AND x.s_last = y.s_last)
+"""
+
+
 def q_kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(entity, label, degree, n_neighbors) over the canonical graph —
     degree = triple endpoints, n_neighbors = distinct canonical peers."""
@@ -4895,6 +4936,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_extraction_pr",
     "kg_cypher_match",
     "kg_cypher_varlen",
+    "kg_cypher_coworkers",
     "kg_scc",
     "kg_ktruss",
     "kg_betweenness",
@@ -5296,6 +5338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extraction_pr": q_kg_extraction_pr,
         "kg_cypher_match": q_kg_cypher_match,
         "kg_cypher_varlen": q_kg_cypher_varlen,
+        "kg_cypher_coworkers": q_kg_cypher_coworkers,
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
@@ -6324,6 +6367,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_extraction_pr": _kg_extraction_pr_sql(),
         "kg_cypher_match": _kg_cypher_match_sql(),
         "kg_cypher_varlen": _kg_cypher_varlen_sql(),
+        "kg_cypher_coworkers": _kg_cypher_coworkers_sql(),
         "kg_entity_degrees": _kg_entity_degrees_values(),
         "kg_pagerank": _kg_pagerank_values(),
         "kg_pagerank_weighted": _kg_pagerank_weighted_values(),

@@ -55,7 +55,6 @@ from pyspark.sql import functions as F
 
 from ..guard.ast import (
     LengthRange,
-    MatchClause,
     NodePattern,
     PropertyValue,
     QuantifiedPathPattern,
@@ -284,16 +283,23 @@ def _hop_lengths(length: LengthRange | None, max_total_hops: int) -> list:
 
 
 def _compile_chain(
-    edges: DataFrame, names: list, nodes: list, rels: list, nodes_df: DataFrame
+    edges: DataFrame,
+    names: list,
+    nodes: list,
+    rels: list,
+    nodes_df: DataFrame,
+    eprefix: str = "__e",
 ):
-    """Fixed-length linear chain → DataFrame with one node-id column per
-    distinct variable plus one __e{i} edge-id column per hop. Node
-    filters are applied on the hop frame BEFORE the join (Catalyst would
-    push them anyway; being explicit keeps the plan readable)."""
+    """Fixed-length linear chain → (DataFrame, edge_cols): one node-id
+    column per distinct variable plus one {eprefix}{i} edge-id column per
+    hop (kept — the CALLER applies relationship uniqueness, because the
+    openCypher scope is the whole MATCH clause, across comma patterns).
+    Node filters are applied on the hop frame BEFORE the join (Catalyst
+    would push them anyway; being explicit keeps the plan readable)."""
     if not rels:  # single-node pattern: scan the node table
         frame = nodes_df.select(F.col("node_id").alias(names[0]))
         flt = _node_filter(names[0], nodes[0])
-        return frame.where(flt) if flt is not None else frame
+        return (frame.where(flt) if flt is not None else frame, [])
     cur = None
     bound = []  # column names bound so far, in order
     for i, rel in enumerate(rels):
@@ -319,13 +325,13 @@ def _compile_chain(
         a, b = names[i], names[i + 1]
         if a == b:  # self-loop pattern (x)-[:T]->(x)
             frame = pairs.where(F.col("src") == F.col("dst")).select(
-                F.col("src").alias(a), F.col("edge_id").alias(f"__e{i}")
+                F.col("src").alias(a), F.col("edge_id").alias(f"{eprefix}{i}")
             )
         else:
             frame = pairs.select(
                 F.col("src").alias(a),
                 F.col("dst").alias(b),
-                F.col("edge_id").alias(f"__e{i}"),
+                F.col("edge_id").alias(f"{eprefix}{i}"),
             )
         for name, np in ((a, nodes[i]), (b, nodes[i + 1])):
             if name in frame.columns:
@@ -338,11 +344,7 @@ def _compile_chain(
             on = [c for c in frame.columns if c in set(bound)]
             cur = cur.join(frame, on=on) if on else cur.crossJoin(frame)
         bound = list(dict.fromkeys(bound + frame.columns))
-    # relationship uniqueness (openCypher): no edge traversed twice
-    for i in range(len(rels)):
-        for j in range(i + 1, len(rels)):
-            cur = cur.where(F.col(f"__e{i}") != F.col(f"__e{j}"))
-    return cur.drop(*[f"__e{i}" for i in range(len(rels))])
+    return cur, [f"{eprefix}{i}" for i in range(len(rels))]
 
 
 def execute_cypher(
@@ -378,61 +380,101 @@ def execute_cypher(
     ):
         if getattr(q, attr):
             raise UnsupportedCypherFeature(f"{label} clause (read-only executor)")
-    if len(q.match_clauses) != 1:
-        raise UnsupportedCypherFeature("exactly one MATCH clause is executable")
+    if not q.match_clauses:
+        raise UnsupportedCypherFeature("MATCH clause required")
     if not q.return_clauses:
         raise UnsupportedCypherFeature("RETURN clause required")
-    mc: MatchClause = q.match_clauses[0]
-    if mc.is_optional:
-        raise UnsupportedCypherFeature("OPTIONAL MATCH")
-    if len(mc.elements) != 1:
-        raise UnsupportedCypherFeature("comma-separated patterns")
-    nodes, rels = _expand_pattern(mc.elements[0].pattern)
 
     nodes_df, edges = graph_frames(triples)
+    named: set = set()
 
-    # variable-length hops expand to a union of fixed chains; at most one
-    # var-length rel keeps the alternative count linear in the range.
-    # The reference parser stores `[*a..b]` in `quantifier` (length_range
-    # is the `*a..b`-inside-details variant) — accept either.
-    var_idx = [
-        i
-        for i, r in enumerate(rels)
-        if r.details.length is not None or r.details.quantifier is not None
-    ]
-    if len(var_idx) > 1:
-        raise UnsupportedCypherFeature("multiple variable-length relationships")
-    if len(rels) > max_total_hops:
-        raise UnsupportedCypherFeature(f"more than {max_total_hops} hops")
-
-    def chain_for(lengths_at: dict) -> DataFrame:
-        xnames, xnodes, xrels = [], [], []
-        anon = 0
-        for i, np in enumerate(nodes):
-            xnodes.append(np)
-            xnames.append(np.variable or f"__n{len(xnames)}")
-            if i < len(rels):
-                L = lengths_at.get(i, 1)
-                for k in range(L):
-                    xrels.append(rels[i])
-                    if k < L - 1:  # fresh anonymous intermediate node
-                        xnodes.append(NodePattern())
-                        anon += 1
-                        xnames.append(f"__v{anon}")
-        # names must be unique except deliberate variable reuse (cycles)
-        return _compile_chain(edges, xnames, xnodes, xrels, nodes_df)
-
-    if var_idx:
-        i = var_idx[0]
-        spec = rels[i].details.length or rels[i].details.quantifier
-        lengths = _hop_lengths(spec, max_total_hops)
-        if len(rels) - 1 + max(lengths) > max_total_hops:
+    def element_alternatives(pattern: list, eprefix: str) -> list:
+        """One (df, edge_cols) per var-length alternative of this comma
+        pattern (one entry when no var-length rel). The reference parser
+        stores `[*a..b]` in `quantifier` (length_range is the
+        inside-details variant) — accept either."""
+        nodes, rels = _expand_pattern(pattern)
+        named.update(n.variable for n in nodes if n.variable)
+        var_idx = [
+            i
+            for i, r in enumerate(rels)
+            if r.details.length is not None or r.details.quantifier is not None
+        ]
+        if len(var_idx) > 1:
+            raise UnsupportedCypherFeature(
+                "multiple variable-length relationships in one pattern"
+            )
+        if len(rels) > max_total_hops:
             raise UnsupportedCypherFeature(f"more than {max_total_hops} hops")
-        frames = [chain_for({i: L}) for L in lengths]
-    else:
-        frames = [chain_for({})]
 
-    named = {n.variable for n in nodes if n.variable}
+        def chain_for(lengths_at: dict):
+            xnames, xnodes, xrels = [], [], []
+            anon = 0
+            for i, np in enumerate(nodes):
+                xnodes.append(np)
+                xnames.append(np.variable or f"{eprefix}n{len(xnames)}")
+                if i < len(rels):
+                    L = lengths_at.get(i, 1)
+                    for k in range(L):
+                        xrels.append(rels[i])
+                        if k < L - 1:  # fresh anonymous intermediate node
+                            xnodes.append(NodePattern())
+                            anon += 1
+                            xnames.append(f"{eprefix}v{anon}")
+            # names unique except deliberate variable reuse (cycles)
+            return _compile_chain(
+                edges, xnames, xnodes, xrels, nodes_df, eprefix=eprefix
+            )
+
+        if var_idx:
+            i = var_idx[0]
+            spec = rels[i].details.length or rels[i].details.quantifier
+            lengths = _hop_lengths(spec, max_total_hops)
+            if len(rels) - 1 + max(lengths) > max_total_hops:
+                raise UnsupportedCypherFeature(
+                    f"more than {max_total_hops} hops"
+                )
+            return [chain_for({i: L}) for L in lengths]
+        return [chain_for({})]
+
+    def combine(framesets: list) -> list:
+        """Product of per-part alternatives; parts join on shared node
+        variables (Neo4j's cartesian product when disjoint)."""
+        out = framesets[0]
+        for fs in framesets[1:]:
+            nxt = []
+            for da, ea in out:
+                for db, eb in fs:
+                    shared = [c for c in db.columns if c in set(da.columns)]
+                    j = da.join(db, on=shared) if shared else da.crossJoin(db)
+                    nxt.append((j, ea + eb))
+            out = nxt
+        return out
+
+    # one frameset per MATCH clause; relationship uniqueness is scoped to
+    # the CLAUSE (openCypher: across comma patterns within one MATCH, but
+    # never across separate MATCH clauses)
+    clause_framesets = []
+    for ci, mc in enumerate(q.match_clauses):
+        if mc.is_optional:
+            raise UnsupportedCypherFeature("OPTIONAL MATCH")
+        element_sets = [
+            element_alternatives(el.pattern, eprefix=f"__e{ci}_{ei}_")
+            for ei, el in enumerate(mc.elements)
+        ]
+        alts = []
+        for df, ecols in combine(element_sets):
+            for i in range(len(ecols)):
+                for j in range(i + 1, len(ecols)):
+                    df = df.where(F.col(ecols[i]) != F.col(ecols[j]))
+            alts.append((df.drop(*ecols), []))
+        clause_framesets.append(alts)
+
+    frames = [df for df, _ in combine(clause_framesets)]
+    if len(frames) > 64:
+        raise UnsupportedCypherFeature(
+            "variable-length alternative explosion (>64 plan branches)"
+        )
 
     def finish(df: DataFrame) -> DataFrame:
         for wc in q.where_clauses:

@@ -231,6 +231,48 @@ def test_quote_stripped_identity_unifies(spark):
     assert [r[0] for r in out.collect()] == ["OHara Inc"]
 
 
+def test_comma_patterns_share_uniqueness_scope(spark, triples):
+    """Comma patterns in ONE MATCH: joined on the shared variable c, and
+    the two WORKS_FOR hops must bind distinct edges — self-pairs
+    excluded without any WHERE (openCypher clause-scoped uniqueness)."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:WORKS_FOR]->(c:Company), "
+        "(b:Person)-[:WORKS_FOR]->(c:Company) "
+        "RETURN a.firstName, b.firstName",
+    )
+    assert _rows(out) == [("Jane", "John"), ("John", "Jane")]
+
+
+def test_separate_match_clauses_have_separate_scopes(spark, triples):
+    """Two MATCH clauses: still joined on the shared c, but uniqueness
+    never crosses clauses, so self-pairs ARE returned (Neo4j parity)."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:WORKS_FOR]->(c:Company) "
+        "MATCH (b:Person)-[:WORKS_FOR]->(c:Company) "
+        "RETURN a.firstName, b.firstName",
+    )
+    assert _rows(out) == [
+        ("Jane", "Jane"),
+        ("Jane", "John"),
+        ("John", "Jane"),
+        ("John", "John"),
+    ]
+
+
+def test_disjoint_patterns_cartesian(spark, triples):
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Location) MATCH (b:Person)-[:KNOWS]->(x:Person) "
+        "RETURN a.city, b.firstName",
+    )
+    assert _rows(out) == [("Berlin", "Jane"), ("Berlin", "John")]
+
+
 def test_chain_plan_has_no_cartesian(spark, triples):
     out = execute_cypher(
         spark,
