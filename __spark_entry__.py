@@ -826,6 +826,48 @@ FROM w x JOIN w y
 """
 
 
+_CYPHER_DEGREES_Q = (
+    "MATCH (a:Person)-[:KNOWS]-(b:Person) "
+    "RETURN a.firstName, a.lastName, count(b) AS n_knows"
+)
+
+
+def q_kg_cypher_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregating Cypher execution with openCypher implicit grouping:
+    the non-aggregate RETURN items (a.firstName, a.lastName) become the
+    grouping keys and count(b) the aggregate — per-person undirected
+    KNOWS degree, computed as one partial-agg groupBy after the
+    binding-level union. Note the aggregate form is `count(var) AS
+    alias`: the guard's validation ladder (reference parity) rejects
+    bare `count(v)` and `count(v.prop)` RETURN items, and execution is
+    gated on validation."""
+    from cypher_guard_spark.pipeline.executor import execute_cypher
+
+    return execute_cypher(spark, _kg_canonical_full(spark), _CYPHER_DEGREES_Q)
+
+
+def _kg_cypher_degrees_sql() -> str:
+    """Both orientations per KNOWS edge (self-loops once), grouped by
+    the source person's identity."""
+    return f"""
+WITH t AS ({_kg_canonical_labeled_values()}),
+e AS (SELECT DISTINCT
+  {_node_fields_sql("subj", "s_")},
+  pred,
+  {_node_fields_sql("obj", "o_")}
+FROM t WHERE pred = 'KNOWS'),
+eu AS (
+  SELECT s_first AS uf, s_last AS ul FROM e
+  UNION ALL
+  SELECT o_first, o_last
+  FROM e WHERE NOT (s_first = o_first AND s_last = o_last)
+)
+SELECT uf AS a_firstName, ul AS a_lastName,
+       CAST(COUNT(*) AS BIGINT) AS n_knows
+FROM eu GROUP BY uf, ul
+"""
+
+
 def q_kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(entity, label, degree, n_neighbors) over the canonical graph —
     degree = triple endpoints, n_neighbors = distinct canonical peers."""
@@ -4937,6 +4979,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_cypher_match",
     "kg_cypher_varlen",
     "kg_cypher_coworkers",
+    "kg_cypher_degrees",
     "kg_scc",
     "kg_ktruss",
     "kg_betweenness",
@@ -5339,6 +5382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cypher_match": q_kg_cypher_match,
         "kg_cypher_varlen": q_kg_cypher_varlen,
         "kg_cypher_coworkers": q_kg_cypher_coworkers,
+        "kg_cypher_degrees": q_kg_cypher_degrees,
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
@@ -6368,6 +6412,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_cypher_match": _kg_cypher_match_sql(),
         "kg_cypher_varlen": _kg_cypher_varlen_sql(),
         "kg_cypher_coworkers": _kg_cypher_coworkers_sql(),
+        "kg_cypher_degrees": _kg_cypher_degrees_sql(),
         "kg_entity_degrees": _kg_entity_degrees_values(),
         "kg_pagerank": _kg_pagerank_values(),
         "kg_pagerank_weighted": _kg_pagerank_weighted_values(),

@@ -476,27 +476,71 @@ def execute_cypher(
             "variable-length alternative explosion (>64 plan branches)"
         )
 
-    def finish(df: DataFrame) -> DataFrame:
+    import re as _re
+
+    def base_expr(text: str):
+        """A RETURN-able value: `a` (node id) or `a.prop` (property)."""
+        text = text.strip()
+        if "." in text:
+            var, prop = text.split(".", 1)
+            if var not in named:
+                raise UnsupportedCypherFeature(f"RETURN of unbound: {text}")
+            return _prop_col(var, prop), f"{var}_{prop}"
+        if text not in named:
+            raise UnsupportedCypherFeature(f"RETURN of unbound: {text}")
+        return F.col(text), text
+
+    # RETURN items: `expr [AS alias]`, expr = value or count(value|*).
+    # openCypher implicit grouping: with any aggregate present, the
+    # non-aggregate items become the grouping keys.
+    keys, aggs = [], []  # (binding_col, out_name) / (arg_col_or_None, out_name)
+    ordered_names = []  # output columns in written RETURN order
+    for item in q.return_clauses[0].items:
+        item = item.strip()
+        alias = None
+        m = _re.split(r"\s+AS\s+", item, maxsplit=1)
+        if len(m) == 2:
+            item, alias = m[0].strip(), m[1].strip()
+        cm = _re.fullmatch(r"count\(\s*(.+?)\s*\)", item)
+        if cm:
+            inner = cm.group(1)
+            if inner == "*":
+                arg, default = None, "count_star"
+            else:
+                arg, nm = base_expr(inner)
+                default = f"count_{nm}"
+            aggs.append((arg, alias or default))
+            ordered_names.append(alias or default)
+        elif "(" in item:
+            raise UnsupportedCypherFeature(f"RETURN expression: {item}")
+        else:
+            col, default = base_expr(item)
+            keys.append((col, alias or default))
+            ordered_names.append(alias or default)
+
+    def bindings(df: DataFrame) -> DataFrame:
+        """WHERE + binding-level projection of every needed expression —
+        aggregation must happen AFTER the alternatives union, never per
+        branch."""
         for wc in q.where_clauses:
             for cond in wc.conditions:
                 df = df.where(_condition_col(cond, named))
-        out_cols = []
-        for item in q.return_clauses[0].items:
-            item = item.strip()
-            if "(" in item:
-                raise UnsupportedCypherFeature(f"RETURN expression: {item}")
-            if "." in item:
-                var, prop = item.split(".", 1)
-                if var not in named:
-                    raise UnsupportedCypherFeature(f"RETURN of unbound: {item}")
-                out_cols.append(_prop_col(var, prop).alias(f"{var}_{prop}"))
-            else:
-                if item not in named:
-                    raise UnsupportedCypherFeature(f"RETURN of unbound: {item}")
-                out_cols.append(F.col(item).alias(item))
-        return df.select(*out_cols)
+        cols = [c.alias(n) for c, n in keys]
+        for i, (arg, _n) in enumerate(aggs):
+            cols.append((F.lit(1) if arg is None else arg).alias(f"__agg{i}"))
+        return df.select(*cols)
 
-    out = finish(frames[0])
+    out = bindings(frames[0])
     for f in frames[1:]:
-        out = out.unionByName(finish(f))
-    return out
+        out = out.unionByName(bindings(f))
+    if not aggs:
+        return out.select(*ordered_names)
+    agg_cols = [
+        F.count(F.col(f"__agg{i}")).alias(n) for i, (_a, n) in enumerate(aggs)
+    ]
+    key_names = [n for _c, n in keys]
+    if key_names:
+        out = out.groupBy(*key_names).agg(*agg_cols)
+    else:
+        out = out.agg(*agg_cols)
+    return out.select(*ordered_names)  # written RETURN order

@@ -273,6 +273,52 @@ def test_disjoint_patterns_cartesian(spark, triples):
     assert _rows(out) == [("Berlin", "Jane"), ("Berlin", "John")]
 
 
+def test_aggregate_implicit_grouping(spark, triples):
+    """openCypher implicit grouping: non-aggregate RETURN items are the
+    grouping keys. Undirected KNOWS degree on the John—Jane—Bob chain:
+    Jane 2, John 1, Bob 1. The validating aggregate form is
+    `count(var) AS alias` (the guard rejects bare count items —
+    reference parity the executor inherits)."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:KNOWS]-(b:Person) "
+        "RETURN a.firstName, count(b) AS n_knows",
+    )
+    assert out.columns == ["a_firstName", "n_knows"]
+    assert _rows(out) == [("Bob", 1), ("Jane", 2), ("John", 1)]
+
+
+def test_aggregate_after_varlen_union(spark, triples):
+    """Aggregation must run AFTER the var-length alternatives union —
+    per-branch aggregation would emit one row per branch."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:KNOWS*1..2]-(b:Person) "
+        "WHERE a.firstName = 'John' RETURN count(b) AS n_reached",
+    )
+    assert out.collect() == [(2,)]
+
+
+def test_alias_surface_is_reference_parity(spark, triples):
+    """The guard's extractor (reference parity) REJECTS `prop AS alias`
+    RETURN items ('Invalid property access ... in RETURN clause') while
+    ACCEPTING `count(v) AS alias` — execution is gated on validation, so
+    the executor inherits exactly that surface."""
+    with pytest.raises(CypherExecutionRefused):
+        execute_cypher(
+            spark, triples, "MATCH (l:Location) RETURN l.city AS where_at"
+        )
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (l:Location)<-[:LOCATED_IN]-(c:Company) RETURN count(c) AS n",
+    )
+    assert out.columns == ["n"]
+    assert out.collect() == [(1,)]
+
+
 def test_chain_plan_has_no_cartesian(spark, triples):
     out = execute_cypher(
         spark,
