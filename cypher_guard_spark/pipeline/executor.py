@@ -24,13 +24,21 @@ the executor can never disagree about what a query means.
 
 Semantics (Neo4j/openCypher parity for the supported subset):
 - bag semantics — one output row per pattern binding, duplicates kept;
-- relationship uniqueness — no edge is traversed twice in one pattern
-  (pairwise edge-id inequality filters, the openCypher rule); node
-  re-visits are allowed;
+- relationship uniqueness scoped per MATCH clause — no edge is
+  traversed twice within one clause, including ACROSS its comma
+  patterns (pairwise edge-id inequality filters, the openCypher rule);
+  separate MATCH clauses never exchange uniqueness constraints; node
+  re-visits are always allowed;
+- comma patterns and multiple MATCH clauses join on shared variables
+  (Cypher's cartesian product when disjoint);
 - undirected hops bind each edge in both orientations;
 - variable-length hops `[:T*a..b]` expand to a union of fixed-length
   chains (b must be explicit and total pattern hops are capped —
   unbounded expansion is plan-hostile at any scale);
+- RETURN supports node vars, properties, and `count(...) AS alias`
+  aggregates with openCypher implicit grouping (non-aggregate items
+  are the grouping keys); aggregation runs after the alternatives
+  union as one partial-agg groupBy;
 - properties the schema allows but the codegen never materializes
   (e.g. Person.age) evaluate to NULL, so comparisons on them match
   nothing and `IS NULL` matches everything — exactly a Neo4j graph
