@@ -868,6 +868,70 @@ FROM eu GROUP BY uf, ul
 """
 
 
+def q_kg_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence backbone of the canonical graph: the MAXIMUM spanning
+    forest (`pipeline/graph_algo.py:max_spanning_forest`, Borůvka) over
+    the undirected entity graph weighted by evidence count — w = distinct
+    (doc_id, pred) assertions supporting the unordered pair. Exact
+    integer weights; the strict (w DESC, u ASC, v ASC) tie order makes
+    the forest unique, so the serial Kruskal twin must match edge-for-
+    edge."""
+    from cypher_guard_spark.pipeline.graph_algo import max_spanning_forest
+
+    canon = _kg_canonical_full(spark)
+    pairs = canon.where(F.col("subj") != F.col("obj")).select(
+        F.least("subj", "obj").alias("u"),
+        F.greatest("subj", "obj").alias("v"),
+        "doc_id",
+        "pred",
+    )
+    weighted = pairs.groupBy("u", "v").agg(
+        F.countDistinct("doc_id", "pred").alias("w")
+    )
+    return max_spanning_forest(spark, weighted)
+
+
+def _py_kg_backbone() -> list:
+    """Serial Kruskal twin under the same strict total order."""
+    pairs: dict = {}
+    for d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        if s == o:
+            continue
+        a, b = (s, o) if s < o else (o, s)
+        pairs.setdefault((a, b), set()).add((d, _r))
+    edges = sorted(
+        ((len(ev), u, v) for (u, v), ev in pairs.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    out = []
+    for w, u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            out.append((u, v, w))
+    return out
+
+
+def _kg_backbone_sql() -> str:
+    rows = [
+        f"({_sql_quote(u)}, {_sql_quote(v)}, {w})"
+        for u, v, w in _py_kg_backbone()
+    ]
+    return (
+        "SELECT u, v, CAST(w AS BIGINT) AS w FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(u, v, w)"
+    )
+
+
 def q_kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(entity, label, degree, n_neighbors) over the canonical graph —
     degree = triple endpoints, n_neighbors = distinct canonical peers."""
@@ -4980,6 +5044,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_cypher_varlen",
     "kg_cypher_coworkers",
     "kg_cypher_degrees",
+    "kg_backbone",
     "kg_scc",
     "kg_ktruss",
     "kg_betweenness",
@@ -5383,6 +5448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cypher_varlen": q_kg_cypher_varlen,
         "kg_cypher_coworkers": q_kg_cypher_coworkers,
         "kg_cypher_degrees": q_kg_cypher_degrees,
+        "kg_backbone": q_kg_backbone,
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
@@ -6413,6 +6479,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_cypher_varlen": _kg_cypher_varlen_sql(),
         "kg_cypher_coworkers": _kg_cypher_coworkers_sql(),
         "kg_cypher_degrees": _kg_cypher_degrees_sql(),
+        "kg_backbone": _kg_backbone_sql(),
         "kg_entity_degrees": _kg_entity_degrees_values(),
         "kg_pagerank": _kg_pagerank_values(),
         "kg_pagerank_weighted": _kg_pagerank_weighted_values(),

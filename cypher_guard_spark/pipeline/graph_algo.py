@@ -2950,3 +2950,116 @@ def node2vec_walks(
             )
         )
     return out
+
+
+def max_spanning_forest(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 40,
+    u: str = "u",
+    v: str = "v",
+    w: str = "w",
+) -> DataFrame:
+    """(u, v, w) — the MAXIMUM spanning forest of the undirected weighted
+    graph: Borůvka's algorithm as driver-looped DataFrame joins. For a
+    KG this is the evidence backbone — keep, per connected component,
+    the tree of strongest-supported relations (graph sparsification for
+    visualization, embedding pre-processing, or a minimal trusted core).
+
+    Determinism without distinct weights: every selection compares edges
+    by the strict total order (w DESC, u ASC, v ASC), which makes the
+    forest UNIQUE and equal to Kruskal's under the same order — that is
+    the oracle contract (the DuckDB/pure-Python twin runs Kruskal, a
+    genuinely different algorithm, and must produce the identical edge
+    set). Consistent total-order tie-breaking is also what makes
+    Borůvka cycle-free with repeated weights.
+
+    Scale shape (the reason Borůvka and not Prim/Kruskal): every round
+    does (a) one comp-keyed row_number window to pick each component's
+    best incident edge — a partial-shuffle bounded by the live edge
+    count, hub fan-in irrelevant because the key is the component —
+    and (b) one connected-components call on the SELECTION graph (≤ one
+    edge per component, geometrically shrinking) to merge labels; the
+    canonicalize CC kernel brings its driver fast path for small rounds
+    and its distributed hash-min loop for web-scale ones. Component
+    count at least halves per round, so rounds ≤ ⌈log2 V⌉ — `max_rounds`
+    is a backstop, raised with resume guidance like k_core's.
+
+    Input edges must be pre-canonicalized: u < v, no self-loops, one row
+    per pair (aggregate parallel edges to a single weight first).
+    Weights should be integers (evidence counts) for an exact oracle.
+    """
+    from .canonicalize import connected_components
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(u).alias("u"), F.col(v).alias("v"), F.col(w).alias("w")
+    ).where(F.col("u") < F.col("v"))
+    comp = (
+        e.select(F.col("u").alias("x"))
+        .unionByName(e.select(F.col("v").alias("x")))
+        .dropDuplicates()
+        .select("x", F.xxhash64("x").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    forest = None
+    for _ in range(max_rounds):
+        cu = comp.select(F.col("x").alias("u"), F.col("c").alias("cu"))
+        cv = comp.select(F.col("x").alias("v"), F.col("c").alias("cv"))
+        cross = (
+            e.join(cu, "u").join(cv, "v")
+            .where(F.col("cu") != F.col("cv"))
+            .localCheckpoint(eager=False)
+        )
+        if cross.limit(1).count() == 0:
+            break
+        cand = cross.select(
+            F.col("cu").alias("c"), "u", "v", "w", "cu", "cv"
+        ).unionByName(
+            cross.select(F.col("cv").alias("c"), "u", "v", "w", "cu", "cv")
+        )
+        win = Window.partitionBy("c").orderBy(
+            F.desc("w"), F.asc("u"), F.asc("v")
+        )
+        chosen = (
+            cand.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select("u", "v", "w", "cu", "cv")
+            .dropDuplicates(["u", "v"])
+            .localCheckpoint(eager=False)
+        )
+        picked = chosen.select("u", "v", "w")
+        forest = picked if forest is None else forest.unionByName(picked)
+        # merge: CC over the selection graph on component labels — the
+        # canonicalize kernel's small-graph driver fast path handles the
+        # (geometrically shrinking) rounds in one job each
+        sel_edges = chosen.select(
+            F.lit("").alias("label"),
+            F.col("cu").cast("string").alias("a"),
+            F.col("cv").cast("string").alias("b"),
+        )
+        sel_verts = (
+            chosen.select(F.col("cu").alias("s"))
+            .unionByName(chosen.select(F.col("cv").alias("s")))
+            .dropDuplicates()
+            .select(F.lit("").alias("label"), F.col("s").cast("string").alias("surface"))
+        )
+        relabel = connected_components(spark, sel_verts, sel_edges).select(
+            F.col("surface").cast("long").alias("c"),
+            F.col("comp").alias("newc"),
+        )
+        comp = (
+            comp.join(relabel, "c", "left")
+            .select("x", F.coalesce("newc", "c").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        raise RuntimeError(
+            f"max_spanning_forest did not converge in {max_rounds} rounds "
+            "(component count halves per round — raise max_rounds for "
+            "graphs with more than 2^40 vertices, or resume from the "
+            "partial forest)"
+        )
+    if forest is None:
+        return e.select("u", "v", "w").limit(0)
+    return forest.dropDuplicates(["u", "v"])

@@ -2198,3 +2198,72 @@ def test_reciprocity_hand_and_empty(spark):
     loops = spark.createDataFrame([("a", "a"), ("a", "b")], ["src", "dst"])
     rl = reciprocity(spark, loops).collect()[0]
     assert (rl["n_edges"], rl["n_reciprocal"], rl["reciprocity"]) == (1, 0, 0.0)
+
+
+def test_max_spanning_forest_hand_and_kruskal(spark):
+    """Borůvka vs hand values + a 40-edge random graph vs an independent
+    Kruskal under the same strict (w DESC, u ASC, v ASC) order — the
+    total order makes the forest unique, so the edge SETS must be
+    identical, not just the total weight."""
+    import random
+
+    from cypher_guard_spark.pipeline.graph_algo import max_spanning_forest
+
+    edges = [("A", "B", 5), ("B", "C", 3), ("C", "D", 4), ("A", "D", 2), ("B", "D", 6)]
+    e = spark.createDataFrame(edges, ["u", "v", "w"])
+    got = sorted(tuple(r) for r in max_spanning_forest(spark, e).collect())
+    assert got == [("A", "B", 5), ("B", "D", 6), ("C", "D", 4)]
+
+    def kruskal(es):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        out = []
+        for w, u, v in sorted(((w, u, v) for u, v, w in es), key=lambda t: (-t[0], t[1], t[2])):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+                out.append((u, v, w))
+        return sorted(out)
+
+    rng = random.Random(11)
+    names = [f"n{i:02d}" for i in range(18)]
+    seen = set()
+    res = []
+    while len(res) < 40:
+        a, b = rng.sample(names, 2)
+        if a > b:
+            a, b = b, a
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        res.append((a, b, rng.randint(1, 6)))  # heavy ties on purpose
+    e2 = spark.createDataFrame(res, ["u", "v", "w"])
+    got2 = sorted(tuple(r) for r in max_spanning_forest(spark, e2).collect())
+    assert got2 == kruskal(res)
+
+
+def test_max_spanning_forest_ties_disconnected_empty(spark):
+    from cypher_guard_spark.pipeline.graph_algo import max_spanning_forest
+
+    # all-equal weights: unique forest via the (u, v) tie order
+    e = spark.createDataFrame(
+        [("A", "B", 1), ("A", "D", 1), ("B", "C", 1), ("B", "D", 1), ("C", "D", 1)],
+        ["u", "v", "w"],
+    )
+    got = sorted(tuple(r) for r in max_spanning_forest(spark, e).collect())
+    assert got == [("A", "B", 1), ("A", "D", 1), ("B", "C", 1)]
+    # disconnected graph: a forest, one tree per component
+    e2 = spark.createDataFrame([("A", "B", 1), ("C", "D", 2)], ["u", "v", "w"])
+    got2 = sorted(tuple(r) for r in max_spanning_forest(spark, e2).collect())
+    assert got2 == [("A", "B", 1), ("C", "D", 2)]
+    # empty edge set: empty forest with the right schema
+    e3 = spark.createDataFrame([], "u string, v string, w long")
+    out = max_spanning_forest(spark, e3)
+    assert out.columns == ["u", "v", "w"]
+    assert out.count() == 0
