@@ -319,6 +319,32 @@ def test_alias_surface_is_reference_parity(spark, triples):
     assert out.collect() == [(1,)]
 
 
+def test_is_null_operators(spark, triples):
+    """IS NULL / IS NOT NULL: unmaterialized properties (Person.age) are
+    NULL on every binding, materialized ones never are."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) WHERE a.age IS NULL "
+        "RETURN a.firstName",
+    )
+    assert sorted(r[0] for r in out.collect()) == ["Jane", "John"]
+    out2 = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+        "WHERE a.firstName IS NOT NULL RETURN a.firstName",
+    )
+    assert sorted(r[0] for r in out2.collect()) == ["Jane", "John"]
+    out3 = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+        "WHERE a.firstName IS NULL RETURN a.firstName",
+    )
+    assert out3.count() == 0
+
+
 def test_chain_plan_has_no_cartesian(spark, triples):
     out = execute_cypher(
         spark,
