@@ -932,6 +932,129 @@ def _kg_backbone_sql() -> str:
     )
 
 
+def q_kg_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain modularity communities over the evidence-weighted entity
+    graph (`pipeline/graph_algo.py:louvain`): multi-level local moving
+    with cleared-denominator INTEGER gain scores, so every move decision
+    is exact and the serial twin must match assignment-for-assignment.
+    Weights are the same distinct (doc_id, pred) evidence counts the
+    backbone uses — Louvain is the quality upgrade over the LPA entry
+    (`kg_communities`), explicitly maximizing the `kg_modularity` gate."""
+    from cypher_guard_spark.pipeline.graph_algo import louvain
+
+    canon = _kg_canonical_full(spark)
+    pairs = canon.where(F.col("subj") != F.col("obj")).select(
+        F.least("subj", "obj").alias("u"),
+        F.greatest("subj", "obj").alias("v"),
+        "doc_id",
+        "pred",
+    )
+    weighted = pairs.groupBy("u", "v").agg(
+        F.countDistinct("doc_id", "pred").alias("w")
+    )
+    return louvain(spark, weighted, src="u", dst="v", weight="w")
+
+
+def _py_louvain(pair_w: dict, iters: int = 6, max_levels: int = 8) -> dict:
+    """Serial twin of `pipeline.graph_algo.louvain`: identical integer
+    gain scores, xxhash64(vertex, level) parity gating, tie order
+    (stay beats move, then smallest community id), fixed rounds per
+    level, merge-progress level rule, min-member canonical labels."""
+    from collections import defaultdict
+
+    from cypher_guard_spark.oracle.sparkhash import spark_xxhash64
+
+    pairs: dict = {}
+    for (a, b), w in pair_w.items():
+        if a == b:
+            continue
+        key = (a, b) if a <= b else (b, a)
+        pairs[key] = pairs.get(key, 0) + int(w)
+    if not pairs:
+        return {}
+    verts0: set = set()
+    for a, b in pairs:
+        verts0.add(a)
+        verts0.add(b)
+    vmap = {v: v for v in verts0}
+    m2 = 2 * sum(pairs.values())
+    for level in range(max_levels):
+        verts: set = set()
+        for a, b in pairs:
+            verts.add(a)
+            verts.add(b)
+        if len(verts) <= 1:
+            break
+        adj: dict = defaultdict(dict)
+        k: dict = defaultdict(int)
+        for (a, b), w in pairs.items():
+            if a == b:
+                k[a] += 2 * w
+            else:
+                adj[a][b] = adj[a].get(b, 0) + w
+                adj[b][a] = adj[b].get(a, 0) + w
+                k[a] += w
+                k[b] += w
+        comm = {v: v for v in verts}
+        for r in range(iters):
+            tot: dict = defaultdict(int)
+            for v in verts:
+                tot[comm[v]] += k[v]
+            new = dict(comm)
+            for v in verts:
+                if spark_xxhash64(v, level) % 2 != r % 2:
+                    continue
+                kin: dict = defaultdict(int)
+                kin[comm[v]] += 0
+                for j, w in adj.get(v, {}).items():
+                    kin[comm[j]] += w
+                best = None
+                for cand, kv in kin.items():
+                    own = 1 if cand == comm[v] else 0
+                    score = m2 * kv - k[v] * (tot[cand] - own * k[v])
+                    key = (-score, -own, cand)
+                    if best is None or key < best[0]:
+                        best = (key, cand)
+                new[v] = best[1]
+            comm = new
+        n_comms = len(set(comm.values()))
+        if n_comms == len(verts):
+            break
+        vmap = {e: comm[c] for e, c in vmap.items()}
+        npairs: dict = defaultdict(int)
+        for (a, b), w in pairs.items():
+            ca, cb = comm[a], comm[b]
+            key = (ca, cb) if ca <= cb else (cb, ca)
+            npairs[key] += w
+        pairs = dict(npairs)
+        if n_comms <= 1:
+            break
+    reps: dict = {}
+    for e, c in vmap.items():
+        if c not in reps or e < reps[c]:
+            reps[c] = e
+    return {e: reps[c] for e, c in vmap.items()}
+
+
+def _kg_louvain_sql() -> str:
+    pair_w: dict = {}
+    for d, s, _r, o, _sl, _ol in _py_kg_canonical_triples():
+        if s == o:
+            continue
+        a, b = (s, o) if s < o else (o, s)
+        pair_w.setdefault((a, b), set()).add((d, _r))
+    assign = _py_louvain({k: len(v) for k, v in pair_w.items()})
+    rows = [
+        f"({_sql_quote(e)}, {_sql_quote(c)})"
+        for e, c in sorted(assign.items())
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(entity, community)"
+    )
+
+
 def q_kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(entity, label, degree, n_neighbors) over the canonical graph —
     degree = triple endpoints, n_neighbors = distinct canonical peers."""
@@ -5045,6 +5168,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_cypher_coworkers",
     "kg_cypher_degrees",
     "kg_backbone",
+    "kg_louvain",
     "kg_scc",
     "kg_ktruss",
     "kg_betweenness",
@@ -5449,6 +5573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cypher_coworkers": q_kg_cypher_coworkers,
         "kg_cypher_degrees": q_kg_cypher_degrees,
         "kg_backbone": q_kg_backbone,
+        "kg_louvain": q_kg_louvain,
         "kg_entity_degrees": q_kg_entity_degrees,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
@@ -6480,6 +6605,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_cypher_coworkers": _kg_cypher_coworkers_sql(),
         "kg_cypher_degrees": _kg_cypher_degrees_sql(),
         "kg_backbone": _kg_backbone_sql(),
+        "kg_louvain": _kg_louvain_sql(),
         "kg_entity_degrees": _kg_entity_degrees_values(),
         "kg_pagerank": _kg_pagerank_values(),
         "kg_pagerank_weighted": _kg_pagerank_weighted_values(),

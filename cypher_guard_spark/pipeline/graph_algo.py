@@ -3063,3 +3063,238 @@ def max_spanning_forest(
     if forest is None:
         return e.select("u", "v", "w").limit(0)
     return forest.dropDuplicates(["u", "v"])
+
+
+def louvain(
+    spark: SparkSession,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 6,
+    max_levels: int = 8,
+) -> DataFrame:
+    """(entity, community) — multi-level Louvain modularity optimization
+    (Blondel et al. 2008) over the undirected weighted graph: the
+    quality community detector (LPA's cheaper rounds find coarse groups;
+    Louvain explicitly maximizes the `modularity` gate this module
+    already reports). Phase 1 is synchronous local moving — every vertex
+    evaluates, against the ROUND-FROZEN assignment, the modularity gain
+    of adopting each neighbor community; phase 2 contracts communities
+    into super-vertices (intra-community weight becomes a self-loop) and
+    phase 1 reruns on the coarse graph, until a level makes no merge or
+    `max_levels` is hit. Output community labels are canonicalized to
+    each community's MINIMUM original member id.
+
+    Exactness (the oracle contract): with integer weights every move
+    decision is a comparison of cleared-denominator gains. Removing i
+    from its community and inserting into c has gain ∝
+    2m·k_in(i,c) − k_i·Σtot'(c) where Σtot'(c) excludes k_i when c is
+    i's own community — ALL integers, so score(c) = 2m·k_in − k_i·Σtot'
+    ranks candidates with zero FP anywhere and the serial twin is
+    bit-identical. Ties: staying beats moving, then smallest community
+    id. |score| ≤ 2m·k_max must fit int64 — at 10^12 total edge weight
+    with 10^6-weighted-degree hubs that is ~4·10^18, inside int64;
+    beyond it, pre-scale weights (gain ORDER survives uniform integer
+    division only approximately — document the trade at deployment).
+
+    Determinism under synchronous moves: simultaneous moves of adjacent
+    vertices can oscillate (the classic 2-swap), so each round only the
+    xxhash64(vertex, level)-parity class matching round%2 moves — the
+    standard distributed-Louvain alternation (Sotera/LG family). With
+    FIXED `iters` rounds per level the whole operator is a pure function
+    of the edge multiset, which is what makes the pure-Python twin exact
+    (same precedent as `label_propagation`).
+
+    Scale shape: per round one adjacency×assignment equi-join keyed on
+    the neighbor, one (vertex, candidate-community) partial agg for
+    k_in (hub fan-in collapses map-side), one O(C) community-degree
+    partial agg, one per-vertex argmax window carrying id-sized rows.
+    The per-round assignment goes through a persist→count→
+    localCheckpoint→unpersist BARRIER: the assignment is referenced
+    four times per round, and a bare checkpoint chain makes Catalyst's
+    size-only join estimate (product of child sizes, INHERITED through
+    LogicalRDD) quadruple its bit-length every round until the driver
+    lives inside BigInteger multiplies — materializing the cache first
+    hands the checkpoint REAL byte-sized stats (see the in-loop
+    comment; measured 4.3× wall growth per round without it).
+    Coarsening is one groupBy on relabeled pairs; a level either merges
+    (strictly fewer vertices) or the level loop stops, and m is
+    invariant under contraction so 2m is computed once. Driver actions:
+    two O(V) jobs per round + one count per level, nothing
+    corpus-sized.
+
+    Input contract: self-loops in the INPUT are dropped (they carry no
+    modularity signal at level 0); parallel edges aggregate (SUM of
+    `weight`, or DISTINCT pairs at weight 1 when `weight` is None).
+    """
+    from pyspark.sql import Window
+
+    if weight is None:
+        pairs = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .select("a", "b", F.lit(1).cast("long").alias("w"))
+        )
+    else:
+        pairs = (
+            edges.where(F.col(src) != F.col(dst))
+            .select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+                F.col(weight).cast("long").alias("w"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+        )
+    pairs = pairs.localCheckpoint(eager=False)
+    row = pairs.agg(F.sum(F.col("w") * 2).alias("m2")).collect()[0]
+    if row["m2"] is None:
+        return spark.createDataFrame([], "entity string, community string")
+    m2 = int(row["m2"])  # 2m — invariant under coarsening
+
+    vmap = (
+        pairs.select(F.col("a").alias("entity"))
+        .unionByName(pairs.select(F.col("b").alias("entity")))
+        .distinct()
+        .select("entity", F.col("entity").alias("cur"))
+        .localCheckpoint(eager=False)
+    )
+
+    for level in range(max_levels):
+        verts = (
+            pairs.select(F.col("a").alias("x"))
+            .unionByName(pairs.select(F.col("b").alias("x")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n_verts = verts.count()
+        if n_verts <= 1:
+            break
+        nonself = pairs.where(F.col("a") != F.col("b"))
+        adj = (
+            nonself.select(F.col("a").alias("i"), F.col("b").alias("j"), "w")
+            .unionByName(
+                nonself.select(F.col("b").alias("i"), F.col("a").alias("j"), "w")
+            )
+            .localCheckpoint(eager=True)
+        )
+        k = (
+            adj.select(F.col("i").alias("x"), F.col("w").alias("kw"))
+            .unionByName(
+                pairs.where(F.col("a") == F.col("b")).select(
+                    F.col("a").alias("x"), (F.col("w") * 2).alias("kw")
+                )
+            )
+            .groupBy("x")
+            .agg(F.sum("kw").alias("k"))
+            .localCheckpoint(eager=True)
+        )
+        comm = verts.select("x", F.col("x").alias("c")).localCheckpoint(
+            eager=True
+        )
+        win = Window.partitionBy("x").orderBy(
+            F.desc("score"), F.desc("is_own"), F.asc("cand")
+        )
+        for r in range(iters):
+            cj = comm.select(F.col("x").alias("j"), F.col("c").alias("cj"))
+            kin = (
+                adj.join(cj, "j")
+                .groupBy("i", "cj")
+                .agg(F.sum("w").alias("kin"))
+                .select(
+                    F.col("i").alias("x"), F.col("cj").alias("cand"), "kin"
+                )
+            )
+            own0 = comm.select(
+                "x",
+                F.col("c").alias("cand"),
+                F.lit(0).cast("long").alias("kin"),
+            )
+            cands = (
+                kin.unionByName(own0)
+                .groupBy("x", "cand")
+                .agg(F.sum("kin").alias("kin"))
+            )
+            tot = (
+                comm.join(k, "x")
+                .groupBy("c")
+                .agg(F.sum("k").alias("tot"))
+                .select(F.col("c").alias("cand"), "tot")
+            )
+            scored = (
+                cands.join(tot, "cand")
+                .join(comm, "x")
+                .join(k, "x")
+                .withColumn(
+                    "is_own", (F.col("cand") == F.col("c")).cast("long")
+                )
+                .withColumn(
+                    "score",
+                    F.lit(m2).cast("long") * F.col("kin")
+                    - F.col("k")
+                    * (F.col("tot") - F.col("is_own") * F.col("k")),
+                )
+            )
+            picks = (
+                scored.where(
+                    F.pmod(F.xxhash64(F.col("x"), F.lit(level)), F.lit(2))
+                    == F.lit(r % 2)
+                )
+                .withColumn("rn", F.row_number().over(win))
+                .where(F.col("rn") == 1)
+                .select("x", F.col("cand").alias("newc"))
+            )
+            # STATS BARRIER (measured pathology, see docstring): comm is
+            # referenced FOUR times per round (cj, the stay-option rows,
+            # the scored join, and this update). localCheckpoint's
+            # LogicalRDD INHERITS the estimated stats of the plan it
+            # truncates, and Catalyst's size-only join estimate is the
+            # PRODUCT of child sizes — so a plain checkpoint chain makes
+            # sizeInBytes' bit-length quadruple per round and the driver
+            # ends up in multi-megabit BigInteger multiplies (~4.3x wall
+            # per round, then OOM). persist()+count() first: the
+            # materialized InMemoryRelation reports REAL byte sizes, the
+            # checkpoint then inherits those small stats AND truncates
+            # lineage, and the old cache is dropped. Two O(V) row scans
+            # per round, constant plans, constant stats.
+            nxt = comm.join(picks, "x", "left").select(
+                "x", F.coalesce("newc", "c").alias("c")
+            )
+            nxt = nxt.persist()
+            nxt.count()
+            new_comm = nxt.localCheckpoint(eager=True)
+            nxt.unpersist()
+            comm = new_comm
+        n_comms = comm.select("c").distinct().count()
+        if n_comms == n_verts:
+            break  # level made no merge — assignment is all singletons
+        vmap = (
+            vmap.join(
+                comm.select(F.col("x").alias("cur"), "c"), "cur"
+            )
+            .select("entity", F.col("c").alias("cur"))
+            .localCheckpoint(eager=False)
+        )
+        ca = comm.select(F.col("x").alias("a"), F.col("c").alias("ca"))
+        cb = comm.select(F.col("x").alias("b"), F.col("c").alias("cb"))
+        pairs = (
+            pairs.join(ca, "a")
+            .join(cb, "b")
+            .select(
+                F.least("ca", "cb").alias("a"),
+                F.greatest("ca", "cb").alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        if n_comms <= 1:
+            break
+    rep = vmap.groupBy("cur").agg(F.min("entity").alias("community"))
+    return vmap.join(rep, "cur").select("entity", "community")
