@@ -5484,6 +5484,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curated": q_corpus_curated,
         "corpus_curated_shards": q_corpus_curated_shards,
         # similarity search
+        # kNN label-agreement audit (confident-learning family): does
+        # each vector's cosine neighborhood vote for its own label —
+        # strict-minority agreement flags mislabeled candidates
+        "emb_label_noise": lambda s, d: similarity.knn_label_noise(
+            _emb(s, d), _emb(s, d), k=10
+        ),
+        # corpus frequency spectrum: types binned by floor(log2(count))
+        # — the Zipf-profile histogram; integer-exact, no vocab sort
+        "corpus_freq_spectrum": lambda s, d: text.frequency_spectrum(
+            _docs(s, d)
+        ),
         "emb_knn_bruteforce": lambda s, d: similarity.brute_force_topk(
             _emb(s, d), _emb(s, d).where(F.col("vec_id") < 5), k=10
         ),
@@ -6374,6 +6385,47 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    round(sum(length(lower(trim(text))))::DOUBLE / count(*), 6) AS avg_chars,
                    round(1.0 - count(DISTINCT md5(lower(trim(text)))) / count(*), 6) AS dup_ratio
             FROM documents GROUP BY source, lang
+        """,
+        "emb_label_noise": """
+            WITH topk AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                                    c.vec_id) AS rank
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              ) WHERE rank <= 10)
+            SELECT t.query_id AS vec_id, q.label,
+                   CAST(count(*) AS BIGINT) AS n_neighbors,
+                   CAST(sum(CASE WHEN n.label = q.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+                   round(CAST(sum(CASE WHEN n.label = q.label THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS agree_frac,
+                   CAST(CASE WHEN 2 * sum(CASE WHEN n.label = q.label THEN 1 ELSE 0 END)
+                             < count(*) THEN 1 ELSE 0 END AS BIGINT) AS suspect
+            FROM topk t
+            JOIN embeddings q ON t.query_id = q.vec_id
+            JOIN embeddings n ON t.neighbor_id = n.vec_id
+            GROUP BY t.query_id, q.label
+        """,
+        "corpus_freq_spectrum": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+              FROM documents),
+            counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+            b AS (SELECT CASE WHEN cnt < 2 THEN 0 WHEN cnt < 4 THEN 1 WHEN cnt < 8 THEN 2 WHEN cnt < 16 THEN 3 WHEN cnt < 32 THEN 4 WHEN cnt < 64 THEN 5 WHEN cnt < 128 THEN 6 WHEN cnt < 256 THEN 7 WHEN cnt < 512 THEN 8 WHEN cnt < 1024 THEN 9 WHEN cnt < 2048 THEN 10 WHEN cnt < 4096 THEN 11 WHEN cnt < 8192 THEN 12 WHEN cnt < 16384 THEN 13 WHEN cnt < 32768 THEN 14 WHEN cnt < 65536 THEN 15 WHEN cnt < 131072 THEN 16 WHEN cnt < 262144 THEN 17 WHEN cnt < 524288 THEN 18 WHEN cnt < 1048576 THEN 19 WHEN cnt < 2097152 THEN 20 WHEN cnt < 4194304 THEN 21 WHEN cnt < 8388608 THEN 22 WHEN cnt < 16777216 THEN 23 WHEN cnt < 33554432 THEN 24 WHEN cnt < 67108864 THEN 25 WHEN cnt < 134217728 THEN 26 WHEN cnt < 268435456 THEN 27 WHEN cnt < 536870912 THEN 28 WHEN cnt < 1073741824 THEN 29 WHEN cnt < 2147483648 THEN 30 WHEN cnt < 4294967296 THEN 31 WHEN cnt < 8589934592 THEN 32 WHEN cnt < 17179869184 THEN 33 WHEN cnt < 34359738368 THEN 34 WHEN cnt < 68719476736 THEN 35 WHEN cnt < 137438953472 THEN 36 WHEN cnt < 274877906944 THEN 37 WHEN cnt < 549755813888 THEN 38 WHEN cnt < 1099511627776 THEN 39 WHEN cnt < 2199023255552 THEN 40 WHEN cnt < 4398046511104 THEN 41 WHEN cnt < 8796093022208 THEN 42 WHEN cnt < 17592186044416 THEN 43 WHEN cnt < 35184372088832 THEN 44 WHEN cnt < 70368744177664 THEN 45 WHEN cnt < 140737488355328 THEN 46 WHEN cnt < 281474976710656 THEN 47 WHEN cnt < 562949953421312 THEN 48 WHEN cnt < 1125899906842624 THEN 49 WHEN cnt < 2251799813685248 THEN 50 WHEN cnt < 4503599627370496 THEN 51 WHEN cnt < 9007199254740992 THEN 52 WHEN cnt < 18014398509481984 THEN 53 WHEN cnt < 36028797018963968 THEN 54 WHEN cnt < 72057594037927936 THEN 55 WHEN cnt < 144115188075855872 THEN 56 WHEN cnt < 288230376151711744 THEN 57 WHEN cnt < 576460752303423488 THEN 58 WHEN cnt < 1152921504606846976 THEN 59 WHEN cnt < 2305843009213693952 THEN 60 WHEN cnt < 4611686018427387904 THEN 61 ELSE 62 END AS bucket, cnt FROM counts),
+            spec AS (
+              SELECT bucket,
+                     CAST(MIN(cnt) AS BIGINT) AS min_count,
+                     CAST(MAX(cnt) AS BIGINT) AS max_count,
+                     CAST(count(*) AS BIGINT) AS n_types,
+                     CAST(sum(cnt) AS BIGINT) AS total_occurrences
+              FROM b GROUP BY bucket)
+            SELECT bucket, min_count, max_count, n_types, total_occurrences,
+                   CAST(sum(n_types) OVER (ORDER BY bucket ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_types
+            FROM spec
         """,
         "emb_knn_bruteforce": """
             SELECT query_id, neighbor_id, rank, sim FROM (

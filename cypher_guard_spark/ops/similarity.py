@@ -1020,3 +1020,68 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adist")
     )
+
+
+def knn_label_noise(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(vec_id, label, n_neighbors, n_agree, agree_frac, suspect) — kNN
+    label-agreement audit over an embedding space (the confident-learning
+    family, Northcutt et al.): for each audited vector, how many of its k
+    nearest cosine neighbors share its label. A point whose neighborhood
+    votes AGAINST its label (strict minority ⇒ suspect=1) is a
+    mislabeled-example / wrong-cluster candidate — the standard quality
+    gate before labels feed classifier training or stratified sampling.
+
+    Determinism: the neighbor sets come from `brute_force_topk`'s
+    contract (6dp-rounded cosine, ties by neighbor id — identical in any
+    engine), and everything after is integer: n_agree is a count,
+    agree_frac one exact division rounded 6dp, suspect the integer test
+    2·n_agree < n_neighbors. n_neighbors is the ACTUAL neighbor count
+    (min(k, corpus−1)), so tiny corpora stay well-defined.
+
+    Scale posture: inherits brute-force kNN's shape — the audited query
+    set broadcasts, scoring is map-only over the corpus, the only
+    shuffles are the per-query top-k and the id-keyed neighbor-label
+    join (ids only, no vectors). Audit the full corpus at web scale by
+    swapping the exact kernel for `ivf_topk`/`ivfpq_topk` over the
+    at-rest index (same downstream agreement plan — the verdict needs
+    only (query, neighbor) pairs), or by auditing per-label stratified
+    samples; label noise is a population estimate, it does not need
+    every point."""
+    topk = brute_force_topk(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    qlab = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+        )
+    )
+    nlab = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_nlabel"),
+    )
+    per = topk.join(qlab, "query_id").join(nlab, "neighbor_id")
+    agg = per.groupBy("query_id", "label").agg(
+        F.count("*").alias("n_neighbors"),
+        F.sum(
+            (F.col("_nlabel") == F.col("label")).cast("long")
+        ).alias("n_agree"),
+    )
+    return agg.select(
+        F.col("query_id").alias(id_col),
+        "label",
+        "n_neighbors",
+        "n_agree",
+        F.round(F.col("n_agree") / F.col("n_neighbors"), 6).alias(
+            "agree_frac"
+        ),
+        (2 * F.col("n_agree") < F.col("n_neighbors"))
+        .cast("long")
+        .alias("suspect"),
+    )

@@ -1270,3 +1270,61 @@ def lexical_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit(0.0),
         ).alias("simpson"),
     )
+
+
+def frequency_spectrum(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, min_count, max_count, n_types, total_occurrences,
+    cum_types) — the corpus frequency spectrum with types binned by
+    ⌊log2(count)⌋: the Zipf-profile view of the vocabulary (for a
+    Zipfian corpus, n_types falls ~geometrically across buckets;
+    deviations localize tokenizer pathologies, boilerplate floods and
+    synthetic-text spikes), and the direct planning input for min_count
+    cutoffs — bucket sums tell exactly how many types and occurrences a
+    cutoff at any power of two keeps. Complements `build_vocab` (the
+    head of the distribution) and `vocab_growth` (Heaps' law over doc
+    order) with the full count histogram.
+
+    Exactness: everything is integer. The bucket index is
+    length(bin(count)) − 1 — the binary bit-length, never a float log2
+    that can land on 2.9999… at exact powers of two; the oracle twin
+    uses an integer CASE ladder for the same reason. min/max/cum are
+    MIN/MAX/SUM of integers; no FP anywhere, so the result is
+    bit-identical in any engine and partitioning.
+
+    Scale posture: one (token) partial-aggregating exchange for the
+    per-type counts (the `build_vocab` shuffle shape — hub tokens
+    combine map-side), then one ≤64-key partial agg for the buckets; the
+    cumulative-types window runs over those ≤64 rows. Unlike a
+    rank-based Zipf table there is NO global total-order window — the
+    spectrum needs only counts, so nothing ever single-partition-sorts
+    the vocabulary."""
+    tok = df.select(
+        F.col(key_col).alias("_doc"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    bucketed = counts.select(
+        (F.length(F.bin(F.col("cnt"))) - 1).cast("int").alias("bucket"),
+        "cnt",
+    )
+    spec = bucketed.groupBy("bucket").agg(
+        F.min("cnt").alias("min_count"),
+        F.max("cnt").alias("max_count"),
+        F.count("*").alias("n_types"),
+        F.sum("cnt").alias("total_occurrences"),
+    )
+    w = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return spec.select(
+        "bucket",
+        "min_count",
+        "max_count",
+        "n_types",
+        "total_occurrences",
+        F.sum("n_types").over(w).alias("cum_types"),
+    )

@@ -1710,3 +1710,66 @@ def test_lexical_diversity_hand_values(spark):
     assert got[2] == (4, 4, 1.0, 0.0)
     assert got[3] == (3, 2, round(2 / 3, 6), round(2 / 6, 6))
     assert got[4] == (1, 1, 1.0, 0.0)
+
+
+def test_frequency_spectrum_hand_values(spark):
+    """Counts: a=8 (bucket 3, exact power of two — the float-log2 trap),
+    b=5 (bucket 2), c=4 (bucket 2), d=1, e=1 (bucket 0)."""
+    from cypher_guard_spark.ops.text import frequency_spectrum
+
+    text = " ".join(["a"] * 8 + ["b"] * 5 + ["c"] * 4 + ["d", "e"])
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = {
+        r["bucket"]: r for r in frequency_spectrum(df).collect()
+    }
+    assert set(rows) == {0, 2, 3}
+    assert (rows[0]["min_count"], rows[0]["max_count"]) == (1, 1)
+    assert (rows[0]["n_types"], rows[0]["total_occurrences"]) == (2, 2)
+    assert (rows[2]["min_count"], rows[2]["max_count"]) == (4, 5)
+    assert (rows[2]["n_types"], rows[2]["total_occurrences"]) == (2, 9)
+    assert (rows[3]["min_count"], rows[3]["max_count"]) == (8, 8)
+    assert (rows[3]["n_types"], rows[3]["total_occurrences"]) == (1, 8)
+    # cumulative types follow bucket order
+    assert [rows[b]["cum_types"] for b in (0, 2, 3)] == [2, 4, 5]
+
+
+def test_knn_label_noise_flags_planted_mislabel(spark):
+    """Two tight clusters in 2-d; one point of cluster A carries cluster
+    B's label — its whole neighborhood disagrees, so it is the only
+    suspect. k exceeding corpus-1 exercises the actual-neighbor count."""
+    from cypher_guard_spark.ops.similarity import knn_label_noise
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.99, 0.01], 1),
+        (2, [0.98, 0.02], 1),
+        (3, [0.97, 0.03], 2),   # planted: sits in cluster A, labeled B
+        (4, [0.0, 1.0], 2),
+        (5, [0.01, 0.99], 2),
+        (6, [0.02, 0.98], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["vec_id"]: r for r in knn_label_noise(df, df, k=3).collect()
+    }
+    assert all(out[i]["n_neighbors"] == 3 for i in out)
+    # planted point: all 3 nearest are cluster A with label 1 ≠ 2
+    assert out[3]["n_agree"] == 0
+    assert out[3]["suspect"] == 1
+    assert out[3]["agree_frac"] == 0.0
+    # true cluster members keep majority agreement, never suspect
+    for i in (0, 1, 2):
+        assert out[i]["suspect"] == 0  # 2 of 3 neighbors agree (3 is mislabeled)
+        assert out[i]["n_agree"] == 2
+    for i in (4, 5, 6):
+        # cluster B points see the two other B points + the planted
+        # far-side B-labeled point ranks below the tight pair — their
+        # third neighbor is a cluster-A point or the planted one
+        assert out[i]["suspect"] == 0
+    # k larger than corpus-1 → every remaining vector is a neighbor
+    out_all = {
+        r["vec_id"]: r for r in knn_label_noise(df, df, k=100).collect()
+    }
+    assert all(out_all[i]["n_neighbors"] == 6 for i in out_all)
