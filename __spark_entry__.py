@@ -4393,6 +4393,51 @@ def _doc_neardup_clusters_values(threshold: float = 0.3) -> str:
     )
 
 
+def _doc_leakage_split_values(
+    threshold: float = 0.3, eval_pct: int = 10
+) -> str:
+    """Pure-Python twin of ops.dedup.leakage_safe_split: the cluster
+    twin's union-find assignment + the portable md5-prefix side hash
+    (int(md5(str(cid))[:15], 16) % 100 < eval_pct ⇔ Spark's
+    conv(substr(md5,1,15),16,10))."""
+    import hashlib
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _sim in _py_minhash_pairs(threshold=threshold):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_members: dict[int, list[int]] = {}
+    for v in parent:
+        comp_members.setdefault(find(v), []).append(v)
+    cluster_of: dict[int, int] = {}
+    for members in comp_members.values():
+        cid = min(members)
+        for v in members:
+            cluster_of[v] = cid
+    rows = []
+    for doc_id, _text in _oracle_documents():
+        cid = cluster_of.get(doc_id, doc_id)
+        h = int(hashlib.md5(str(cid).encode()).hexdigest()[:15], 16) % 100
+        side = "eval" if h < eval_pct else "train"
+        rows.append(f"({doc_id}, {cid}, '{side}')")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, cluster_id, split)"
+    )
+
+
+
 # fuzzy decontam uses a %7 split (not the %97 of the exact-n-gram
 # queries): the synthetic corpus's near-dup groups must CROSS the
 # corpus/benchmark split for the operator to have non-trivial output,
@@ -5298,6 +5343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "doc_neardup_clusters": lambda s, d: dedup.neardup_clusters(
             s, _docs(s, d), threshold=0.3
+        ),
+        # contamination-free train/eval carve: the split key is the
+        # near-dup CLUSTER, so no minhash pair can cross the boundary
+        "doc_leakage_split": lambda s, d: dedup.leakage_safe_split(
+            s, _docs(s, d), eval_pct=10, threshold=0.3
         ),
         "doc_neardup_survivors": lambda s, d: dedup.neardup_survivors(
             s, _docs(s, d), threshold=0.3
@@ -6727,6 +6777,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "doc_neardup_incremental": _doc_neardup_incremental_values(),
         "doc_simhash_near_dups": _doc_simhash_values(),
         "doc_neardup_clusters": _doc_neardup_clusters_values(),
+        "doc_leakage_split": _doc_leakage_split_values(),
         "doc_neardup_survivors": _doc_neardup_survivors_sql(),
         "doc_neardup_report": (
             "SELECT cluster_size, count(DISTINCT cluster_id) AS n_clusters, "

@@ -915,3 +915,60 @@ def cross_source_dup_matrix(
             F.max("sim").alias("max_sim"),
         )
     )
+
+
+def leakage_safe_split(
+    spark,
+    df: DataFrame,
+    eval_pct: int = 10,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+    driver_max_pairs: int = 100_000,
+) -> DataFrame:
+    """(doc_id, cluster_id, split) — contamination-free train/eval
+    assignment: a plain per-doc hash split leaks whenever a training
+    document's near-duplicate lands in eval (the benchmark-contamination
+    mechanism measured by `ngram_decontaminate`, manufactured INSIDE the
+    corpus by the split itself), so the split key here is the NEAR-DUP
+    CLUSTER: every document of a cluster goes to one side, eval gets
+    ~eval_pct% of clusters, and no minhash near-dup pair can ever cross
+    the boundary (locked by test). This is the standard leakage guard a
+    curation pipeline runs before carving held-out sets.
+
+    Determinism/portability: the side is the engine-portable md5-prefix
+    hash of the cluster id (conv(substr(md5(id),1,15),16,10) % 100 <
+    eval_pct — the `_hashed_gram_buckets` / seeded-shards pattern), a
+    pure function of the cluster assignment, which is itself exact
+    (union-find over the LSH pair graph, min-doc_id labels).
+
+    Scale posture: inherits `neardup_clusters` (band shuffles carry ids,
+    CC over the pair graph only, driver fast path under the gate) plus
+    one map-only hash projection — no new shuffle."""
+    clusters = neardup_clusters(
+        spark,
+        df,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        driver_max_pairs=driver_max_pairs,
+    )
+    side = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(side < eval_pct, F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

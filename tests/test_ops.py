@@ -1773,3 +1773,38 @@ def test_knn_label_noise_flags_planted_mislabel(spark):
         r["vec_id"]: r for r in knn_label_noise(df, df, k=100).collect()
     }
     assert all(out_all[i]["n_neighbors"] == 6 for i in out_all)
+
+
+def test_leakage_safe_split_never_splits_near_dups(spark):
+    from cypher_guard_spark.ops.dedup import (
+        leakage_safe_split,
+        minhash_near_duplicates,
+    )
+
+    rows = []
+    for g in range(12):
+        # lexically DISJOINT stems so groups do not merge across g
+        stem = " ".join(f"w{g}x{i}" for i in range(14))
+        rows.append((g * 10, stem))
+        rows.append((g * 10 + 1, stem + f" extra{g}"))
+        rows.append((g * 10 + 2, stem + f" tail{g} word{g}"))
+    for s in range(8):
+        rows.append((1000 + s, f"solo{s} " + " ".join(f"u{s}y{i}" for i in range(10))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = leakage_safe_split(spark, df, eval_pct=50, threshold=0.3)
+    got = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    # every doc exactly once
+    assert len(got) == len(rows)
+    # no near-dup pair crosses the boundary
+    pairs = minhash_near_duplicates(df, threshold=0.3).select("a", "b").collect()
+    assert pairs, "fixture must actually produce near-dup pairs"
+    for p in pairs:
+        assert got[p["a"]][1] == got[p["b"]][1]
+    # both sides populated and the split is cluster-keyed
+    sides = {s for _, s in got.values()}
+    assert sides == {"train", "eval"}
+    by_cluster: dict = {}
+    for cid, split in got.values():
+        by_cluster.setdefault(cid, set()).add(split)
+    assert all(len(v) == 1 for v in by_cluster.values())
