@@ -355,3 +355,22 @@ def test_chain_plan_has_no_cartesian(spark, triples):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_parameters_are_refused_everywhere_the_executor_reaches(spark, triples):
+    """Reference grammar parity: `$param` parses ONLY inside SET values
+    and UNWIND lists (clauses.rs:375,669 property_value; the pattern-side
+    property_value in components.rs and the WHERE comparison value take
+    no parameter alternative) — so a parameterized MATCH query fails the
+    ladder with the generic syntax verdict and the executor, which gates
+    on validation, inherits the refusal verbatim. Locks that the
+    read-only execution surface can never see a parameter."""
+    for q in (
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) WHERE a.firstName = $who "
+        "RETURN b.firstName",
+        "MATCH (a:Person {firstName: $who})-[:KNOWS]->(b:Person) "
+        "RETURN b.firstName",
+    ):
+        with pytest.raises(CypherExecutionRefused) as ei:
+            execute_cypher(spark, triples, q)
+        assert "Invalid Cypher syntax" in str(ei.value)
