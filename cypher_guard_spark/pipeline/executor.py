@@ -31,6 +31,15 @@ Semantics (Neo4j/openCypher parity for the supported subset):
   re-visits are always allowed;
 - comma patterns and multiple MATCH clauses join on shared variables
   (Cypher's cartesian product when disjoint);
+- OPTIONAL MATCH null-extends: the clause left-joins the bindings
+  accumulated by the preceding clauses on shared variables; rows with
+  no match keep their bindings and bind the clause-only variables to
+  NULL (an OPTIONAL first clause yields its matches, or exactly one
+  all-NULL row). WHERE predicates naming a variable bound only by
+  OPTIONAL clauses are refused, because the reference AST stores WHERE
+  in a parallel vector (ast.rs:3-12) — whether the predicate scopes to
+  the required or the optional clause is unrecoverable, and the two
+  readings return different rows;
 - undirected hops bind each edge in both orientations;
 - variable-length hops `[:T*a..b]` expand to a union of fixed-length
   chains (b must be explicit and total pattern hops are capped —
@@ -95,8 +104,9 @@ class CypherExecutionRefused(Exception):
 
 class UnsupportedCypherFeature(Exception):
     """Parses and validates, but uses a construct outside the executable
-    subset (write clauses, WITH/UNWIND/CALL, comma patterns, quantified
-    path patterns, unbounded var-length, rel property maps...)."""
+    subset (write clauses, WITH/CALL, non-literal UNWIND, quantified
+    path patterns, unbounded var-length, rel property maps, WHERE on an
+    OPTIONAL-only variable...)."""
 
 
 def _clean(col):
@@ -229,6 +239,22 @@ def _condition_col(c: WhereCondition, bound_vars: set):
     if c.kind == "parenthesized":
         return _condition_col(c.inner, bound_vars)
     raise UnsupportedCypherFeature(f"WHERE condition kind: {c.kind}")
+
+
+def _condition_vars(c: WhereCondition) -> set:
+    """Variables a WHERE condition references (for the OPTIONAL-MATCH
+    attribution check — the reference AST flattens clause order away)."""
+    if c.kind == "comparison":
+        vs = set()
+        for pv in (c.left, c.right):
+            if pv is not None and getattr(pv, "kind", None) == "identifier":
+                vs.add(str(pv.value).split(".", 1)[0])
+        return vs
+    if c.kind in ("and", "or"):
+        return _condition_vars(c.lhs) | _condition_vars(c.rhs)
+    if c.kind in ("not", "parenthesized"):
+        return _condition_vars(c.inner)
+    return set()
 
 
 def _node_filter(col_name: str, np: NodePattern):
@@ -459,13 +485,23 @@ def execute_cypher(
             out = nxt
         return out
 
-    # one frameset per MATCH clause; relationship uniqueness is scoped to
-    # the CLAUSE (openCypher: across comma patterns within one MATCH, but
-    # never across separate MATCH clauses)
-    clause_framesets = []
+    # Clauses execute sequentially in written order; relationship
+    # uniqueness is scoped to the CLAUSE (openCypher: across comma
+    # patterns within one MATCH, but never across separate MATCH
+    # clauses). Each clause reduces to ONE frame — the union of its
+    # var-length/comma-pattern alternatives projected to the clause's
+    # NAMED variables (anonymous intermediates served only the
+    # uniqueness filters; bag multiplicity is preserved because the
+    # projection never dedups). A required clause inner-joins the
+    # accumulated bindings on shared variables (Cypher's cartesian
+    # product when disjoint); an OPTIONAL clause LEFT-joins, so
+    # unmatched rows keep the accumulated bindings and bind the
+    # clause-only variables to NULL (openCypher null-extension). An
+    # OPTIONAL first clause left-joins a literal one-row seed: matches,
+    # or exactly one all-NULL row — Neo4j's answer.
+    acc = None
+    req_vars: set = set()  # vars bound by at least one REQUIRED clause
     for ci, mc in enumerate(q.match_clauses):
-        if mc.is_optional:
-            raise UnsupportedCypherFeature("OPTIONAL MATCH")
         element_sets = [
             element_alternatives(el.pattern, eprefix=f"__e{ci}_{ei}_")
             for ei, el in enumerate(mc.elements)
@@ -475,14 +511,68 @@ def execute_cypher(
             for i in range(len(ecols)):
                 for j in range(i + 1, len(ecols)):
                     df = df.where(F.col(ecols[i]) != F.col(ecols[j]))
-            alts.append((df.drop(*ecols), []))
-        clause_framesets.append(alts)
-
-    frames = [df for df, _ in combine(clause_framesets)]
-    if len(frames) > 64:
-        raise UnsupportedCypherFeature(
-            "variable-length alternative explosion (>64 plan branches)"
+            alts.append(df.drop(*ecols))
+        if len(alts) > 64:
+            raise UnsupportedCypherFeature(
+                "variable-length alternative explosion (>64 plan branches)"
+            )
+        # clause frame: named vars + a constant marker (keeps zero-var
+        # clauses' row multiplicity through unions and joins)
+        marker = f"__m{ci}"
+        clause_vars = sorted(
+            c for c in alts[0].columns if not c.startswith("__")
         )
+        cf = alts[0].select(*clause_vars, F.lit(1).alias(marker))
+        for a in alts[1:]:
+            cf = cf.unionByName(a.select(*clause_vars, F.lit(1).alias(marker)))
+        if not mc.is_optional:
+            req_vars.update(clause_vars)
+        if acc is None:
+            if not mc.is_optional:
+                acc = cf
+                continue
+            # OPTIONAL MATCH as the first clause: seed one empty row
+            acc = spark.range(1).select(F.lit(1).alias("__seed"))
+        shared = [
+            c
+            for c in cf.columns
+            if c in set(acc.columns) and not c.startswith("__")
+        ]
+        if mc.is_optional:
+            if shared:
+                acc = acc.join(cf, on=shared, how="left")
+            else:
+                # disjoint OPTIONAL pattern: every accumulated row pairs
+                # with every match; none → one NULL-extended row each
+                k = f"__k{ci}"
+                acc = (
+                    acc.withColumn(k, F.lit(1))
+                    .join(cf.withColumn(k, F.lit(1)), on=k, how="left")
+                    .drop(k)
+                )
+        else:
+            acc = acc.join(cf, on=shared) if shared else acc.crossJoin(cf)
+    out_frame = acc.drop(*[c for c in acc.columns if c.startswith("__")])
+
+    # WHERE conditions referencing a variable bound ONLY by OPTIONAL
+    # clauses are refused: the reference AST stores WHERE clauses in a
+    # parallel vector (ast.rs:3-12), so whether the predicate was
+    # written against the required MATCH (post-null-extension filter)
+    # or against the OPTIONAL MATCH (pre-null-extension, inside the
+    # join) is unrecoverable — the two readings return different rows.
+    has_optional = any(mc.is_optional for mc in q.match_clauses)
+    if has_optional:
+        for wc in q.where_clauses:
+            for cond in wc.conditions:
+                opt_only = _condition_vars(cond) - req_vars
+                if opt_only:
+                    raise UnsupportedCypherFeature(
+                        "WHERE on OPTIONAL MATCH variable(s) "
+                        f"{sorted(opt_only)}: clause attachment is lost "
+                        "by the reference AST (ast.rs:3-12), so the "
+                        "predicate's scope is ambiguous"
+                    )
+    frames = [out_frame]
 
     import re as _re
 

@@ -374,3 +374,123 @@ def test_parameters_are_refused_everywhere_the_executor_reaches(spark, triples):
         with pytest.raises(CypherExecutionRefused) as ei:
             execute_cypher(spark, triples, q)
         assert "Invalid Cypher syntax" in str(ei.value)
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL MATCH (null-extension left joins)
+# ---------------------------------------------------------------------------
+
+
+def test_optional_match_null_extends(spark, triples):
+    """Bob has no WORKS_FOR edge: his row survives with c = NULL; the
+    employed persons bind normally (openCypher null-extension)."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[:WORKS_FOR]->(c:Company) "
+        "RETURN a.firstName, c.companyName",
+    )
+    assert _rows(out) == [
+        ("Bob", None),
+        ("Jane", "Acme Corp"),
+        ("John", "Acme Corp"),
+    ]
+
+
+def test_optional_match_first_clause_yields_one_null_row(spark, triples):
+    """OPTIONAL MATCH as the first clause with zero matches: exactly one
+    all-NULL row (Neo4j parity), not an empty result."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "OPTIONAL MATCH (a:Person {firstName: 'Zed'}) RETURN a.firstName",
+    )
+    assert _rows(out) == [(None,)]
+
+
+def test_optional_match_disjoint_pattern(spark, triples):
+    """A disjoint OPTIONAL pattern pairs every accumulated row with every
+    match; with none, each row null-extends once."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person {firstName: 'Bob'}) "
+        "OPTIONAL MATCH (c:Company)-[:LOCATED_IN]->(l:Location {city: 'Paris'}) "
+        "RETURN a.firstName, l.city",
+    )
+    assert _rows(out) == [("Bob", None)]
+    out2 = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person {firstName: 'Bob'}) "
+        "OPTIONAL MATCH (c:Company)-[:LOCATED_IN]->(l:Location) "
+        "RETURN a.firstName, l.city",
+    )
+    assert _rows(out2) == [("Bob", "Berlin")]
+
+
+def test_optional_match_count_skips_nulls(spark, triples):
+    """count(c) skips the null-extended rows, count(a) does not — the
+    Cypher aggregate NULL rule falls out of F.count. (count(*) is not
+    testable here: the reference RETURN grammar refuses it — the
+    validation gate's verdict is inherited verbatim.)"""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[:WORKS_FOR]->(c:Company) "
+        "RETURN count(c) AS n, count(a) AS m",
+    )
+    assert _rows(out) == [(2, 3)]
+
+
+def test_optional_match_chained_null_propagates(spark, triples):
+    """A later OPTIONAL clause joining on a variable an earlier OPTIONAL
+    left NULL never matches (NULL keys join nothing) — so the NULL
+    propagates down the chain."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[:WORKS_FOR]->(c:Company) "
+        "OPTIONAL MATCH (c)-[:LOCATED_IN]->(l:Location) "
+        "RETURN a.firstName, l.city",
+    )
+    assert _rows(out) == [
+        ("Bob", None),
+        ("Jane", "Berlin"),
+        ("John", "Berlin"),
+    ]
+
+
+def test_optional_match_varlen_alternatives(spark, triples):
+    """Var-length alternatives union BEFORE the left join: John reaches
+    Jane in 1 hop and Bob in 2 (relationship uniqueness intact)."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person {firstName: 'John'}) "
+        "OPTIONAL MATCH (a)-[:KNOWS*1..2]-(b:Person) RETURN b.firstName",
+    )
+    assert sorted(r[0] for r in out.collect()) == ["Bob", "Jane"]
+
+
+def test_where_on_optional_variable_is_refused(spark, triples):
+    """The reference AST stores WHERE clauses in a parallel vector
+    (ast.rs:3-12): whether the predicate was written against the MATCH
+    or the OPTIONAL MATCH is unrecoverable, and the two readings return
+    different rows — refuse instead of guessing."""
+    with pytest.raises(UnsupportedCypherFeature) as ei:
+        execute_cypher(
+            spark,
+            triples,
+            "MATCH (a:Person) OPTIONAL MATCH (a)-[:WORKS_FOR]->(c:Company) "
+            "WHERE c.companyName = 'Acme Corp' RETURN a.firstName",
+        )
+    assert "OPTIONAL MATCH variable" in str(ei.value)
+    # the same predicate on a REQUIRED variable stays executable
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[:WORKS_FOR]->(c:Company) "
+        "WHERE a.firstName = 'Jane' RETURN a.firstName, c.companyName",
+    )
+    assert _rows(out) == [("Jane", "Acme Corp")]
