@@ -40,6 +40,14 @@ Semantics (Neo4j/openCypher parity for the supported subset):
   in a parallel vector (ast.rs:3-12) — whether the predicate scopes to
   the required or the optional clause is unrecoverable, and the two
   readings return different rows;
+- UNWIND of a LITERAL list cross-joins the list rows against the
+  accumulated bindings (an empty list yields zero rows). This is safe
+  under the reference AST's parallel-vector flattening because its
+  clause-order FSM refuses MATCH after UNWIND — every executable
+  UNWIND provably follows all the matches. INTEGER lists bind a long
+  column with Cypher cross-type comparison semantics (never matches a
+  string); parameter / identifier / function-call sources are refused
+  (no parameter values exist at execution time);
 - undirected hops bind each edge in both orientations;
 - variable-length hops `[:T*a..b]` expand to a union of fixed-length
   chains (b must be explicit and total pattern hops are capped —
@@ -216,13 +224,47 @@ _OPS = {
 }
 
 
-def _condition_col(c: WhereCondition, bound_vars: set):
+def _is_long(pv, long_vars: set) -> bool:
+    """Does this WHERE operand carry Cypher INTEGER type? Only numeric
+    literals and UNWIND-bound integer variables do — every materialized
+    graph property is a string."""
+    if pv is None:
+        return False
+    if pv.kind == "number":
+        return True
+    return (
+        pv.kind == "identifier"
+        and "." not in str(pv.value)
+        and pv.value in long_vars
+    )
+
+
+def _condition_col(c: WhereCondition, bound_vars: set, long_vars: set = frozenset()):
     if c.kind == "comparison":
         left = _value_expr(c.left, bound_vars)
         if c.operator == "IS NULL":
             return left.isNull() if left is not None else F.lit(True)
         if c.operator == "IS NOT NULL":
             return left.isNotNull() if left is not None else F.lit(False)
+        l_long = _is_long(c.left, long_vars)
+        r_long = _is_long(c.right, long_vars)
+        if l_long != r_long:
+            # Cypher cross-type comparison (INTEGER vs STRING): no match
+            return F.lit(None).cast("boolean")
+        if l_long and r_long:
+            lcol = (
+                F.lit(int(c.left.value))
+                if c.left.kind == "number"
+                else F.col(str(c.left.value))
+            )
+            rcol = (
+                F.lit(int(c.right.value))
+                if c.right.kind == "number"
+                else F.col(str(c.right.value))
+            )
+            if c.operator not in _OPS:
+                raise UnsupportedCypherFeature(f"operator: {c.operator}")
+            return _OPS[c.operator](lcol, rcol)
         right = _value_expr(c.right, bound_vars)
         if left is None or right is None:
             # cross-type comparison against a string property: no match
@@ -231,13 +273,17 @@ def _condition_col(c: WhereCondition, bound_vars: set):
             raise UnsupportedCypherFeature(f"operator: {c.operator}")
         return _OPS[c.operator](left, right)
     if c.kind == "and":
-        return _condition_col(c.lhs, bound_vars) & _condition_col(c.rhs, bound_vars)
+        return _condition_col(c.lhs, bound_vars, long_vars) & _condition_col(
+            c.rhs, bound_vars, long_vars
+        )
     if c.kind == "or":
-        return _condition_col(c.lhs, bound_vars) | _condition_col(c.rhs, bound_vars)
+        return _condition_col(c.lhs, bound_vars, long_vars) | _condition_col(
+            c.rhs, bound_vars, long_vars
+        )
     if c.kind == "not":
-        return ~_condition_col(c.inner, bound_vars)
+        return ~_condition_col(c.inner, bound_vars, long_vars)
     if c.kind == "parenthesized":
-        return _condition_col(c.inner, bound_vars)
+        return _condition_col(c.inner, bound_vars, long_vars)
     raise UnsupportedCypherFeature(f"WHERE condition kind: {c.kind}")
 
 
@@ -409,13 +455,12 @@ def execute_cypher(
         ("merge_clauses", "MERGE"),
         ("create_clauses", "CREATE"),
         ("with_clauses", "WITH"),
-        ("unwind_clauses", "UNWIND"),
         ("call_clauses", "CALL"),
     ):
         if getattr(q, attr):
             raise UnsupportedCypherFeature(f"{label} clause (read-only executor)")
-    if not q.match_clauses:
-        raise UnsupportedCypherFeature("MATCH clause required")
+    if not q.match_clauses and not q.unwind_clauses:
+        raise UnsupportedCypherFeature("MATCH or UNWIND clause required")
     if not q.return_clauses:
         raise UnsupportedCypherFeature("RETURN clause required")
 
@@ -552,6 +597,45 @@ def execute_cypher(
                 )
         else:
             acc = acc.join(cf, on=shared) if shared else acc.crossJoin(cf)
+
+    # UNWIND literal lists. The reference clause-order FSM refuses MATCH
+    # after UNWIND (the parse fails), so every executable UNWIND follows
+    # all the matches — the AST's parallel-vector flattening loses
+    # nothing here, and the openCypher reading is exactly a cross join
+    # of the list rows against the accumulated bindings (an empty list
+    # yields zero rows, killing the result — Cypher parity). Parameters
+    # have no value at execution time and identifier/function-call
+    # sources are out of subset — all refused. The element type becomes
+    # the variable's Cypher type: INTEGER lists bind a long column that
+    # only compares against numeric literals (cross-type comparisons
+    # never match, see _is_long), STRING lists bind a string column.
+    long_vars: set = set()
+    for uc in q.unwind_clauses:
+        expr = uc.expression
+        if expr.kind != "list":
+            raise UnsupportedCypherFeature(
+                f"UNWIND {expr.kind} (only literal lists execute)"
+            )
+        var = uc.variable
+        if var in named:
+            raise UnsupportedCypherFeature(
+                f"UNWIND shadows a bound variable: {var}"
+            )
+        kinds = {pv.kind for pv in expr.value}
+        if kinds <= {"number"}:
+            vals, typ = [(int(pv.value),) for pv in expr.value], "long"
+            long_vars.add(var)
+        elif kinds == {"string"}:
+            vals, typ = [(str(pv.value),) for pv in expr.value], "string"
+        else:
+            raise UnsupportedCypherFeature(
+                "UNWIND list with mixed or non-scalar element types"
+            )
+        named.add(var)
+        req_vars.add(var)  # always bound — never null-extended
+        lf = spark.createDataFrame(vals, schema=f"`{var}` {typ}")
+        acc = lf if acc is None else acc.crossJoin(lf)
+
     out_frame = acc.drop(*[c for c in acc.columns if c.startswith("__")])
 
     # WHERE conditions referencing a variable bound ONLY by OPTIONAL
@@ -622,7 +706,7 @@ def execute_cypher(
         branch."""
         for wc in q.where_clauses:
             for cond in wc.conditions:
-                df = df.where(_condition_col(cond, named))
+                df = df.where(_condition_col(cond, named, long_vars))
         cols = [c.alias(n) for c, n in keys]
         for i, (arg, _n) in enumerate(aggs):
             cols.append((F.lit(1) if arg is None else arg).alias(f"__agg{i}"))

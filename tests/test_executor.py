@@ -494,3 +494,104 @@ def test_where_on_optional_variable_is_refused(spark, triples):
         "WHERE a.firstName = 'Jane' RETURN a.firstName, c.companyName",
     )
     assert _rows(out) == [("Jane", "Acme Corp")]
+
+
+# ---------------------------------------------------------------------------
+# UNWIND (literal lists)
+# ---------------------------------------------------------------------------
+
+
+def test_unwind_literal_list_alone(spark, triples):
+    """Pure UNWIND query: list rows, typed by the element kind."""
+    out = execute_cypher(spark, triples, "UNWIND [1, 2, 3] AS x RETURN x")
+    assert _rows(out) == [(1,), (2,), (3,)]
+    assert dict(out.dtypes)["x"] == "bigint"
+    out2 = execute_cypher(spark, triples, "UNWIND ['a', 'b'] AS x RETURN x")
+    assert _rows(out2) == [("a",), ("b",)]
+
+
+def test_unwind_empty_list_yields_zero_rows(spark, triples):
+    """UNWIND [] kills the result (Cypher parity: no rows, not NULL)."""
+    out = execute_cypher(spark, triples, "UNWIND [] AS x RETURN x")
+    assert out.count() == 0
+
+
+def test_unwind_cross_joins_matches(spark, triples):
+    """UNWIND after MATCH multiplies every binding by every list row;
+    the reference FSM refuses MATCH after UNWIND, so the cross-join
+    placement is provably the only reading."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person) UNWIND [1, 2] AS x RETURN a.firstName, x",
+    )
+    assert _rows(out) == [
+        ("Bob", 1), ("Bob", 2),
+        ("Jane", 1), ("Jane", 2),
+        ("John", 1), ("John", 2),
+    ]
+    with pytest.raises(CypherExecutionRefused):
+        execute_cypher(
+            spark,
+            triples,
+            "UNWIND [1, 2] AS x MATCH (a:Person) RETURN a.firstName, x",
+        )
+
+
+def test_unwind_integer_type_semantics(spark, triples):
+    """An INTEGER unwind variable compares against numeric literals and
+    never matches a string (Cypher cross-type rule)."""
+    out = execute_cypher(
+        spark, triples, "UNWIND [1, 2, 3] AS x WHERE x > 1 RETURN x"
+    )
+    assert _rows(out) == [(2,), (3,)]
+    out2 = execute_cypher(
+        spark, triples, "UNWIND [1, 2] AS x WHERE x = 'a' RETURN x"
+    )
+    assert out2.count() == 0
+    out3 = execute_cypher(
+        spark, triples, "UNWIND ['a', 'b'] AS x WHERE x = 'a' RETURN x"
+    )
+    assert _rows(out3) == [("a",)]
+
+
+def test_unwind_aggregates_and_stacking(spark, triples):
+    """Implicit grouping works over unwind columns; two UNWINDs nest as
+    a cartesian product."""
+    out = execute_cypher(
+        spark, triples, "UNWIND [1, 1, 2] AS x RETURN x, count(x) AS n"
+    )
+    assert _rows(out) == [(1, 2), (2, 1)]
+    out2 = execute_cypher(
+        spark,
+        triples,
+        "UNWIND [1, 2] AS x UNWIND ['u', 'v'] AS y RETURN x, y",
+    )
+    assert _rows(out2) == [(1, "u"), (1, "v"), (2, "u"), (2, "v")]
+
+
+def test_unwind_refusals(spark, triples):
+    """Parameters (no value at execution time), mixed-type lists, and
+    shadowing a bound variable are all refused."""
+    for q in (
+        "UNWIND $xs AS x RETURN x",
+        "UNWIND [1, 'a'] AS x RETURN x",
+        "MATCH (a:Person) UNWIND [1] AS a RETURN a",
+    ):
+        with pytest.raises(UnsupportedCypherFeature):
+            execute_cypher(spark, triples, q)
+
+
+def test_unwind_composes_with_optional_match(spark, triples):
+    """Null-extended optional rows survive the cross join intact."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[:WORKS_FOR]->(c:Company) "
+        "UNWIND [7] AS x RETURN a.firstName, c.companyName, x",
+    )
+    assert _rows(out) == [
+        ("Bob", None, 7),
+        ("Jane", "Acme Corp", 7),
+        ("John", "Acme Corp", 7),
+    ]
