@@ -868,6 +868,90 @@ FROM eu GROUP BY uf, ul
 """
 
 
+_CYPHER_OPTIONAL_Q = (
+    "MATCH (a:Person) OPTIONAL MATCH (a)-[:WORKS_FOR]->(c:Company) "
+    "RETURN a.firstName, a.lastName, c.companyName"
+)
+
+
+def q_kg_cypher_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL MATCH execution (`pipeline/executor.py`): every Person
+    node survives; those with a WORKS_FOR edge bind the company, the
+    rest null-extend (c.companyName NULL) — the openCypher left-join
+    semantics over the exact node/edge set the MERGE batches create.
+    WHERE on an optional-bound variable is refused (the reference AST
+    cannot attribute the predicate), so this entry is pure
+    null-extension."""
+    from cypher_guard_spark.pipeline.executor import execute_cypher
+
+    return execute_cypher(spark, _kg_canonical_full(spark), _CYPHER_OPTIONAL_Q)
+
+
+def _kg_cypher_optional_sql() -> str:
+    """Same null-extension: the Person node set (both edge endpoints,
+    MERGE-unified identity) LEFT JOINs its WORKS_FOR edges. For label
+    Person the identity tuple is ('Person', first, last, '', ''), so
+    (first, last) is the full join key within the label."""
+    return f"""
+WITH t AS ({_kg_canonical_labeled_values()}),
+e AS (SELECT DISTINCT
+  {_node_fields_sql("subj", "s_")},
+  pred,
+  {_node_fields_sql("obj", "o_")}
+FROM t),
+n AS (
+  SELECT s_label AS label, s_first AS f, s_last AS l FROM e
+  UNION
+  SELECT o_label, o_first, o_last FROM e
+),
+p AS (SELECT DISTINCT f, l FROM n WHERE label = 'Person'),
+w AS (SELECT DISTINCT s_first AS f, s_last AS l, o_company AS company
+      FROM e
+      WHERE pred = 'WORKS_FOR' AND s_label = 'Person'
+        AND o_label = 'Company')
+SELECT p.f AS a_firstName, p.l AS a_lastName, w.company AS c_companyName
+FROM p LEFT JOIN w ON p.f = w.f AND p.l = w.l
+"""
+
+
+_CYPHER_UNWIND_Q = (
+    "MATCH (a:Person)-[:WORKS_FOR]->(c:Company) "
+    "UNWIND [1, 2, 3] AS shard "
+    "RETURN c.companyName, shard, count(a) AS n_employees"
+)
+
+
+def q_kg_cypher_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNWIND execution: the literal list cross-joins the match
+    bindings (provably the only reading — the reference clause-order
+    FSM refuses MATCH after UNWIND), then implicit grouping keys on
+    (c.companyName, shard) and counts employees per company per list
+    element. The unwind column is a real Cypher INTEGER (long)."""
+    from cypher_guard_spark.pipeline.executor import execute_cypher
+
+    return execute_cypher(spark, _kg_canonical_full(spark), _CYPHER_UNWIND_Q)
+
+
+def _kg_cypher_unwind_sql() -> str:
+    """Same cross join + group: WORKS_FOR edges at node granularity ×
+    the literal list, grouped by (company, shard)."""
+    return f"""
+WITH t AS ({_kg_canonical_labeled_values()}),
+e AS (SELECT DISTINCT
+  {_node_fields_sql("subj", "s_")},
+  pred,
+  {_node_fields_sql("obj", "o_")}
+FROM t WHERE pred = 'WORKS_FOR'
+  AND s_label = 'Person' AND o_label = 'Company'),
+s AS (SELECT * FROM (VALUES (1), (2), (3)) AS s(shard))
+SELECT e.o_company AS c_companyName,
+       CAST(s.shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_employees
+FROM e CROSS JOIN s
+GROUP BY e.o_company, s.shard
+"""
+
+
 def q_kg_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evidence backbone of the canonical graph: the MAXIMUM spanning
     forest (`pipeline/graph_algo.py:max_spanning_forest`, Borůvka) over
@@ -5212,6 +5296,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_cypher_varlen",
     "kg_cypher_coworkers",
     "kg_cypher_degrees",
+    "kg_cypher_optional",
+    "kg_cypher_unwind",
     "kg_backbone",
     "kg_louvain",
     "kg_scc",
@@ -5633,6 +5719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cypher_varlen": q_kg_cypher_varlen,
         "kg_cypher_coworkers": q_kg_cypher_coworkers,
         "kg_cypher_degrees": q_kg_cypher_degrees,
+        "kg_cypher_optional": q_kg_cypher_optional,
+        "kg_cypher_unwind": q_kg_cypher_unwind,
         "kg_backbone": q_kg_backbone,
         "kg_louvain": q_kg_louvain,
         "kg_entity_degrees": q_kg_entity_degrees,
@@ -6706,6 +6794,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_cypher_varlen": _kg_cypher_varlen_sql(),
         "kg_cypher_coworkers": _kg_cypher_coworkers_sql(),
         "kg_cypher_degrees": _kg_cypher_degrees_sql(),
+        "kg_cypher_optional": _kg_cypher_optional_sql(),
+        "kg_cypher_unwind": _kg_cypher_unwind_sql(),
         "kg_backbone": _kg_backbone_sql(),
         "kg_louvain": _kg_louvain_sql(),
         "kg_entity_degrees": _kg_entity_degrees_values(),
