@@ -49,6 +49,18 @@ Semantics (Neo4j/openCypher parity for the supported subset):
   string); parameter / identifier / function-call sources are refused
   (no parameter values exist at execution time);
 - undirected hops bind each edge in both orientations;
+- a named fixed-length relationship binds its edge-identity string
+  (src␟type␟dst, node identities embedded) as a RETURN-able column;
+  `r.prop` is NULL (the codegen materializes no relationship
+  properties — and WHERE on `r.prop` is already refused by the
+  validation ladder). Repeating a rel variable within one MATCH
+  clause is refused (Neo4j compile error; also unsatisfiable under
+  clause-scoped uniqueness), while re-using it in a LATER clause
+  natural-joins on the same edge. A variable on a var-length
+  relationship is refused (it would bind a LIST);
+- a path variable `p = (...)` binds the concatenation of the chain's
+  edge identities (the node id itself for a zero-hop pattern) — our
+  rendering of Neo4j's path entity, one value per alternative;
 - variable-length hops `[:T*a..b]` expand to a union of fixed-length
   chains (b must be explicit and total pattern hops are capped —
   unbounded expansion is plan-hostile at any scale);
@@ -466,14 +478,22 @@ def execute_cypher(
 
     nodes_df, edges = graph_frames(triples)
     named: set = set()
+    nonnode_vars: set = set()  # rel/path vars: property access is NULL
 
-    def element_alternatives(pattern: list, eprefix: str) -> list:
+    def element_alternatives(el, eprefix: str, clause_rel_vars: set) -> list:
         """One (df, edge_cols) per var-length alternative of this comma
         pattern (one entry when no var-length rel). The reference parser
         stores `[*a..b]` in `quantifier` (length_range is the
-        inside-details variant) — accept either."""
+        inside-details variant) — accept either. Named fixed-length
+        relationships bind their edge-identity string as a column (a
+        repeated rel variable within the chain adds an equality filter —
+        same edge, openCypher); a path variable binds the concatenation
+        of the chain's edge identities (the node id itself for zero-hop
+        patterns)."""
+        pattern, path_var = el.pattern, el.path_var
         nodes, rels = _expand_pattern(pattern)
-        named.update(n.variable for n in nodes if n.variable)
+        node_names = {n.variable for n in nodes if n.variable}
+        named.update(node_names)
         var_idx = [
             i
             for i, r in enumerate(rels)
@@ -482,6 +502,34 @@ def execute_cypher(
         if len(var_idx) > 1:
             raise UnsupportedCypherFeature(
                 "multiple variable-length relationships in one pattern"
+            )
+        for i, r in enumerate(rels):
+            rv = r.details.variable
+            if rv and i in var_idx:
+                raise UnsupportedCypherFeature(
+                    f"variable on a variable-length relationship ({rv} "
+                    "would bind a LIST of relationships)"
+                )
+            if rv and rv in node_names:
+                raise UnsupportedCypherFeature(
+                    f"variable bound as both node and relationship: {rv}"
+                )
+            if rv and rv in clause_rel_vars:
+                # Neo4j compile error; also unsatisfiable under the
+                # clause-scoped uniqueness inequality
+                raise UnsupportedCypherFeature(
+                    "relationship variable repeated within one MATCH "
+                    f"clause: {rv}"
+                )
+        clause_rel_vars.update(
+            r.details.variable for r in rels if r.details.variable
+        )
+        if path_var and (
+            path_var in node_names
+            or path_var in {r.details.variable for r in rels}
+        ):
+            raise UnsupportedCypherFeature(
+                f"path variable shadows a pattern variable: {path_var}"
             )
         if len(rels) > max_total_hops:
             raise UnsupportedCypherFeature(f"more than {max_total_hops} hops")
@@ -501,9 +549,35 @@ def execute_cypher(
                             anon += 1
                             xnames.append(f"{eprefix}v{anon}")
             # names unique except deliberate variable reuse (cycles)
-            return _compile_chain(
+            df, ecols = _compile_chain(
                 edges, xnames, xnodes, xrels, nodes_df, eprefix=eprefix
             )
+            assigned: dict = {}
+            for j, r in enumerate(xrels):
+                rv = r.details.variable
+                if not rv:
+                    continue
+                if rv in assigned:
+                    # Neo4j compile error — and unsatisfiable here anyway
+                    # (same-edge equality contradicts the clause-scoped
+                    # uniqueness inequality)
+                    raise UnsupportedCypherFeature(
+                        f"relationship variable repeated in one pattern: {rv}"
+                    )
+                df = df.withColumn(rv, F.col(ecols[j]))
+                assigned[rv] = ecols[j]
+            named.update(assigned)
+            nonnode_vars.update(assigned)
+            if path_var:
+                pcol = (
+                    F.concat_ws("\x1e", *[F.col(c) for c in ecols])
+                    if ecols
+                    else F.col(xnames[0])
+                )
+                df = df.withColumn(path_var, pcol)
+                named.add(path_var)
+                nonnode_vars.add(path_var)
+            return df, ecols
 
         if var_idx:
             i = var_idx[0]
@@ -547,8 +621,11 @@ def execute_cypher(
     acc = None
     req_vars: set = set()  # vars bound by at least one REQUIRED clause
     for ci, mc in enumerate(q.match_clauses):
+        clause_rel_vars: set = set()
         element_sets = [
-            element_alternatives(el.pattern, eprefix=f"__e{ci}_{ei}_")
+            element_alternatives(
+                el, eprefix=f"__e{ci}_{ei}_", clause_rel_vars=clause_rel_vars
+            )
             for ei, el in enumerate(mc.elements)
         ]
         alts = []
@@ -661,12 +738,18 @@ def execute_cypher(
     import re as _re
 
     def base_expr(text: str):
-        """A RETURN-able value: `a` (node id) or `a.prop` (property)."""
+        """A RETURN-able value: `a` (node id), `a.prop` (property), a
+        relationship variable (edge identity string), or a path
+        variable (concatenated edge identities)."""
         text = text.strip()
         if "." in text:
             var, prop = text.split(".", 1)
             if var not in named:
                 raise UnsupportedCypherFeature(f"RETURN of unbound: {text}")
+            if var in nonnode_vars:
+                # relationship/path properties are never materialized by
+                # the codegen — NULL, like unmaterialized node props
+                return F.lit(None).cast("string"), f"{var}_{prop}"
             return _prop_col(var, prop), f"{var}_{prop}"
         if text not in named:
             raise UnsupportedCypherFeature(f"RETURN of unbound: {text}")

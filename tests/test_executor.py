@@ -595,3 +595,112 @@ def test_unwind_composes_with_optional_match(spark, triples):
         ("Jane", "Acme Corp", 7),
         ("John", "Acme Corp", 7),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Relationship + path variables
+# ---------------------------------------------------------------------------
+
+SEP = "\x1f"
+PSEP = "\x1e"
+
+
+def test_relationship_variable_binds_edge_identity(spark, triples):
+    """RETURN r yields the edge-identity string (src SEP type SEP dst,
+    node identities embedded) — our rendering of Neo4j's relationship
+    entity; count(r) aggregates over the bindings."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person) RETURN a.firstName, r",
+    )
+    rows = _rows(out)
+    assert [r[0] for r in rows] == ["Jane", "John"]
+    jane_edge = rows[0][1]
+    assert jane_edge.split(SEP)[:3] == ["Person", "Jane", "Doe"]
+    assert "KNOWS" in jane_edge
+    out2 = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person) RETURN count(r) AS n",
+    )
+    assert _rows(out2) == [(2,)]
+
+
+def test_relationship_property_is_null(spark, triples):
+    """r.prop in RETURN is NULL — the codegen materializes no
+    relationship properties (WHERE on r.prop is refused by the
+    validation ladder itself, reference parity)."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person) RETURN r.since",
+    )
+    assert _rows(out) == [(None,), (None,)]
+    with pytest.raises(CypherExecutionRefused):
+        execute_cypher(
+            spark,
+            triples,
+            "MATCH (a:Person)-[r:KNOWS]->(b:Person) "
+            "WHERE r.since = 'x' RETURN a.firstName",
+        )
+
+
+def test_path_variable_binds_edge_chain(spark, triples):
+    """RETURN p concatenates the chain's edge identities; a zero-hop
+    pattern binds the node id itself."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH p = (a:Person)-[:WORKS_FOR]->(c:Company)"
+        "-[:LOCATED_IN]->(l:Location) RETURN p",
+    )
+    rows = _rows(out)
+    assert len(rows) == 2
+    for (p,) in rows:
+        hop1, hop2 = p.split(PSEP)
+        assert "WORKS_FOR" in hop1 and "LOCATED_IN" in hop2
+    out2 = execute_cypher(
+        spark, triples, "MATCH p = (a:Person {firstName: 'Bob'}) RETURN p"
+    )
+    assert _rows(out2) == [(SEP.join(["Person", "Bob", "Stone", "", ""]),)]
+
+
+def test_relationship_variable_refusals(spark, triples):
+    """Named var-length rels (would bind a list), clause-internal rel
+    variable reuse (Neo4j compile error), and node/rel name collisions
+    are refused."""
+    for q in (
+        "MATCH (a:Person)-[r:KNOWS*1..2]-(b:Person) RETURN b.firstName",
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person)-[r:KNOWS]->(c:Person) "
+        "RETURN a.firstName",
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person), (x:Person)-[r:KNOWS]->"
+        "(y:Person) RETURN a.firstName",
+    ):
+        with pytest.raises(UnsupportedCypherFeature):
+            execute_cypher(spark, triples, q)
+
+
+def test_relationship_variable_cross_clause_is_same_edge(spark, triples):
+    """Re-using r in a LATER MATCH clause natural-joins on the same
+    edge (openCypher: the variable is already bound)."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person) "
+        "MATCH (x:Person)-[r:KNOWS]->(y:Person) "
+        "RETURN a.firstName, x.firstName",
+    )
+    assert _rows(out) == [("Jane", "Jane"), ("John", "John")]
+
+
+def test_relationship_variable_null_extends_with_optional(spark, triples):
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[r:WORKS_FOR]->(c:Company) "
+        "RETURN a.firstName, r",
+    )
+    rows = _rows(out)
+    assert rows[0] == ("Bob", None)
+    assert rows[1][0] == "Jane" and "WORKS_FOR" in rows[1][1]
