@@ -914,6 +914,38 @@ FROM p LEFT JOIN w ON p.f = w.f AND p.l = w.l
 """
 
 
+_CYPHER_RELVAR_Q = (
+    "MATCH (a:Person)-[r:WORKS_FOR]->(c:Company) "
+    "RETURN c.companyName, count(r) AS n_edges"
+)
+
+
+def q_kg_cypher_relvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship-variable execution: r binds the edge-identity string
+    and count(r) aggregates the bindings per company — one edge per
+    distinct (src, type, dst) after MERGE semantics, so n_edges is the
+    company's distinct-employee count."""
+    from cypher_guard_spark.pipeline.executor import execute_cypher
+
+    return execute_cypher(spark, _kg_canonical_full(spark), _CYPHER_RELVAR_Q)
+
+
+def _kg_cypher_relvar_sql() -> str:
+    """Distinct WORKS_FOR edges at node granularity, counted per
+    company."""
+    return f"""
+WITH t AS ({_kg_canonical_labeled_values()}),
+e AS (SELECT DISTINCT
+  {_node_fields_sql("subj", "s_")},
+  pred,
+  {_node_fields_sql("obj", "o_")}
+FROM t WHERE pred = 'WORKS_FOR'
+  AND s_label = 'Person' AND o_label = 'Company')
+SELECT o_company AS c_companyName, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM e GROUP BY o_company
+"""
+
+
 _CYPHER_UNWIND_Q = (
     "MATCH (a:Person)-[:WORKS_FOR]->(c:Company) "
     "UNWIND [1, 2, 3] AS shard "
@@ -5298,6 +5330,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_cypher_degrees",
     "kg_cypher_optional",
     "kg_cypher_unwind",
+    "kg_cypher_relvar",
     "kg_backbone",
     "kg_louvain",
     "kg_scc",
@@ -5721,6 +5754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cypher_degrees": q_kg_cypher_degrees,
         "kg_cypher_optional": q_kg_cypher_optional,
         "kg_cypher_unwind": q_kg_cypher_unwind,
+        "kg_cypher_relvar": q_kg_cypher_relvar,
         "kg_backbone": q_kg_backbone,
         "kg_louvain": q_kg_louvain,
         "kg_entity_degrees": q_kg_entity_degrees,
@@ -6796,6 +6830,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_cypher_degrees": _kg_cypher_degrees_sql(),
         "kg_cypher_optional": _kg_cypher_optional_sql(),
         "kg_cypher_unwind": _kg_cypher_unwind_sql(),
+        "kg_cypher_relvar": _kg_cypher_relvar_sql(),
         "kg_backbone": _kg_backbone_sql(),
         "kg_louvain": _kg_louvain_sql(),
         "kg_entity_degrees": _kg_entity_degrees_values(),
