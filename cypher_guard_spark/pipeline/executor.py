@@ -74,7 +74,14 @@ Semantics (Neo4j/openCypher parity for the supported subset):
   loaded from our batches;
 - comparisons follow Cypher ternary logic (NULL never matches) and the
   reference's operator quirk Q1 (`<=`/`>=` do not survive the parser)
-  is inherited verbatim, because parsing IS the reference parser.
+  is inherited verbatim, because parsing IS the reference parser;
+- `WHERE exists(n.prop)` (Neo4j's classic property-present predicate)
+  executes as materialized-property IS NOT NULL — schema-valid but
+  never-materialized properties are absent on every binding, exactly
+  as in a Neo4j graph loaded from our batches; invalid property names
+  are already refused by the validation ladder, and any other WHERE
+  function call (the grammar admits arbitrary names) is refused as
+  out of subset.
 
 Scale shape: the graph frames are two narrow tables derived from the
 triple stream with one distinct each; every hop is an equi-join keyed on
@@ -252,6 +259,24 @@ def _is_long(pv, long_vars: set) -> bool:
 
 
 def _condition_col(c: WhereCondition, bound_vars: set, long_vars: set = frozenset()):
+    if c.kind == "function_call":
+        # The WHERE grammar admits bare function-call conditions; the
+        # one with executable semantics is Neo4j's classic
+        # `exists(n.prop)` — true iff the property is present on the
+        # binding, i.e. our materialized property column is non-NULL
+        # (schema-valid-but-unmaterialized props are NULL on every row,
+        # so exists() is false for them — a Neo4j graph loaded from our
+        # MERGE batches has no such key either).
+        if c.function == "exists" and c.arguments and len(c.arguments) == 1:
+            arg = str(c.arguments[0]).strip()
+            if "." in arg:
+                var, prop = arg.split(".", 1)
+                if var not in bound_vars:
+                    raise UnsupportedCypherFeature(f"unbound variable: {var}")
+                return _prop_col(var, prop).isNotNull()
+        raise UnsupportedCypherFeature(
+            f"WHERE function call: {c.function}({', '.join(c.arguments or [])})"
+        )
     if c.kind == "comparison":
         left = _value_expr(c.left, bound_vars)
         if c.operator == "IS NULL":

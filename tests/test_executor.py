@@ -704,3 +704,54 @@ def test_relationship_variable_null_extends_with_optional(spark, triples):
     rows = _rows(out)
     assert rows[0] == ("Bob", None)
     assert rows[1][0] == "Jane" and "WORKS_FOR" in rows[1][1]
+
+
+# ---------------------------------------------------------------------------
+# WHERE exists(n.prop)
+# ---------------------------------------------------------------------------
+
+
+def test_where_exists_property_predicate(spark, triples):
+    """exists(n.prop) is materialized-property IS NOT NULL: true for
+    codegen-rendered properties, false for schema-valid-but-never-
+    materialized ones (Person.age) — and NOT exists() inverts under
+    the same ternary logic."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+        "WHERE exists(a.firstName) RETURN a.firstName",
+    )
+    assert sorted(r[0] for r in out.collect()) == ["Jane", "John"]
+    out2 = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+        "WHERE exists(a.age) RETURN a.firstName",
+    )
+    assert out2.count() == 0
+    out3 = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+        "WHERE NOT exists(a.age) RETURN a.firstName",
+    )
+    assert sorted(r[0] for r in out3.collect()) == ["Jane", "John"]
+
+
+def test_where_function_call_refusals(spark, triples):
+    """exists(a.nosuch) dies in the validation ladder (invalid property
+    — reference parity); unknown functions and exists over a bare
+    variable parse+validate but are out of the executable subset."""
+    with pytest.raises(CypherExecutionRefused):
+        execute_cypher(
+            spark,
+            triples,
+            "MATCH (a:Person) WHERE exists(a.nosuch) RETURN a.firstName",
+        )
+    for q in (
+        "MATCH (a:Person) WHERE foo(a.firstName) RETURN a.firstName",
+        "MATCH (a:Person) WHERE exists(a) RETURN a.firstName",
+    ):
+        with pytest.raises(UnsupportedCypherFeature):
+            execute_cypher(spark, triples, q)
