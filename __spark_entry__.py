@@ -984,6 +984,165 @@ GROUP BY e.o_company, s.shard
 """
 
 
+_CYPHER_WITH_Q = (
+    "MATCH (a:Person)-[:KNOWS]-(b:Person) WITH a, count(b) AS deg "
+    "WHERE deg > 1 RETURN a.firstName, a.lastName, deg"
+)
+
+
+def q_kg_cypher_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH-pipeline execution, HAVING-style: per-person undirected
+    KNOWS degree via WITH implicit grouping, then WHERE on the count
+    alias — `deg` exists nowhere before the aggregation, so the
+    earliest-in-scope placement rule lands the filter after the groupBy
+    (the only Neo4j-compilable reading), and RETURN projects a property
+    of the kept node variable THROUGH the aggregation
+    (`pipeline/executor.py:_apply_with`)."""
+    from cypher_guard_spark.pipeline.executor import execute_cypher
+
+    return execute_cypher(spark, _kg_canonical_full(spark), _CYPHER_WITH_Q)
+
+
+def _kg_cypher_with_sql() -> str:
+    """The degrees twin + HAVING > 1."""
+    return f"""
+WITH t AS ({_kg_canonical_labeled_values()}),
+e AS (SELECT DISTINCT
+  {_node_fields_sql("subj", "s_")},
+  pred,
+  {_node_fields_sql("obj", "o_")}
+FROM t WHERE pred = 'KNOWS'),
+eu AS (
+  SELECT s_first AS uf, s_last AS ul FROM e
+  UNION ALL
+  SELECT o_first, o_last
+  FROM e WHERE NOT (s_first = o_first AND s_last = o_last)
+)
+SELECT uf AS a_firstName, ul AS a_lastName,
+       CAST(COUNT(*) AS BIGINT) AS deg
+FROM eu GROUP BY uf, ul
+HAVING COUNT(*) > 1
+"""
+
+
+_CYPHER_WITH_CHAIN_Q = (
+    "MATCH (a:Person)-[:KNOWS]-(b:Person) WITH a, count(b) AS deg "
+    "WITH deg, count(a) AS n_people RETURN deg, n_people"
+)
+
+
+def q_kg_cypher_with_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained WITH execution — the KNOWS degree HISTOGRAM (people per
+    degree), the two-level aggregation only WITH can express: the first
+    WITH groups bindings per person, the second regroups the aggregate
+    itself. Sound under the reference's parallel-vector AST because the
+    query has exactly one reading clause (the FSM refuses WITH in the
+    initial state, so both WITHs provably follow the MATCH, in vector
+    order)."""
+    from cypher_guard_spark.pipeline.executor import execute_cypher
+
+    return execute_cypher(
+        spark, _kg_canonical_full(spark), _CYPHER_WITH_CHAIN_Q
+    )
+
+
+def _kg_cypher_with_chain_sql() -> str:
+    """The degrees twin regrouped by degree."""
+    return f"""
+WITH t AS ({_kg_canonical_labeled_values()}),
+e AS (SELECT DISTINCT
+  {_node_fields_sql("subj", "s_")},
+  pred,
+  {_node_fields_sql("obj", "o_")}
+FROM t WHERE pred = 'KNOWS'),
+eu AS (
+  SELECT s_first AS uf, s_last AS ul FROM e
+  UNION ALL
+  SELECT o_first, o_last
+  FROM e WHERE NOT (s_first = o_first AND s_last = o_last)
+),
+d AS (
+  SELECT uf, ul, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM eu GROUP BY uf, ul
+)
+SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_people
+FROM d GROUP BY deg
+"""
+
+
+def _kg_applied_graph(spark: SparkSession) -> tuple:
+    """canonical triples → MERGE codegen → native MERGE APPLY → (nodes,
+    edges): the write side executed by us instead of a Neo4j
+    (`pipeline/apply_merge.py`). Every statement re-passes the guard's
+    validation ladder inside the apply UDF before it touches the
+    graph."""
+    from cypher_guard_spark.pipeline.apply_merge import apply_merge_batches
+    from cypher_guard_spark.pipeline.codegen import build_merge_batches
+
+    canon = _kg_canonical_full(spark)
+    ents = (
+        canon.select(
+            F.col("subj_label").alias("label"), F.col("subj").alias("canonical")
+        )
+        .unionByName(
+            canon.select(
+                F.col("obj_label").alias("label"), F.col("obj").alias("canonical")
+            )
+        )
+        .dropDuplicates()
+    )
+    return apply_merge_batches(spark, build_merge_batches(ents, canon))
+
+
+def q_kg_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write→storage round trip, oracle-gated edge-for-edge: the
+    emitted MERGE batches are parsed (guard parser, Arrow-batched pandas
+    UDF, broadcast DbSchema) and applied with Neo4j MERGE multiset
+    semantics; the resulting edge set — node identities rendered
+    '|'-joined for readability — must equal the DuckDB twin's direct
+    derivation from the canonical triples. This is the contract the
+    reference delegates to a live Neo4j (data/ingest.py ships batches
+    over bolt); here the apply is native and the parity is provable."""
+    nodes, edges = _kg_applied_graph(spark)
+    return edges.select(
+        F.translate(F.col("src"), "\x1f", "|").alias("src"),
+        "pred",
+        F.translate(F.col("dst"), "\x1f", "|").alias("dst"),
+    )
+
+
+def _kg_merge_apply_sql() -> str:
+    """Direct derivation of the same edge set from the canonical twin:
+    one edge per distinct (src identity, pred, dst identity), identities
+    rendered with the executor's exact field expressions."""
+    return f"""
+WITH t AS ({_kg_canonical_labeled_values()}),
+e AS (SELECT DISTINCT
+  {_node_fields_sql("subj", "s_")},
+  pred,
+  {_node_fields_sql("obj", "o_")}
+FROM t)
+SELECT concat_ws('|', s_label, s_first, s_last, s_company, s_city) AS src,
+       pred,
+       concat_ws('|', o_label, o_first, o_last, o_company, o_city) AS dst
+FROM e
+"""
+
+
+def q_kg_cypher_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE native loop the reference needs a Neo4j for:
+    canonical triples → MERGE codegen → guard-validated native apply →
+    Cypher MATCH execution over the APPLIED graph (executor `graph=`
+    path, skipping the direct graph_frames derivation entirely). Runs
+    the kg_cypher_match query; the oracle is the same DuckDB twin — so
+    a pass proves write-side and read-side compose exactly."""
+    from cypher_guard_spark.pipeline.executor import execute_cypher
+
+    return execute_cypher(
+        spark, None, _CYPHER_MATCH_Q, graph=_kg_applied_graph(spark)
+    )
+
+
 def q_kg_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evidence backbone of the canonical graph: the MAXIMUM spanning
     forest (`pipeline/graph_algo.py:max_spanning_forest`, Borůvka) over
@@ -5331,6 +5490,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_cypher_optional",
     "kg_cypher_unwind",
     "kg_cypher_relvar",
+    "kg_cypher_with",
+    "kg_cypher_with_chain",
+    "kg_merge_apply",
+    "kg_cypher_applied",
     "kg_backbone",
     "kg_louvain",
     "kg_scc",
@@ -5755,6 +5918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cypher_optional": q_kg_cypher_optional,
         "kg_cypher_unwind": q_kg_cypher_unwind,
         "kg_cypher_relvar": q_kg_cypher_relvar,
+        "kg_cypher_with": q_kg_cypher_with,
+        "kg_cypher_with_chain": q_kg_cypher_with_chain,
+        "kg_merge_apply": q_kg_merge_apply,
+        "kg_cypher_applied": q_kg_cypher_applied,
         "kg_backbone": q_kg_backbone,
         "kg_louvain": q_kg_louvain,
         "kg_entity_degrees": q_kg_entity_degrees,
@@ -6831,6 +6998,10 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_cypher_optional": _kg_cypher_optional_sql(),
         "kg_cypher_unwind": _kg_cypher_unwind_sql(),
         "kg_cypher_relvar": _kg_cypher_relvar_sql(),
+        "kg_cypher_with": _kg_cypher_with_sql(),
+        "kg_cypher_with_chain": _kg_cypher_with_chain_sql(),
+        "kg_merge_apply": _kg_merge_apply_sql(),
+        "kg_cypher_applied": _kg_cypher_match_sql(),
         "kg_backbone": _kg_backbone_sql(),
         "kg_louvain": _kg_louvain_sql(),
         "kg_entity_degrees": _kg_entity_degrees_values(),

@@ -326,18 +326,173 @@ def _condition_col(c: WhereCondition, bound_vars: set, long_vars: set = frozense
 
 def _condition_vars(c: WhereCondition) -> set:
     """Variables a WHERE condition references (for the OPTIONAL-MATCH
-    attribution check — the reference AST flattens clause order away)."""
+    attribution check and the WITH-pipeline placement rule — the
+    reference AST flattens clause order away)."""
     if c.kind == "comparison":
         vs = set()
         for pv in (c.left, c.right):
             if pv is not None and getattr(pv, "kind", None) == "identifier":
                 vs.add(str(pv.value).split(".", 1)[0])
         return vs
+    if c.kind == "function_call":
+        # exists(n.prop) references n — without this the attribution
+        # checks would let an ambiguous predicate through
+        return {str(a).split(".", 1)[0] for a in (c.arguments or [])}
     if c.kind in ("and", "or"):
         return _condition_vars(c.lhs) | _condition_vars(c.rhs)
     if c.kind in ("not", "parenthesized"):
         return _condition_vars(c.inner)
     return set()
+
+
+def _apply_with(df: DataFrame, kinds: dict, wc) -> tuple:
+    """Execute one WITH clause over the current pipeline frame.
+
+    `kinds` maps each in-scope variable to its kind — 'node' (identity
+    string; property access materializes), 'rel' (edge/path identity;
+    properties are NULL), 'long' (Cypher INTEGER — UNWIND or count
+    alias), 'scalar' (a WITH-projected property value; property access
+    on it is a Neo4j type error). Returns (new_frame, new_kinds).
+
+    Neo4j parity rules enforced here:
+    - `WITH expr` without AS is a Neo4j compile error for any
+      non-identifier expression ("Expression in WITH must be aliased")
+      — refused;
+    - an alias that SHADOWS an in-scope name with a different value is
+      refused (keeping `p` or writing `p AS p` is identity and fine).
+      This is what makes the WHERE placement rule sound: every
+      surviving name has exactly one introduction point and carries the
+      same value at every position where it is in scope;
+    - implicit grouping: with any aggregate present the non-aggregate
+      items become the grouping keys (one partial-agg groupBy — the
+      same distributed shape as RETURN aggregation);
+    - the only aggregate in the executable subset is count(arg)
+      (count(*) inside WITH does not survive the reference parser);
+      count skips NULLs, so null-extended OPTIONAL bindings and
+      unmaterialized properties count 0 — openCypher semantics for
+      free.
+    """
+    items = []  # (expr, alias), wildcard expanded to kept identifiers
+    for it in wc.items:
+        if it.expression.kind == "wildcard":
+            if it.alias:
+                raise UnsupportedCypherFeature("WITH * AS alias")
+            for name in df.columns:
+                items.append((("identifier", name), None))
+        elif it.expression.kind == "identifier":
+            items.append((("identifier", it.expression.name), it.alias))
+        elif it.expression.kind == "property_access":
+            items.append(
+                (
+                    ("property", it.expression.variable, it.expression.property),
+                    it.alias,
+                )
+            )
+        elif it.expression.kind == "function_call":
+            items.append(
+                (
+                    (
+                        "call",
+                        it.expression.name,
+                        [str(a.name) for a in (it.expression.args or [])],
+                    ),
+                    it.alias,
+                )
+            )
+        else:
+            raise UnsupportedCypherFeature(
+                f"WITH item kind: {it.expression.kind}"
+            )
+
+    def entity_col(var: str, prop: str):
+        if var not in kinds:
+            raise UnsupportedCypherFeature(f"WITH of unbound: {var}")
+        k = kinds[var]
+        if k in ("long", "scalar"):
+            raise UnsupportedCypherFeature(
+                f"property access on a non-entity value: {var}.{prop}"
+            )
+        if k == "rel":
+            # relationship/path properties are never materialized
+            return F.lit(None).cast("string")
+        return _prop_col(var, prop)
+
+    keys = []  # (col, out_name, out_kind, identity_source_or_None)
+    aggs = []  # (arg_col, out_name)
+    for expr, alias in items:
+        if expr[0] == "identifier":
+            name = expr[1]
+            if name not in kinds:
+                raise UnsupportedCypherFeature(f"WITH of unbound: {name}")
+            out = alias or name
+            keys.append((F.col(name), out, kinds[name], name))
+        elif expr[0] == "property":
+            _, var, prop = expr
+            if alias is None:
+                raise UnsupportedCypherFeature(
+                    f"WITH expression must be aliased: {var}.{prop} "
+                    "(Neo4j compile error)"
+                )
+            keys.append((entity_col(var, prop), alias, "scalar", None))
+        else:  # call
+            _, fn, args = expr
+            if fn != "count":
+                raise UnsupportedCypherFeature(f"WITH aggregate: {fn}(...)")
+            if alias is None:
+                raise UnsupportedCypherFeature(
+                    "WITH count(...) must be aliased (Neo4j compile error)"
+                )
+            if len(args) != 1:
+                raise UnsupportedCypherFeature(
+                    f"count() takes one argument, got {len(args)}"
+                )
+            arg = args[0]
+            if "." in arg:
+                var, prop = arg.split(".", 1)
+                argcol = entity_col(var, prop)
+            else:
+                if arg not in kinds:
+                    raise UnsupportedCypherFeature(f"WITH of unbound: {arg}")
+                argcol = F.col(arg)
+            aggs.append((argcol, alias))
+
+    out_names = [n for _c, n, _k, _s in keys] + [n for _c, n in aggs]
+    if len(set(out_names)) != len(out_names):
+        raise UnsupportedCypherFeature(
+            f"duplicate WITH output names: {out_names}"
+        )
+    for _c, n, _k, src in keys:
+        if n in kinds and src != n:
+            raise UnsupportedCypherFeature(
+                f"WITH alias shadows an in-scope variable: {n} (the name "
+                "would carry different values at different pipeline "
+                "positions, breaking WHERE placement recovery)"
+            )
+    for _c, n in aggs:
+        if n in kinds:
+            raise UnsupportedCypherFeature(
+                f"WITH alias shadows an in-scope variable: {n}"
+            )
+
+    if aggs:
+        kf = df.select(
+            *[c.alias(n) for c, n, _k, _s in keys],
+            *[c.alias(f"__wagg{i}") for i, (c, _n) in enumerate(aggs)],
+        )
+        agg_cols = [
+            F.count(F.col(f"__wagg{i}")).alias(n)
+            for i, (_c, n) in enumerate(aggs)
+        ]
+        key_names = [n for _c, n, _k, _s in keys]
+        nf = kf.groupBy(*key_names).agg(*agg_cols) if key_names else kf.agg(
+            *agg_cols
+        )
+        nf = nf.select(*out_names)
+    else:
+        nf = df.select(*[c.alias(n) for c, n, _k, _s in keys])
+    nkinds = {n: k for _c, n, k, _s in keys}
+    nkinds.update({n: "long" for _c, n in aggs})
+    return nf, nkinds
 
 
 def _node_filter(col_name: str, np: NodePattern):
@@ -466,14 +621,19 @@ def _compile_chain(
 
 def execute_cypher(
     spark: SparkSession,
-    triples: DataFrame,
+    triples: DataFrame | None,
     query: str,
     db_schema=None,
     max_total_hops: int = 6,
+    graph: tuple | None = None,
 ) -> DataFrame:
     """Validate `query` with the guard, then run it against the property
     graph materialized from `triples` (columns subj, pred, obj,
-    subj_label, obj_label — the canonical triple stream).
+    subj_label, obj_label — the canonical triple stream), or — when
+    `graph=(nodes, edges)` is passed — against a prebuilt graph in the
+    graph_frames layout (e.g. the output of
+    `apply_merge.apply_merge_batches`: the full native write→read loop,
+    triples → codegen → MERGE apply → Cypher execution, no Neo4j).
 
     Output columns: one per RETURN item — `a` → node identity string
     (column `a`), `a.firstName` → the property (column `a_firstName`).
@@ -491,17 +651,35 @@ def execute_cypher(
     for attr, label in (
         ("merge_clauses", "MERGE"),
         ("create_clauses", "CREATE"),
-        ("with_clauses", "WITH"),
         ("call_clauses", "CALL"),
     ):
         if getattr(q, attr):
             raise UnsupportedCypherFeature(f"{label} clause (read-only executor)")
+    if q.with_clauses:
+        # WITH placement is only recoverable from the reference AST's
+        # parallel clause vectors (ast.rs:3-12) when the query has
+        # exactly ONE reading clause: the clause-order FSM refuses WITH
+        # in the initial state, so with a single MATCH every WITH
+        # provably follows it (and the WITH vector keeps written order).
+        # With multiple MATCH clauses a WITH could sit between any two
+        # of them — different placements return different rows — and
+        # WITH-vs-UNWIND relative order is equally lost. Both refused.
+        if len(q.match_clauses) != 1:
+            raise UnsupportedCypherFeature(
+                "WITH with multiple MATCH clauses: placement among the "
+                "matches is lost by the reference AST (ast.rs:3-12)"
+            )
+        if q.unwind_clauses:
+            raise UnsupportedCypherFeature(
+                "WITH combined with UNWIND: relative order is lost by "
+                "the reference AST (ast.rs:3-12)"
+            )
     if not q.match_clauses and not q.unwind_clauses:
         raise UnsupportedCypherFeature("MATCH or UNWIND clause required")
     if not q.return_clauses:
         raise UnsupportedCypherFeature("RETURN clause required")
 
-    nodes_df, edges = graph_frames(triples)
+    nodes_df, edges = graph if graph is not None else graph_frames(triples)
     named: set = set()
     nonnode_vars: set = set()  # rel/path vars: property access is NULL
 
@@ -758,25 +936,81 @@ def execute_cypher(
                         "by the reference AST (ast.rs:3-12), so the "
                         "predicate's scope is ambiguous"
                     )
-    frames = [out_frame]
+    # ------------------------------------------------------------------
+    # Pipeline stage scope: variable -> kind ('node' | 'rel' | 'long' |
+    # 'scalar'). WHERE clauses apply at the EARLIEST position where all
+    # their variables are in scope — sound because _apply_with refuses
+    # shadowing aliases (every name has one introduction point and the
+    # same value wherever it is in scope), filters on grouping keys
+    # commute with the groupBy, and projections keep kept columns
+    # unchanged. For every query Neo4j itself compiles, that earliest
+    # position IS the written position's semantics; the HAVING-style
+    # `WITH x, count(y) AS n WHERE n > 1` lands after the aggregation
+    # because `n` exists nowhere earlier.
+    # ------------------------------------------------------------------
+    kinds: dict = {}
+    for v in out_frame.columns:
+        if v in long_vars:
+            kinds[v] = "long"
+        elif v in nonnode_vars:
+            kinds[v] = "rel"
+        else:
+            kinds[v] = "node"
+
+    pending = list(q.where_clauses)
+
+    def apply_eligible(df: DataFrame) -> DataFrame:
+        nonlocal pending
+        scope = set(kinds)
+        lv = {v for v, k in kinds.items() if k == "long"}
+        still = []
+        for wc in pending:
+            vs = set()
+            for cond in wc.conditions:
+                vs |= _condition_vars(cond)
+            if vs <= scope:
+                for cond in wc.conditions:
+                    df = df.where(_condition_col(cond, scope, lv))
+            else:
+                still.append(wc)
+        pending = still
+        return df
+
+    out_frame = apply_eligible(out_frame)
+    for wc in q.with_clauses:
+        out_frame, kinds = _apply_with(out_frame, kinds, wc)
+        out_frame = apply_eligible(out_frame)
+    if pending:
+        # a WHERE referenced a name that never enters any scope — let
+        # the compiler raise its precise unbound/unsupported error
+        for wc in pending:
+            for cond in wc.conditions:
+                _condition_col(cond, set(kinds), set())
+        raise UnsupportedCypherFeature("WHERE with out-of-scope variables")
 
     import re as _re
 
     def base_expr(text: str):
-        """A RETURN-able value: `a` (node id), `a.prop` (property), a
-        relationship variable (edge identity string), or a path
-        variable (concatenated edge identities)."""
+        """A RETURN-able value: `a` (node id / WITH-projected value),
+        `a.prop` (property of a node variable), a relationship variable
+        (edge identity string), or a path variable (concatenated edge
+        identities). Property access on a Cypher INTEGER or a
+        WITH-projected scalar is a Neo4j type error — refused."""
         text = text.strip()
         if "." in text:
             var, prop = text.split(".", 1)
-            if var not in named:
+            if var not in kinds:
                 raise UnsupportedCypherFeature(f"RETURN of unbound: {text}")
-            if var in nonnode_vars:
+            if kinds[var] in ("long", "scalar"):
+                raise UnsupportedCypherFeature(
+                    f"property access on a non-entity value: {text}"
+                )
+            if kinds[var] == "rel":
                 # relationship/path properties are never materialized by
                 # the codegen — NULL, like unmaterialized node props
                 return F.lit(None).cast("string"), f"{var}_{prop}"
             return _prop_col(var, prop), f"{var}_{prop}"
-        if text not in named:
+        if text not in kinds:
             raise UnsupportedCypherFeature(f"RETURN of unbound: {text}")
         return F.col(text), text
 
@@ -809,20 +1043,15 @@ def execute_cypher(
             ordered_names.append(alias or default)
 
     def bindings(df: DataFrame) -> DataFrame:
-        """WHERE + binding-level projection of every needed expression —
-        aggregation must happen AFTER the alternatives union, never per
-        branch."""
-        for wc in q.where_clauses:
-            for cond in wc.conditions:
-                df = df.where(_condition_col(cond, named, long_vars))
+        """Binding-level projection of every needed expression (WHERE is
+        already applied at its pipeline position) — aggregation must
+        happen AFTER the alternatives union, never per branch."""
         cols = [c.alias(n) for c, n in keys]
         for i, (arg, _n) in enumerate(aggs):
             cols.append((F.lit(1) if arg is None else arg).alias(f"__agg{i}"))
         return df.select(*cols)
 
-    out = bindings(frames[0])
-    for f in frames[1:]:
-        out = out.unionByName(bindings(f))
+    out = bindings(out_frame)
     if not aggs:
         return out.select(*ordered_names)
     agg_cols = [

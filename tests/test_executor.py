@@ -203,12 +203,6 @@ def test_write_and_unsupported_clauses_raise(spark, triples):
         execute_cypher(
             spark,
             triples,
-            "MATCH (a:Person) WITH a.firstName AS f RETURN f",
-        )
-    with pytest.raises(UnsupportedCypherFeature):
-        execute_cypher(
-            spark,
-            triples,
             "MATCH (a:Person)-[:KNOWS*1..9]-(b:Person) RETURN a.firstName",
         )
 
@@ -755,3 +749,111 @@ def test_where_function_call_refusals(spark, triples):
     ):
         with pytest.raises(UnsupportedCypherFeature):
             execute_cypher(spark, triples, q)
+
+
+# ---------------------------------------------------------------------------
+# WITH pipeline (single-MATCH subset: the clause-order FSM refuses WITH in
+# the initial state, so with exactly one reading clause every WITH provably
+# follows it — the parallel-vector AST loses placement otherwise)
+# ---------------------------------------------------------------------------
+
+def test_with_aggregation_then_property_return(spark, triples):
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (p:Person)-[:WORKS_FOR]->(c:Company) "
+        "WITH c, count(p) AS n_emp RETURN c.companyName, n_emp",
+    )
+    assert out.columns == ["c_companyName", "n_emp"]
+    assert _rows(out) == [("Acme Corp", 2)]
+
+
+def test_with_chained_two_level_aggregation(spark, triples):
+    """Degree histogram: per-person undirected KNOWS degree, then
+    people per degree — the two-level aggregation only WITH can
+    express."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:KNOWS]-(b:Person) WITH a, count(b) AS deg "
+        "WITH deg, count(a) AS n_people RETURN deg, n_people",
+    )
+    assert _rows(out) == [(1, 2), (2, 1)]
+
+
+def test_with_having_where_on_aggregate(spark, triples):
+    """HAVING-style: WHERE on a count alias lands after the aggregation
+    — `deg` exists nowhere earlier, so the earliest-in-scope placement
+    is the only Neo4j-compilable reading."""
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[:KNOWS]-(b:Person) WITH a, count(b) AS deg "
+        "WHERE deg > 1 RETURN a.firstName, deg",
+    )
+    assert _rows(out) == [("Jane", 2)]
+
+
+def test_with_where_before_aggregation(spark, triples):
+    """A WHERE whose variables are match-bound applies at binding level
+    (filters on grouping keys commute with the groupBy, so placement
+    cannot change the answer)."""
+    out = execute_cypher(
+        spark,
+        triples,
+        'MATCH (p:Person)-[:WORKS_FOR]->(c:Company) WHERE p.firstName = "John" '
+        "WITH c, count(p) AS n RETURN c.companyName, n",
+    )
+    assert _rows(out) == [("Acme Corp", 1)]
+
+
+def test_with_rename_and_projection(spark, triples):
+    out = execute_cypher(
+        spark, triples, "MATCH (p:Person) WITH p AS q RETURN q.firstName"
+    )
+    assert sorted(r[0] for r in out.collect()) == ["Bob", "Jane", "John"]
+    out2 = execute_cypher(
+        spark, triples, "MATCH (p:Person) WITH p.firstName AS fn RETURN fn"
+    )
+    assert sorted(r[0] for r in out2.collect()) == ["Bob", "Jane", "John"]
+    # wildcard keeps the full scope
+    out3 = execute_cypher(
+        spark,
+        triples,
+        "MATCH (p:Person)-[:WORKS_FOR]->(c:Company) WITH * RETURN p.firstName",
+    )
+    assert sorted(r[0] for r in out3.collect()) == ["Jane", "John"]
+
+
+def test_with_count_of_projected_scalar(spark, triples):
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (p:Person) WITH p.firstName AS fn RETURN count(fn) AS n",
+    )
+    assert _rows(out) == [(3,)]
+
+
+def test_with_refusals(spark, triples):
+    """Neo4j compile errors (unaliased expressions, shadowing) and the
+    parallel-vector placement ambiguities are refused, never guessed."""
+    for q in (
+        # unaliased expression / aggregate: Neo4j compile error
+        "MATCH (p:Person) WITH p.firstName RETURN p",
+        "MATCH (p:Person) WITH count(p) RETURN p",
+        # alias shadows an in-scope name
+        "MATCH (p:Person) WITH p.firstName AS p RETURN p",
+        # placement lost by the parallel-vector AST
+        "MATCH (a:Person) MATCH (b:Person) WITH a, count(b) AS n RETURN n",
+        "MATCH (a:Person) UNWIND [1,2] AS x WITH a, count(a) AS n RETURN n",
+    ):
+        with pytest.raises(UnsupportedCypherFeature):
+            execute_cypher(spark, triples, q)
+    # property access on a count alias dies in the validation ladder
+    with pytest.raises(CypherExecutionRefused):
+        execute_cypher(
+            spark,
+            triples,
+            "MATCH (a:Person)-[:KNOWS]-(b:Person) WITH a, count(b) AS deg "
+            "RETURN deg.foo",
+        )
