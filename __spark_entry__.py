@@ -1070,6 +1070,52 @@ FROM d GROUP BY deg
 """
 
 
+_CYPHER_CALL_Q = (
+    "MATCH (c:Company) CALL { MATCH (l:Location) RETURN l } "
+    "RETURN c.companyName, count(c) AS n_locations"
+)
+
+
+def q_kg_cypher_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL { subquery } execution with openCypher uncorrelated-subquery
+    cardinality semantics: the Location subquery's rows multiply every
+    Company binding (outputs themselves are unreferencable — the guard's
+    own validator refuses them, inherited), so count(c) per company IS
+    the graph's Location-node count. Structurally uncorrelated: the
+    subquery FSM refuses a leading WITH, so a correlated (importing)
+    subquery can never parse — placement in the parallel-vector AST is
+    therefore irrelevant (`pipeline/executor.py:_compile_query`). The
+    subquery is re-validated standalone before compiling (the reference
+    extractor does not descend into subqueries)."""
+    from cypher_guard_spark.pipeline.executor import execute_cypher
+
+    return execute_cypher(spark, _kg_canonical_full(spark), _CYPHER_CALL_Q)
+
+
+def _kg_cypher_call_sql() -> str:
+    """Distinct Company nodes × distinct Location nodes, grouped per
+    company — the cross-join cardinality the CALL contributes."""
+    return f"""
+WITH t AS ({_kg_canonical_labeled_values()}),
+e AS (SELECT DISTINCT
+  {_node_fields_sql("subj", "s_")},
+  pred,
+  {_node_fields_sql("obj", "o_")}
+FROM t),
+n AS (
+  SELECT s_label AS label, s_first AS f, s_last AS l,
+         s_company AS comp, s_city AS city FROM e
+  UNION
+  SELECT o_label, o_first, o_last, o_company, o_city FROM e
+),
+c AS (SELECT DISTINCT comp FROM n WHERE label = 'Company'),
+loc AS (SELECT DISTINCT city FROM n WHERE label = 'Location')
+SELECT c.comp AS c_companyName, CAST(COUNT(*) AS BIGINT) AS n_locations
+FROM c CROSS JOIN loc
+GROUP BY c.comp
+"""
+
+
 def _kg_applied_graph(spark: SparkSession) -> tuple:
     """canonical triples → MERGE codegen → native MERGE APPLY → (nodes,
     edges): the write side executed by us instead of a Neo4j
@@ -5494,6 +5540,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_cypher_with_chain",
     "kg_merge_apply",
     "kg_cypher_applied",
+    "kg_cypher_call",
     "kg_backbone",
     "kg_louvain",
     "kg_scc",
@@ -5922,6 +5969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cypher_with_chain": q_kg_cypher_with_chain,
         "kg_merge_apply": q_kg_merge_apply,
         "kg_cypher_applied": q_kg_cypher_applied,
+        "kg_cypher_call": q_kg_cypher_call,
         "kg_backbone": q_kg_backbone,
         "kg_louvain": q_kg_louvain,
         "kg_entity_degrees": q_kg_entity_degrees,
@@ -7002,6 +7050,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_cypher_with_chain": _kg_cypher_with_chain_sql(),
         "kg_merge_apply": _kg_merge_apply_sql(),
         "kg_cypher_applied": _kg_cypher_match_sql(),
+        "kg_cypher_call": _kg_cypher_call_sql(),
         "kg_backbone": _kg_backbone_sql(),
         "kg_louvain": _kg_louvain_sql(),
         "kg_entity_degrees": _kg_entity_degrees_values(),

@@ -68,6 +68,29 @@ Semantics (Neo4j/openCypher parity for the supported subset):
   aggregates with openCypher implicit grouping (non-aggregate items
   are the grouping keys); aggregation runs after the alternatives
   union as one partial-agg groupBy;
+- WITH executes in the provably-unambiguous SINGLE-MATCH subset (the
+  clause-order FSM refuses WITH in the initial state, so with exactly
+  one reading clause every WITH follows it, in vector order):
+  identifier keeps/renames, aliased property projections, count(arg)
+  with implicit grouping, wildcard, and chained WITHs. WHERE clauses
+  apply at the EARLIEST pipeline position where all their variables
+  are in scope — sound because shadowing aliases are refused, key
+  filters commute with the groupBy, and a count alias exists nowhere
+  before its WITH (the HAVING reading is the only compilable one).
+  Unaliased WITH expressions and shadowing aliases are Neo4j compile
+  errors — refused; WITH with multiple MATCH clauses or UNWIND loses
+  placement in the parallel-vector AST — refused;
+- CALL { subquery } executes with openCypher's uncorrelated-subquery
+  cardinality semantics: the subquery FSM refuses a leading WITH, so
+  importing-WITH (correlated) subqueries never parse, every parseable
+  subquery is a fixed frame, and its cross join commutes with every
+  outer operator except an aggregating WITH (that combination is
+  refused). The guard's validator refuses outer references to
+  subquery outputs ("Undefined variable"), so a CALL contributes
+  exactly its row count — n rows multiply each binding, zero rows
+  eliminate it. The reference extractor does not descend into
+  subqueries, so the executor re-runs the extract → validate ladder
+  on each subquery standalone before compiling it (nesting capped);
 - properties the schema allows but the codegen never materializes
   (e.g. Person.age) evaluate to NULL, so comparisons on them match
   nothing and `IS NULL` matches everything — exactly a Neo4j graph
@@ -131,9 +154,10 @@ class CypherExecutionRefused(Exception):
 
 class UnsupportedCypherFeature(Exception):
     """Parses and validates, but uses a construct outside the executable
-    subset (write clauses, WITH/CALL, non-literal UNWIND, quantified
-    path patterns, unbounded var-length, rel property maps, WHERE on an
-    OPTIONAL-only variable...)."""
+    subset (write clauses, CALL procedures, ambiguous WITH/CALL
+    placements, non-literal UNWIND, quantified path patterns, unbounded
+    var-length, rel property maps, WHERE on an OPTIONAL-only
+    variable...)."""
 
 
 def _clean(col):
@@ -648,13 +672,58 @@ def execute_cypher(
         raise CypherExecutionRefused(errors)
     q = parse_query(query)
 
+    nodes_df, edges = graph if graph is not None else graph_frames(triples)
+    return _compile_query(spark, q, nodes_df, edges, schema, max_total_hops)
+
+
+def _compile_query(
+    spark: SparkSession,
+    q,
+    nodes_df: DataFrame,
+    edges: DataFrame,
+    schema,
+    max_total_hops: int,
+    depth: int = 0,
+) -> DataFrame:
+    """Compile one (already validation-gated) read query over the graph
+    frames and return the projected RETURN DataFrame. Recurses for CALL
+    subqueries (each subquery is re-validated standalone first — the
+    reference extractor does not descend into subqueries)."""
     for attr, label in (
         ("merge_clauses", "MERGE"),
         ("create_clauses", "CREATE"),
-        ("call_clauses", "CALL"),
     ):
         if getattr(q, attr):
             raise UnsupportedCypherFeature(f"{label} clause (read-only executor)")
+    if q.call_clauses:
+        # CALL { subquery } executes. Soundness under the parallel-vector
+        # AST: the subquery FSM starts in the initial state, which
+        # refuses WITH — so importing-WITH (correlated) subqueries never
+        # parse and every parseable subquery is UNCORRELATED: a fixed
+        # frame whose cross join commutes with the outer equi-joins,
+        # left joins and filters (disjoint columns), making CALL
+        # placement irrelevant. The one non-commuting neighbor is an
+        # AGGREGATING outer WITH (multiplicity feeds the count), whose
+        # relative order is lost — the combination is refused. The
+        # guard's own validator refuses any outer reference to a
+        # subquery output ("Undefined variable"), so a CALL contributes
+        # exactly its CARDINALITY: n result rows multiply every outer
+        # binding n times, zero rows eliminate them — openCypher's
+        # uncorrelated-subquery semantics.
+        if q.with_clauses:
+            raise UnsupportedCypherFeature(
+                "CALL combined with WITH: relative order is lost by the "
+                "reference AST (ast.rs:3-12) and an aggregating WITH "
+                "does not commute with the subquery cross join"
+            )
+        if depth >= 3:
+            raise UnsupportedCypherFeature("CALL subqueries nested >3 deep")
+        for cc in q.call_clauses:
+            if cc.subquery is None:
+                raise UnsupportedCypherFeature(
+                    f"CALL procedure: {cc.procedure}() (no procedures "
+                    "exist natively)"
+                )
     if q.with_clauses:
         # WITH placement is only recoverable from the reference AST's
         # parallel clause vectors (ast.rs:3-12) when the query has
@@ -679,7 +748,6 @@ def execute_cypher(
     if not q.return_clauses:
         raise UnsupportedCypherFeature("RETURN clause required")
 
-    nodes_df, edges = graph if graph is not None else graph_frames(triples)
     named: set = set()
     nonnode_vars: set = set()  # rel/path vars: property access is NULL
 
@@ -915,6 +983,38 @@ def execute_cypher(
         req_vars.add(var)  # always bound — never null-extended
         lf = spark.createDataFrame(vals, schema=f"`{var}` {typ}")
         acc = lf if acc is None else acc.crossJoin(lf)
+
+    # CALL { subquery } — compile each standalone and cross-join its
+    # frame for cardinality (see the refusal block above for why this
+    # placement is provably the only reading). The reference extractor
+    # does NOT descend into subqueries (extract.rs parity — an invalid
+    # label inside CALL {} passes the outer ladder), so the execution
+    # gate completes the check here: each subquery re-runs the same
+    # extract → validate ladder as a standalone query before compiling.
+    for k, cc in enumerate(q.call_clauses):
+        from ..guard.extract import extract_query_elements
+        from ..guard.validate import validate_query_elements
+
+        sub_errors = validate_query_elements(
+            extract_query_elements(cc.subquery), schema
+        )
+        if sub_errors:
+            raise CypherExecutionRefused(
+                [f"in CALL subquery: {e}" for e in sub_errors]
+            )
+        sf = _compile_query(
+            spark, cc.subquery, nodes_df, edges, schema, max_total_hops,
+            depth=depth + 1,
+        )
+        # outputs are unreferencable outside (the validator refuses
+        # them) — rename to internal names so only multiplicity remains
+        sf = sf.select(
+            *[
+                F.col(c).alias(f"__call{depth}_{k}_{i}")
+                for i, c in enumerate(sf.columns)
+            ]
+        )
+        acc = acc.crossJoin(sf)
 
     out_frame = acc.drop(*[c for c in acc.columns if c.startswith("__")])
 

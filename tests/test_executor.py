@@ -857,3 +857,89 @@ def test_with_refusals(spark, triples):
             "MATCH (a:Person)-[:KNOWS]-(b:Person) WITH a, count(b) AS deg "
             "RETURN deg.foo",
         )
+
+
+# ---------------------------------------------------------------------------
+# CALL { subquery } (uncorrelated by construction: the subquery FSM refuses
+# a leading WITH, so importing-WITH subqueries never parse; outputs are
+# unreferencable outside — the guard's validator refuses them — so a CALL
+# contributes exactly its cardinality, openCypher semantics)
+# ---------------------------------------------------------------------------
+
+def test_call_multiplies_rows(spark, triples):
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (l:Location) CALL { MATCH (p:Person) RETURN p } RETURN l.city",
+    )
+    # 1 location × 3 persons
+    assert [r[0] for r in out.collect()] == ["Berlin", "Berlin", "Berlin"]
+
+
+def test_call_aggregating_subquery_is_one_row(spark, triples):
+    out = execute_cypher(
+        spark,
+        triples,
+        "MATCH (p:Person) CALL { MATCH (x:Person)-[:KNOWS]->(y:Person) "
+        "RETURN count(x) AS n } RETURN p.firstName",
+    )
+    assert sorted(r[0] for r in out.collect()) == ["Bob", "Jane", "John"]
+
+
+def test_call_empty_subquery_eliminates_rows(spark, triples):
+    out = execute_cypher(
+        spark,
+        triples,
+        'MATCH (p:Person) CALL { MATCH (x:Person) WHERE x.firstName = "Zzz" '
+        "RETURN x } RETURN p.firstName",
+    )
+    assert out.count() == 0
+
+
+def test_call_nested_and_outer_aggregation(spark, triples):
+    nested = execute_cypher(
+        spark,
+        triples,
+        "MATCH (l:Location) CALL { MATCH (c:Company) "
+        "CALL { MATCH (p:Person) RETURN p } RETURN c } RETURN l.city",
+    )
+    assert nested.count() == 3  # 1 location × (1 company × 3 persons)
+    agg = execute_cypher(
+        spark,
+        triples,
+        "MATCH (l:Location) CALL { MATCH (p:Person)-[:KNOWS]-(q:Person) "
+        "RETURN p.firstName, q.firstName } RETURN l.city, count(l) AS n",
+    )
+    # 4 undirected KNOWS bindings multiply the single location
+    assert _rows(agg) == [("Berlin", 4)]
+
+
+def test_call_subquery_revalidated_standalone(spark, triples):
+    """The reference extractor does not descend into subqueries — an
+    invalid label inside CALL {} passes the outer ladder — so the
+    executor re-runs the ladder on the subquery before compiling."""
+    with pytest.raises(CypherExecutionRefused) as ei:
+        execute_cypher(
+            spark,
+            triples,
+            "MATCH (a:Person) CALL { MATCH (b:Nope) RETURN b } "
+            "RETURN a.firstName",
+        )
+    assert "in CALL subquery: Invalid node label: Nope" in str(ei.value)
+
+
+def test_call_refusals(spark, triples):
+    for q in (
+        # procedure form: nothing to call natively
+        "MATCH (a:Person) CALL db.labels() YIELD label RETURN a.firstName",
+        # CALL + aggregating WITH: relative order lost, doesn't commute
+        "MATCH (a:Person) CALL { MATCH (b:Person) RETURN b } "
+        "WITH a, count(a) AS n RETURN n",
+        # write clause inside the subquery
+        'MATCH (a:Person) CALL { MERGE (b:Person {firstName: "X", '
+        'lastName: "Y"}) } RETURN a.firstName',
+    ):
+        with pytest.raises(
+            (UnsupportedCypherFeature, CypherExecutionRefused)
+        ):
+            execute_cypher(spark, triples, q)
