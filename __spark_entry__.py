@@ -5541,6 +5541,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_merge_apply",
     "kg_cypher_applied",
     "kg_cypher_call",
+    "emb_hard_negatives",
+    "doc_source_cap",
     "kg_backbone",
     "kg_louvain",
     "kg_scc",
@@ -5868,6 +5870,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strict-minority agreement flags mislabeled candidates
         "emb_label_noise": lambda s, d: similarity.knn_label_noise(
             _emb(s, d), _emb(s, d), k=10
+        ),
+        # semi-hard negative mining (FaceNet recipe): nearest
+        # different-label neighbors per anchor, re-ranked, top-5 kept
+        "emb_hard_negatives": lambda s, d: similarity.hard_negatives(
+            _emb(s, d), _emb(s, d).where(F.col("vec_id") < 50),
+            k=20, per_anchor=5
+        ),
+        # per-source saturation cap (RefinedWeb anti-domination guard):
+        # two-phase skew-safe top-cap; the single-window DuckDB twin
+        # doubles as the two-phase == one-phase equality proof
+        "doc_source_cap": lambda s, d: sample.source_cap(
+            _docs(s, d), cap=50, score_col="n_chars"
         ),
         # corpus frequency spectrum: types binned by floor(log2(count))
         # — the Zipf-profile histogram; integer-exact, no vocab sort
@@ -6772,6 +6786,40 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    round(sum(length(lower(trim(text))))::DOUBLE / count(*), 6) AS avg_chars,
                    round(1.0 - count(DISTINCT md5(lower(trim(text)))) / count(*), 6) AS dup_ratio
             FROM documents GROUP BY source, lang
+        """,
+        "emb_hard_negatives": """
+            WITH topk AS (
+              SELECT query_id, neighbor_id, sim FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                                    c.vec_id) AS rank
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 50
+              ) WHERE rank <= 20),
+            neg AS (
+              SELECT t.query_id AS anchor_id, q.label,
+                     t.neighbor_id AS negative_id, n.label AS negative_label,
+                     t.sim,
+                     row_number() OVER (PARTITION BY t.query_id
+                         ORDER BY t.sim DESC, t.neighbor_id) AS neg_rank
+              FROM topk t
+              JOIN embeddings q ON t.query_id = q.vec_id
+              JOIN embeddings n ON t.neighbor_id = n.vec_id
+              WHERE n.label <> q.label)
+            SELECT anchor_id, label, negative_id, negative_label,
+                   CAST(neg_rank AS BIGINT) AS neg_rank, sim
+            FROM neg WHERE neg_rank <= 5
+        """,
+        "doc_source_cap": """
+            SELECT doc_id, source, CAST(keep_rank AS BIGINT) AS keep_rank
+            FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id) AS keep_rank
+              FROM documents
+            ) WHERE keep_rank <= 50
         """,
         "emb_label_noise": """
             WITH topk AS (

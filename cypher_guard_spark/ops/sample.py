@@ -498,3 +498,48 @@ def dsir_weights(
         "r_hits",
         F.round(num / den, 6).alias("lift"),
     )
+
+
+def source_cap(
+    docs: DataFrame,
+    cap: int = 100,
+    score_col: str | None = "n_chars",
+    salt: int = 16,
+) -> DataFrame:
+    """(doc_id, source, keep_rank) — per-source saturation cap, the
+    RefinedWeb / C4-family anti-domination guard: keep at most `cap`
+    documents per source, preferring higher `score_col` (quality proxy)
+    then smaller doc_id, so one crawled domain cannot own the training
+    mixture no matter how many pages it contributed.
+
+    Two-phase top-cap, the skew-safe shape: phase 1 ranks within
+    (source, salt-bucket) and keeps `cap` per bucket, phase 2 ranks the
+    ≤ salt·cap survivors per source. The output is IDENTICAL to a single
+    per-source window — any row in the global top-cap also ranks ≤ cap
+    inside its own bucket, so phase 1 never discards a winner — but the
+    per-source window only ever sees salt·cap rows, even when one domain
+    owns half the corpus; the unsalted single window would drag every
+    row of the hub source through one task. (Same candidate-pruning move
+    as the LSH band join; the DuckDB twin runs the single-window form,
+    so the oracle gate doubles as the two-phase == one-phase equality
+    proof.) Determinism: total order (score DESC, doc_id ASC); ties in
+    the score resolve by id, so the kept set is a pure function of the
+    table."""
+    from pyspark.sql import Window
+
+    order = ([F.desc(score_col)] if score_col else []) + [F.asc("doc_id")]
+    df = docs.withColumn(
+        "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(salt))
+    )
+    w1 = Window.partitionBy("source", "_bucket").orderBy(*order)
+    survivors = (
+        df.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= cap)
+        .drop("_r1", "_bucket")
+    )
+    w2 = Window.partitionBy("source").orderBy(*order)
+    return (
+        survivors.withColumn("keep_rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("keep_rank") <= cap)
+        .select("doc_id", "source", "keep_rank")
+    )

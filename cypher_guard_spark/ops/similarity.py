@@ -1085,3 +1085,72 @@ def knn_label_noise(
         .cast("long")
         .alias("suspect"),
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    per_anchor: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(anchor_id, label, negative_id, negative_label, neg_rank, sim) —
+    semi-hard negative mining for contrastive / metric-learning training
+    data (the Schroff et al. FaceNet recipe, and the offline upgrade to
+    in-batch negatives for embedding-model training): for each anchor,
+    the nearest cosine neighbors that carry a DIFFERENT label, re-ranked
+    among themselves, top `per_anchor` kept.
+
+    `k` bounds the candidate pool deliberately: semi-hard negatives live
+    at the top of the anchor's similarity ranking by definition, so they
+    are mined from the exact top-k ball. An anchor whose whole ball
+    shares its label emits fewer (possibly zero) rows — the honest
+    answer, not a fabricated far negative (raise k to widen the pool).
+
+    Determinism: inherits `brute_force_topk`'s engine-exact contract
+    (6dp-rounded cosine, neighbor-id tie break); the negative re-rank is
+    a row_number under the same (sim DESC, id ASC) order, so the output
+    is bit-identical in any engine — the DuckDB twin reproduces it with
+    the same window.
+
+    Scale posture: anchors broadcast, scoring map-only over the corpus,
+    shuffles carry ids only (the top-k key and the id-keyed label join).
+    At 10^12 rows swap the exact kernel for `ivf_topk`/`ivfpq_topk` over
+    the at-rest index — the mining plan downstream of the (anchor,
+    neighbor, sim) pairs is unchanged."""
+    from pyspark.sql import Window
+
+    topk = brute_force_topk(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    qlab = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+        )
+    )
+    nlab = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("negative_label"),
+    )
+    neg = (
+        topk.join(qlab, "query_id")
+        .join(nlab, "neighbor_id")
+        .where(F.col("negative_label") != F.col("label"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= per_anchor)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            "label",
+            F.col("neighbor_id").alias("negative_id"),
+            "negative_label",
+            "neg_rank",
+            "sim",
+        )
+    )

@@ -1808,3 +1808,86 @@ def test_leakage_safe_split_never_splits_near_dups(spark):
     for cid, split in got.values():
         by_cluster.setdefault(cid, set()).add(split)
     assert all(len(v) == 1 for v in by_cluster.values())
+
+
+def test_hard_negatives_mines_cross_label_neighbors(spark):
+    """Two tight clusters with opposite labels + one anchor near the
+    boundary: its hardest negatives are the nearest other-label points,
+    in cosine order; a deep-inside anchor whose top-k ball is all
+    same-label emits nothing."""
+    from cypher_guard_spark.ops.similarity import hard_negatives
+
+    rows = [
+        # cluster A (label 0) around (1, 0)
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.05], 0),
+        (2, [0.98, -0.05], 0),
+        # cluster B (label 1) around (0, 1)
+        (3, [0.0, 1.0], 1),
+        (4, [0.05, 0.99], 1),
+        # boundary point, label 0, leaning toward B
+        (5, [0.6, 0.8], 0),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negatives(
+        emb, emb.where(F.col("vec_id").isin(5, 0)), k=5, per_anchor=2
+    )
+    got = {
+        r["anchor_id"]: (r["negative_id"], r["neg_rank"])
+        for r in out.collect()
+        if r["neg_rank"] == 1
+    }
+    # anchor 5 (label 0): nearest label-1 neighbor is 4 — cos(5,4)=
+    # 0.822/||(0.05,0.99)||≈0.8292 beats cos(5,3)=0.8 exactly because
+    # vec 4 is not unit norm; then 3
+    assert got[5][0] == 4
+    ranks5 = sorted(
+        (r["neg_rank"], r["negative_id"])
+        for r in out.where(F.col("anchor_id") == 5).collect()
+    )
+    assert [nid for _r, nid in ranks5] == [4, 3]
+    # every emitted negative really is cross-label
+    assert out.where(F.col("label") == F.col("negative_label")).count() == 0
+    # k window honesty: with k=2 anchor 0's ball is all label-0 → no rows
+    none = hard_negatives(
+        emb, emb.where(F.col("vec_id") == 0), k=2, per_anchor=2
+    )
+    assert none.count() == 0
+
+
+def test_source_cap_two_phase_equals_single_window(spark):
+    """The salted two-phase top-cap returns exactly the single-window
+    answer on a skewed corpus (one source owns most rows), caps every
+    source, and prefers longer docs then smaller ids."""
+    from pyspark.sql import Window as W
+
+    from cypher_guard_spark.ops.sample import source_cap
+
+    rows = [(f"d{i:03d}", "hub.com", 1000 - i) for i in range(40)] + [
+        ("x1", "tiny.org", 10),
+        ("x2", "tiny.org", 99),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = source_cap(docs, cap=5, score_col="n_chars", salt=4)
+    # single-window reference
+    ref = (
+        docs.withColumn(
+            "keep_rank",
+            F.row_number()
+            .over(W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .where(F.col("keep_rank") <= 5)
+        .select("doc_id", "source", "keep_rank")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    # hub capped at 5, tiny keeps both, quality order holds
+    assert out.where(F.col("source") == "hub.com").count() == 5
+    top_hub = (
+        out.where((F.col("source") == "hub.com") & (F.col("keep_rank") == 1))
+        .collect()[0]["doc_id"]
+    )
+    assert top_hub == "d000"  # n_chars=1000, the longest
+    assert out.where(F.col("source") == "tiny.org").count() == 2
