@@ -1116,6 +1116,46 @@ GROUP BY c.comp
 """
 
 
+_CYPHER_PROC_Q = (
+    "MATCH (c:Company) CALL db.labels() YIELD label "
+    "RETURN c.companyName, count(c) AS n_labels"
+)
+
+
+def q_kg_cypher_proc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-procedure execution: db.labels() yields one row per
+    distinct node label present in the constructed graph, multiplying
+    every Company binding (yields are unreferencable — the guard's own
+    validator refuses them, inherited) — so count(c) per company IS the
+    graph's label count. db.relationshipTypes / db.propertyKeys share
+    the dispatch; non-catalog procedures refuse as out of subset."""
+    from cypher_guard_spark.pipeline.executor import execute_cypher
+
+    return execute_cypher(spark, _kg_canonical_full(spark), _CYPHER_PROC_Q)
+
+
+def _kg_cypher_proc_sql() -> str:
+    """Distinct Company nodes × the distinct-label count."""
+    return f"""
+WITH t AS ({_kg_canonical_labeled_values()}),
+e AS (SELECT DISTINCT
+  {_node_fields_sql("subj", "s_")},
+  pred,
+  {_node_fields_sql("obj", "o_")}
+FROM t),
+n AS (
+  SELECT s_label AS label, s_company AS comp FROM e
+  UNION
+  SELECT o_label, o_company FROM e
+),
+c AS (SELECT DISTINCT comp FROM n WHERE label = 'Company'),
+lab AS (SELECT DISTINCT label FROM n)
+SELECT c.comp AS c_companyName, CAST(COUNT(*) AS BIGINT) AS n_labels
+FROM c CROSS JOIN lab
+GROUP BY c.comp
+"""
+
+
 def _kg_applied_graph(spark: SparkSession) -> tuple:
     """canonical triples → MERGE codegen → native MERGE APPLY → (nodes,
     edges): the write side executed by us instead of a Neo4j
@@ -5541,6 +5581,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kg_merge_apply",
     "kg_cypher_applied",
     "kg_cypher_call",
+    "kg_cypher_proc",
     "emb_hard_negatives",
     "doc_source_cap",
     "kg_backbone",
@@ -5989,6 +6030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_merge_apply": q_kg_merge_apply,
         "kg_cypher_applied": q_kg_cypher_applied,
         "kg_cypher_call": q_kg_cypher_call,
+        "kg_cypher_proc": q_kg_cypher_proc,
         "kg_backbone": q_kg_backbone,
         "kg_louvain": q_kg_louvain,
         "kg_entity_degrees": q_kg_entity_degrees,
@@ -7105,6 +7147,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "kg_merge_apply": _kg_merge_apply_sql(),
         "kg_cypher_applied": _kg_cypher_match_sql(),
         "kg_cypher_call": _kg_cypher_call_sql(),
+        "kg_cypher_proc": _kg_cypher_proc_sql(),
         "kg_backbone": _kg_backbone_sql(),
         "kg_louvain": _kg_louvain_sql(),
         "kg_entity_degrees": _kg_entity_degrees_values(),

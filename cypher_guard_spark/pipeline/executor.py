@@ -90,7 +90,12 @@ Semantics (Neo4j/openCypher parity for the supported subset):
   exactly its row count — n rows multiply each binding, zero rows
   eliminate it. The reference extractor does not descend into
   subqueries, so the executor re-runs the extract → validate ladder
-  on each subquery standalone before compiling it (nesting capped);
+  on each subquery standalone before compiling it (nesting capped).
+  The three Neo4j catalog procedures execute the same way —
+  db.labels() / db.relationshipTypes() / db.propertyKeys() yield one
+  row per distinct label / edge type / materialized property key of
+  THIS graph (cardinality only; yields are equally unreferencable) —
+  and any other procedure refuses as out of subset;
 - properties the schema allows but the codegen never materializes
   (e.g. Person.age) evaluate to NULL, so comparisons on them match
   nothing and `IS NULL` matches everything — exactly a Neo4j graph
@@ -130,6 +135,10 @@ from ..guard.ast import (
 )
 
 _SEP = "\x1f"
+# the Neo4j catalog procedures with executable semantics against our graph
+_CATALOG_PROCS = frozenset(
+    {"db.labels", "db.relationshipTypes", "db.propertyKeys"}
+)
 # node-id layout: label SEP firstName SEP lastName SEP companyName SEP city
 _PROP_FIELD = {"firstName": 2, "lastName": 3, "companyName": 4, "city": 5}
 # which label materializes the property (codegen.py:_entity_props).
@@ -719,10 +728,11 @@ def _compile_query(
         if depth >= 3:
             raise UnsupportedCypherFeature("CALL subqueries nested >3 deep")
         for cc in q.call_clauses:
-            if cc.subquery is None:
+            if cc.subquery is None and cc.procedure not in _CATALOG_PROCS:
                 raise UnsupportedCypherFeature(
-                    f"CALL procedure: {cc.procedure}() (no procedures "
-                    "exist natively)"
+                    f"CALL procedure: {cc.procedure}() (only the Neo4j "
+                    "catalog procedures db.labels / db.relationshipTypes "
+                    "/ db.propertyKeys execute natively)"
                 )
     if q.with_clauses:
         # WITH placement is only recoverable from the reference AST's
@@ -992,6 +1002,49 @@ def _compile_query(
     # gate completes the check here: each subquery re-runs the same
     # extract → validate ladder as a standalone query before compiling.
     for k, cc in enumerate(q.call_clauses):
+        if cc.subquery is None:
+            # Neo4j catalog procedures against OUR graph: db.labels()
+            # yields the distinct node labels present, one row each;
+            # db.relationshipTypes() the distinct edge types;
+            # db.propertyKeys() the distinct materialized property keys
+            # (derived from the labels present — the codegen-rendered
+            # model). Yielded names are unreferencable (the validator's
+            # Undefined-variable refusal, inherited), so like subqueries
+            # they contribute exactly their CARDINALITY — on an empty
+            # graph each yields zero rows and eliminates every binding,
+            # which is Neo4j's answer too.
+            labels = nodes_df.select(
+                F.element_at(F.split("node_id", _SEP, -1), 1).alias("label")
+            ).dropDuplicates()
+            if cc.procedure == "db.labels":
+                pf = labels
+            elif cc.procedure == "db.relationshipTypes":
+                pf = edges.select(F.col("pred").alias("rel_type")).dropDuplicates()
+            else:  # db.propertyKeys
+                pf = (
+                    labels.select(
+                        F.explode(
+                            F.when(
+                                F.col("label") == "Person",
+                                F.array(F.lit("firstName"), F.lit("lastName")),
+                            )
+                            .when(
+                                F.col("label") == "Company",
+                                F.array(F.lit("companyName")),
+                            )
+                            .otherwise(F.array(F.lit("city")))
+                        ).alias("key")
+                    ).dropDuplicates()
+                )
+            acc = acc.crossJoin(
+                pf.select(
+                    *[
+                        F.col(c).alias(f"__call{depth}_{k}_{i}")
+                        for i, c in enumerate(pf.columns)
+                    ]
+                )
+            )
+            continue
         from ..guard.extract import extract_query_elements
         from ..guard.validate import validate_query_elements
 

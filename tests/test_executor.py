@@ -930,8 +930,8 @@ def test_call_subquery_revalidated_standalone(spark, triples):
 
 def test_call_refusals(spark, triples):
     for q in (
-        # procedure form: nothing to call natively
-        "MATCH (a:Person) CALL db.labels() YIELD label RETURN a.firstName",
+        # non-catalog procedure: nothing to call natively
+        "MATCH (a:Person) CALL apoc.create() YIELD x RETURN a.firstName",
         # CALL + aggregating WITH: relative order lost, doesn't commute
         "MATCH (a:Person) CALL { MATCH (b:Person) RETURN b } "
         "WITH a, count(a) AS n RETURN n",
@@ -943,3 +943,35 @@ def test_call_refusals(spark, triples):
             (UnsupportedCypherFeature, CypherExecutionRefused)
         ):
             execute_cypher(spark, triples, q)
+
+
+def test_call_catalog_procedures(spark, triples):
+    """db.labels / db.relationshipTypes / db.propertyKeys execute with
+    cardinality semantics (yields are unreferencable — the validator's
+    refusal is inherited): the fixture graph has 3 labels, 3 rel types,
+    and 4 materialized property keys."""
+    for proc, n in (
+        ("db.labels() YIELD label", 3),
+        ("db.relationshipTypes() YIELD relationshipType", 3),
+        ("db.propertyKeys() YIELD propertyKey", 4),
+    ):
+        out = execute_cypher(
+            spark,
+            triples,
+            f"MATCH (l:Location) CALL {proc} RETURN l.city",
+        )
+        assert out.count() == n, proc
+    counted = execute_cypher(
+        spark,
+        triples,
+        "MATCH (l:Location) CALL db.labels() YIELD label "
+        "RETURN l.city, count(l) AS n_labels",
+    )
+    assert _rows(counted) == [("Berlin", 3)]
+    # unknown two-segment procedures refuse as out of subset
+    with pytest.raises(UnsupportedCypherFeature):
+        execute_cypher(
+            spark,
+            triples,
+            "MATCH (l:Location) CALL apoc.foo() YIELD x RETURN l.city",
+        )
