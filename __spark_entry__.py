@@ -703,7 +703,10 @@ def _node_fields_sql(col: str, prefix: str) -> str:
     space, then quote-stripping)."""
 
     def clean(x: str) -> str:
-        return f"replace(replace({x}, chr(39), ''), chr(34), '')"
+        return (
+            f"replace(replace(replace(replace({x}, chr(39), ''), "
+            "chr(34), ''), chr(10), ''), chr(13), '')"
+        )
 
     lbl = f"{col}_label"
     first = (

@@ -97,8 +97,11 @@ class MergeApplyRefused(Exception):
 
 
 def _clean(text: str) -> str:
-    # codegen.py:_clean — the grammar has no escapes, quotes are dropped
-    return text.replace("'", "").replace('"', "")
+    # codegen.py:_clean — the grammar has no escapes: quotes and
+    # newlines/CRs are dropped (byte-parallel with the write side)
+    for ch in ("'", '"', "\n", "\r"):
+        text = text.replace(ch, "")
+    return text
 
 
 def _node_identity(np) -> str:
@@ -194,7 +197,17 @@ def _parse_statement(stmt: str, schema: DbSchema) -> tuple:
         return (None, None, None, None, "one pattern per MERGE statement")
     pattern = mc.elements[0].pattern
     nodes = [p for p in pattern if p.__class__.__name__ == "NodePattern"]
-    rels = [p for p in pattern if p.__class__.__name__ != "NodePattern"]
+    rels = [p for p in pattern if p.__class__.__name__ == "RelationshipPattern"]
+    if len(nodes) + len(rels) != len(pattern):
+        # quantified path patterns parse inside MERGE (the grammar
+        # reuses match_element) but have no apply semantics
+        return (
+            None,
+            None,
+            None,
+            None,
+            "quantified path pattern in MERGE (no apply semantics)",
+        )
     try:
         if len(nodes) == 1 and not rels:
             return ("node", _node_identity(nodes[0]), None, None, None)

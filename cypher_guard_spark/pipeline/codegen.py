@@ -18,8 +18,11 @@ from pyspark.sql import functions as F
 
 
 def _clean(col):
-    # the guard's string literals have no escape sequences: strip quotes
-    return F.translate(col, "'\"", "")
+    # the guard's string literals have no escape sequences: strip quote
+    # chars (they would terminate the literal) and newlines/CRs (the
+    # batch format is newline-joined, so an embedded newline would split
+    # a statement mid-literal on the apply side)
+    return F.translate(col, "'\"\n\r", "")
 
 
 def _person_props(col):

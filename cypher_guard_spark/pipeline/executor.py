@@ -135,10 +135,14 @@ from ..guard.ast import (
 )
 
 _SEP = "\x1f"
-# the Neo4j catalog procedures with executable semantics against our graph
-_CATALOG_PROCS = frozenset(
-    {"db.labels", "db.relationshipTypes", "db.propertyKeys"}
-)
+# the Neo4j catalog procedures with executable semantics against our
+# graph, each with its single canonical output name
+_CATALOG_YIELDS = {
+    "db.labels": "label",
+    "db.relationshipTypes": "relationshipType",
+    "db.propertyKeys": "propertyKey",
+}
+_CATALOG_PROCS = frozenset(_CATALOG_YIELDS)
 # node-id layout: label SEP firstName SEP lastName SEP companyName SEP city
 _PROP_FIELD = {"firstName": 2, "lastName": 3, "companyName": 4, "city": 5}
 # which label materializes the property (codegen.py:_entity_props).
@@ -170,8 +174,9 @@ class UnsupportedCypherFeature(Exception):
 
 
 def _clean(col):
-    # codegen.py:_clean — grammar has no escapes, quotes are dropped
-    return F.translate(col, "'\"", "")
+    # codegen.py:_clean — grammar has no escapes: quotes and
+    # newlines/CRs are dropped (byte-parallel with the write side)
+    return F.translate(col, "'\"\n\r", "")
 
 
 def _node_id_expr(label_col, surface_col):
@@ -241,6 +246,30 @@ def _prop_col(var: str, prop: str):
     )
 
 
+def _kind_of(var: str, bound_vars) -> str:
+    """Variable kind when the scope carries kinds (a dict), else 'node'
+    (legacy set callers — every member is a node variable there)."""
+    if isinstance(bound_vars, dict):
+        return bound_vars.get(var, "node")
+    return "node"
+
+
+def _prop_access_col(var: str, prop: str, bound_vars):
+    """Kind-aware `var.prop` for WHERE — mirrors base_expr/_apply_with:
+    node → materialized property (or NULL), rel/path → NULL (the codegen
+    writes no relationship properties, so comparisons never match and
+    exists() is false — Neo4j parity for an untyped rel variable the
+    validation ladder cannot catch), long/scalar → Neo4j type error."""
+    k = _kind_of(var, bound_vars)
+    if k in ("long", "scalar"):
+        raise UnsupportedCypherFeature(
+            f"property access on a non-entity value: {var}.{prop}"
+        )
+    if k == "rel":
+        return F.lit(None).cast("string")
+    return _prop_col(var, prop)
+
+
 def _value_expr(pv: PropertyValue, bound_vars: set):
     if pv.kind == "string":
         return F.lit(pv.value)
@@ -259,7 +288,7 @@ def _value_expr(pv: PropertyValue, bound_vars: set):
             var, prop = name.split(".", 1)
             if var not in bound_vars:
                 raise UnsupportedCypherFeature(f"unbound variable: {var}")
-            return _prop_col(var, prop)
+            return _prop_access_col(var, prop, bound_vars)
         if name in bound_vars:
             return F.col(name)  # node identity comparison
         raise UnsupportedCypherFeature(f"unbound identifier: {name}")
@@ -306,7 +335,7 @@ def _condition_col(c: WhereCondition, bound_vars: set, long_vars: set = frozense
                 var, prop = arg.split(".", 1)
                 if var not in bound_vars:
                     raise UnsupportedCypherFeature(f"unbound variable: {var}")
-                return _prop_col(var, prop).isNotNull()
+                return _prop_access_col(var, prop, bound_vars).isNotNull()
         raise UnsupportedCypherFeature(
             f"WHERE function call: {c.function}({', '.join(c.arguments or [])})"
         )
@@ -774,6 +803,16 @@ def _compile_query(
         pattern, path_var = el.pattern, el.path_var
         nodes, rels = _expand_pattern(pattern)
         node_names = {n.variable for n in nodes if n.variable}
+        # a node variable reusing a rel/path name bound by an EARLIER
+        # element or clause would silently equi-join node ids against
+        # edge ids (never equal → empty result); Neo4j raises a
+        # variable-already-bound compile error — refuse, never guess
+        clash = node_names & nonnode_vars
+        if clash:
+            raise UnsupportedCypherFeature(
+                f"variable bound as both node and relationship/path: "
+                f"{sorted(clash)}"
+            )
         named.update(node_names)
         var_idx = [
             i
@@ -791,7 +830,13 @@ def _compile_query(
                     f"variable on a variable-length relationship ({rv} "
                     "would bind a LIST of relationships)"
                 )
-            if rv and rv in node_names:
+            if rv and (
+                rv in node_names
+                or (rv in named and rv not in nonnode_vars)
+            ):
+                # same element, an earlier element, or an earlier clause
+                # bound this name to a NODE (cross-clause REL reuse is
+                # the openCypher same-edge natural join and stays legal)
                 raise UnsupportedCypherFeature(
                     f"variable bound as both node and relationship: {rv}"
                 )
@@ -808,9 +853,12 @@ def _compile_query(
         if path_var and (
             path_var in node_names
             or path_var in {r.details.variable for r in rels}
+            or path_var in named
         ):
+            # shadows a pattern variable, or redeclares a name bound by
+            # an earlier element/clause (Neo4j compile error either way)
             raise UnsupportedCypherFeature(
-                f"path variable shadows a pattern variable: {path_var}"
+                f"path variable shadows a bound variable: {path_var}"
             )
         if len(rels) > max_total_hops:
             raise UnsupportedCypherFeature(f"more than {max_total_hops} hops")
@@ -1013,6 +1061,22 @@ def _compile_query(
             # they contribute exactly their CARDINALITY — on an empty
             # graph each yields zero rows and eliminates every binding,
             # which is Neo4j's answer too.
+            expected = _CATALOG_YIELDS[cc.procedure]
+            if not cc.yield_clause:
+                raise UnsupportedCypherFeature(
+                    f"CALL {cc.procedure}() without YIELD (Neo4j: a "
+                    "procedure call inside a query must use YIELD)"
+                )
+            if cc.yield_clause != [expected]:
+                raise UnsupportedCypherFeature(
+                    f"YIELD {', '.join(cc.yield_clause)}: "
+                    f"{cc.procedure} yields exactly '{expected}'"
+                )
+            if expected in named:
+                raise UnsupportedCypherFeature(
+                    f"YIELD {expected} shadows a bound variable "
+                    "(Neo4j compile error)"
+                )
             labels = nodes_df.select(
                 F.element_at(F.split("node_id", _SEP, -1), 1).alias("label")
             ).dropDuplicates()
@@ -1020,19 +1084,31 @@ def _compile_query(
                 pf = labels
             elif cc.procedure == "db.relationshipTypes":
                 pf = edges.select(F.col("pred").alias("rel_type")).dropDuplicates()
-            else:  # db.propertyKeys
+            else:  # db.propertyKeys — derived from _PROP_OWNER, the
+                # module's single source of truth for the rendered model
+                person_keys = sorted(
+                    k for k, o in _PROP_OWNER.items() if o == "Person"
+                )
+                company_keys = sorted(
+                    k for k, o in _PROP_OWNER.items() if o == "Company"
+                )
+                other_keys = sorted(
+                    k for k, o in _PROP_OWNER.items() if o is None
+                )
                 pf = (
                     labels.select(
                         F.explode(
                             F.when(
                                 F.col("label") == "Person",
-                                F.array(F.lit("firstName"), F.lit("lastName")),
+                                F.array(*[F.lit(k) for k in person_keys]),
                             )
                             .when(
                                 F.col("label") == "Company",
-                                F.array(F.lit("companyName")),
+                                F.array(*[F.lit(k) for k in company_keys]),
                             )
-                            .otherwise(F.array(F.lit("city")))
+                            .otherwise(
+                                F.array(*[F.lit(k) for k in other_keys])
+                            )
                         ).alias("key")
                     ).dropDuplicates()
                 )
@@ -1123,7 +1199,9 @@ def _compile_query(
                 vs |= _condition_vars(cond)
             if vs <= scope:
                 for cond in wc.conditions:
-                    df = df.where(_condition_col(cond, scope, lv))
+                    # the kinds DICT is the bound-vars scope: membership
+                    # checks see the names, property access sees the kind
+                    df = df.where(_condition_col(cond, kinds, lv))
             else:
                 still.append(wc)
         pending = still
@@ -1138,7 +1216,7 @@ def _compile_query(
         # the compiler raise its precise unbound/unsupported error
         for wc in pending:
             for cond in wc.conditions:
-                _condition_col(cond, set(kinds), set())
+                _condition_col(cond, kinds, set())
         raise UnsupportedCypherFeature("WHERE with out-of-scope variables")
 
     import re as _re

@@ -200,3 +200,45 @@ def test_batch_splitting_multiline(spark, triples):
     )
     # 6 entities (4 Persons, Acme, Berlin) + 6 distinct triples
     assert n_stmts == 12
+
+
+def test_newline_surface_roundtrip(spark):
+    """A canonical surface containing a newline cannot survive the
+    newline-joined batch format, so _clean strips newlines/CRs on BOTH
+    the write side (codegen) and read side (executor identity) — the
+    round trip stays exact instead of splitting a statement mid-literal."""
+    t = spark.createDataFrame(
+        [
+            ("d1", "Acme\nCorp", "LOCATED_IN", "Ber\rlin", "Company", "Location"),
+            ("d2", "Acme Corp", "LOCATED_IN", "Berlin", "Company", "Location"),
+        ],
+        ["doc_id", "subj", "pred", "obj", "subj_label", "obj_label"],
+    )
+    batches = build_merge_batches(_entity_frame(t), t)
+    nodes_a, edges_a = apply_merge_batches(spark, batches)
+    nodes_d, edges_d = graph_frames(t)
+    assert nodes_a.exceptAll(nodes_d).count() == 0
+    assert nodes_d.exceptAll(nodes_a).count() == 0
+    assert edges_a.exceptAll(edges_d).count() == 0
+    # newline/CR are REMOVED (same as quotes): 'Ber\rlin' unifies with
+    # 'Berlin', while 'Acme\nCorp' becomes 'AcmeCorp' — a distinct node
+    # from 'Acme Corp' on both sides, consistently
+    assert nodes_a.count() == 3
+
+
+def test_qpp_in_merge_is_typed_refusal(spark):
+    """A quantified path pattern parses inside MERGE (the grammar reuses
+    match_element) but must surface as a per-statement refusal, not an
+    AttributeError escaping the Arrow UDF."""
+    parsed = parse_merge_statements(
+        spark,
+        _stmts(
+            spark,
+            "MERGE (a:Person {firstName: 'X', lastName: ''}) "
+            "((x)-[:KNOWS]->(y)){1,2} (b:Person {firstName: 'Y', lastName: ''})",
+        ).select(F.col("cypher").alias("statement")),
+        pipeline_db_schema(),
+    )
+    row = parsed.collect()[0]
+    assert row["kind"] is None
+    assert row["err"] is not None

@@ -975,3 +975,66 @@ def test_call_catalog_procedures(spark, triples):
             triples,
             "MATCH (l:Location) CALL apoc.foo() YIELD x RETURN l.city",
         )
+
+
+def test_where_untyped_rel_var_property_is_null(spark, triples):
+    """r.prop on an UNTYPED relationship variable (which the validation
+    ladder cannot type-check) is NULL, never the source node's property:
+    comparisons match nothing, exists() is false, NOT exists() matches
+    every binding — Neo4j parity."""
+    none = execute_cypher(
+        spark,
+        triples,
+        'MATCH (a:Person)-[r]->(b:Person) WHERE r.firstName = "John" '
+        "RETURN b.firstName",
+    )
+    assert none.count() == 0
+    none2 = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[r]->(b:Person) WHERE exists(r.firstName) "
+        "RETURN b.firstName",
+    )
+    assert none2.count() == 0
+    every = execute_cypher(
+        spark,
+        triples,
+        "MATCH (a:Person)-[r]->(b:Person) WHERE NOT exists(r.firstName) "
+        "RETURN b.firstName",
+    )
+    assert every.count() == 2  # both directed KNOWS edges
+
+
+def test_cross_element_name_collisions_refused(spark, triples):
+    """A name bound as a node in one element/clause and as a rel/path
+    elsewhere would silently equi-join node ids against edge ids (empty
+    result); Neo4j raises variable-already-bound — refused, never
+    guessed."""
+    for q in (
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person), (r:Person)-[:KNOWS]->"
+        "(c:Person) RETURN c.firstName",
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person) MATCH (r:Person) "
+        "RETURN a.firstName",
+        "MATCH p = (a:Person)-[:KNOWS]->(b:Person) MATCH (p:Person) "
+        "RETURN a.firstName",
+        # WHERE on a count alias's property: typed refusal, not a
+        # Spark AnalysisException from splitting a bigint
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) WITH a, count(b) AS deg "
+        'WHERE deg.city = "x" RETURN a.firstName',
+    ):
+        with pytest.raises(UnsupportedCypherFeature):
+            execute_cypher(spark, triples, q)
+
+
+def test_catalog_yield_validation(spark, triples):
+    """Neo4j compile errors around YIELD are refused: in-query CALL
+    without YIELD, wrong output names, and a yield name shadowing a
+    bound variable."""
+    for q in (
+        "MATCH (l:Location) CALL db.labels() RETURN l.city",
+        "MATCH (l:Location) CALL db.labels() YIELD bogus RETURN l.city",
+        "MATCH (label:Person) CALL db.labels() YIELD label "
+        "RETURN label.firstName",
+    ):
+        with pytest.raises(UnsupportedCypherFeature):
+            execute_cypher(spark, triples, q)
